@@ -1,0 +1,615 @@
+"""Relational query library over the star schema.
+
+Covers the SURVEY.md §2.3 coverage checklist rows the star-schema
+fixtures can exercise: scans, filter/project, equi/semi/anti/broadcast
+joins, hash aggregation (partial+final), distinct, rollup/cube/
+grouping sets, sort/limit/top-k, set operations, scalar string/date/
+math functions, exact percentiles.
+
+The reference engine has no relational operators at all (SURVEY.md §2.3:
+joins/filters/aggregates are "absent" — its only aggregation is the
+sort-based group-reduce at /root/reference/src/mr/worker.go:117-137);
+this module is the native analytics surface that generalizes it.
+
+Design rules applied throughout (100 TB scale):
+- Filters and projections are expressed declaratively so Catalyst
+  pushes them into the parquet scan (verified via plans.explain_check).
+- Dimension joins (region/nation/supplier/part/customer vs lineitem/
+  orders) use explicit ``F.broadcast`` hints — at any scale factor the
+  dims stay tiny relative to the fact table, so every such join avoids
+  shuffling the fact side.
+- Aggregates are decomposable (sum/count/avg/min/max) → Spark runs
+  partial (map-side) aggregation automatically; no collect_list-style
+  unbounded per-key state in the hot path.
+- Doubles that cross the oracle boundary are rounded at the *end* of
+  the pipeline (never mid-computation) purely to stabilize the value
+  hash; numeric work itself stays full-precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan / filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle_sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan hash aggregation with 8 decomposable aggs.
+
+    Scale: single shuffle on a 6-value grouping key; partial aggregation
+    collapses ~all rows map-side, so shuffle volume is O(partitions).
+    The shipdate filter pushes down to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle_sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: highly selective conjunctive filter + global agg.
+
+    Scale: all four predicates push to the parquet scan (min/max row-
+    group skipping); the aggregate is a single partial+final sum.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle_sql="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter -> broadcast joins -> agg -> top-k.
+
+    Scale: customer (filtered to one segment) and orders (date-filtered)
+    broadcast against lineitem, so the fact table is never shuffled for
+    the join; the final orderBy+limit plans as TakeOrderedAndProject
+    (no global sort).
+    """
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle_sql="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: five-way star join, all dims broadcast.
+
+    Scale: region→nation→supplier collapses to a tiny broadcast side;
+    lineitem joins it map-side, then joins broadcast orders/customer.
+    Only the final 25-group aggregate shuffles.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    dim = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle_sql="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue by customer, top 20.
+
+    Scale: returnflag filter pushes to the scan; customer+nation
+    broadcast; top-k via TakeOrderedAndProject.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle_sql="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation over a broadcast join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle_sql="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that have at least one order.
+
+    Scale: semi-join needs only the distinct o_custkey set from the
+    probe side — Spark builds/broadcasts the keys, never materializes
+    matched rows.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle_sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_outer_order_fill",
+    oracle_sql="""
+    SELECT c_custkey,
+           count(o_orderkey)                                AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2)         AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_outer_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers (NULL-aware agg)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_rollup_returnflag",
+    oracle_sql="""
+    SELECT coalesce(l_returnflag, '<ALL>') AS l_returnflag,
+           coalesce(l_linestatus, '<ALL>') AS l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<ALL>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<ALL>")).alias("l_linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle_sql="""
+    SELECT coalesce(o_orderstatus, '<ALL>')   AS o_orderstatus,
+           coalesce(o_orderpriority, '<ALL>') AS o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status x priority (all 4 grouping sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_distinct_parts_per_supplier",
+    oracle_sql="""
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def agg_distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation (expand + two-phase agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "setop_nation_coverage",
+    oracle_sql="""
+    SELECT 'both' AS side, n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS side, n_nationkey FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+    ORDER BY side, n_nationkey
+    """,
+)
+def setop_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT of customer vs supplier nations."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    both = cust_n.intersect(supp_n).select(F.lit("both").alias("side"), "n_nationkey")
+    only = cust_n.subtract(supp_n).select(F.lit("customer_only").alias("side"), "n_nationkey")
+    return both.unionAll(only).orderBy("side", "n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k, scalar functions, percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_orders_by_price",
+    oracle_sql="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject (no full sort).
+
+    Scale: each partition keeps a k-heap; driver merges k*partitions
+    rows — no global shuffle sort at any data size.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@register(
+    "scalar_string_functions",
+    oracle_sql="""
+    SELECT c_custkey,
+           upper(c_name)                          AS name_upper,
+           length(c_name)                         AS name_len,
+           substr(c_name, 1, 8)                   AS name_prefix,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(lower(c_mktsegment), 'a', '_') AS seg_mangled
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string expression coverage (upper/length/substr/concat/replace).
+
+    All JVM-side whole-stage-codegen expressions — no UDFs.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+            F.replace(F.lower("c_mktsegment"), F.lit("a"), F.lit("_")).alias("seg_mangled"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle_sql="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_revenue,
+           count(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    GROUP BY 1
+    ORDER BY order_month
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: monthly order volume (date_trunc + aggregates)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle_sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per return flag.
+
+    Scale note: exact percentiles need per-group value buffers; at
+    100 TB swap to percentile_approx (t-digest, mergeable) — kept exact
+    here because the oracle gate demands bit-stable answers.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_conditional_pivot",
+    oracle_sql="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (the scale-safe pivot form).
+
+    Explicit CASE-per-bucket keeps the pivot decomposable and avoids
+    ``.pivot()``'s distinct-value discovery pass over 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty_if = lambda status: F.sum(  # noqa: E731
+        F.when(F.col("l_linestatus") == status, F.col("l_quantity")).otherwise(F.lit(0.0))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(qty_if("O"), 2).alias("qty_open"),
+            F.round(qty_if("F"), 2).alias("qty_filled"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,1 +1,155 @@
-"""placeholder — filled in later this round."""
+"""Reference-app analogues over the ``documents`` table.
+
+The reference ships word-count and inverted-index as its flagship
+MapReduce applications (A1 `/root/reference/src/mrapps/wc.go:22-43`,
+A2 `/root/reference/src/mrapps/indexer.go:20-38`). Here they are
+re-expressed as declarative DataFrame pipelines over the `documents`
+fixture — tokenize → explode → hash-aggregate — the exact Spark-first
+mapping called out in SURVEY.md §2.2.
+
+The byte-faithful file-based twins (whole-file inputs, "k v" text
+output) live in ``map_reduce_spark.compat``; these relational forms
+are what you'd actually run at 100 TB: partial aggregation, no
+per-key value materialization except the bounded doc-list in the
+inverted index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+# One tokenizer, used by every documents-table query (and mirrored in
+# each oracle): lowercase, split on non-letters, drop empties. The
+# fixture corpus is ASCII; the compat layer uses the full Unicode
+# class [^\p{L}]+ to match the reference tokenizer exactly.
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+
+def tokens_col(col: str = "text"):
+    """Array of lowercase word tokens (JVM-side, codegen'd — no UDF)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
+
+
+@register(
+    "doc_wordcount",
+    oracle_sql="""
+    SELECT tok AS word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents)
+    WHERE length(tok) > 0
+    GROUP BY tok
+    ORDER BY n DESC, word
+    """,
+)
+def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count (reference app A1, wc.go) as explode → hash agg.
+
+    Scale: explode multiplies rows but partial aggregation collapses
+    them map-side before the single shuffle on `word`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+    )
+
+
+@register(
+    "doc_inverted_index",
+    oracle_sql="""
+    SELECT word,
+           count(*) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+    FROM (
+        SELECT DISTINCT doc_id, tok AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents)
+        WHERE length(tok) > 0)
+    GROUP BY word
+    ORDER BY word
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (reference app A2, indexer.go): word -> sorted doc list.
+
+    Mirrors the reference exactly: per-document distinct words
+    (indexer.go:21-25's set-dedup), then per-word sorted document
+    list with a count prefix (indexer.go:36-38) — here as
+    dropDuplicates → collect_set → sort_array.
+
+    Scale: the only non-decomposable state is the per-word doc list,
+    which is bounded by document frequency; for 100 TB you'd cap it
+    (slice) or bucket by (word, doc_id range).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .dropDuplicates(["doc_id", "word"])
+    )
+    return (
+        pairs.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")), lambda d: d.cast("string")
+                ),
+            ).alias("doc_list"),
+        )
+        .orderBy("word")
+    )
+
+
+@register(
+    "doc_bigram_topk",
+    oracle_sql="""
+    WITH toks AS (
+        SELECT doc_id, tok, pos
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
+                   generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+            FROM documents)
+        WHERE length(tok) > 0)
+    SELECT concat(a.tok, ' ', b.tok) AS bigram, count(*) AS n
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams: positional n-gram construction + top-k.
+
+    Built array-side with zip(tokens, tokens[1:]) — no self-join, no
+    extra shuffle; the oracle uses the equivalent positional self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col().alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

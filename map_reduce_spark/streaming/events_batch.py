@@ -1,1 +1,163 @@
-"""placeholder — filled in later this round."""
+"""Batch-mode event-stream analytics over the ``events`` table.
+
+These are the *batch twins* of the Structured Streaming queries in
+``streaming/streams.py`` — same window semantics (tumbling/sliding),
+expressed over the static table so the DuckDB oracle can check them.
+Structured Streaming guarantees batch/stream result parity for these
+plans, which the pytest suite exercises with Trigger.AvailableNow.
+
+Also covers the JSON scalar-function surface (the `props` column) —
+SURVEY.md §2.3 "Array / map / JSON fns".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+
+@register(
+    "events_tumbling_1h",
+    oracle_sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (streaming-equivalent agg).
+
+    Scale: window+type grouping is decomposable; in streaming form the
+    same plan runs incrementally with a watermark bounding state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle_sql="""
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               value
+        FROM events
+        UNION ALL
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               value
+        FROM events)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    overlapping windows. Oracle reproduces the same assignment as two
+    offset tumbling bucketings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle_sql="""
+    SELECT k_bucket, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+           min(k_val) AS min_k, max(k_val) AS max_k
+    FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               value
+        FROM events)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + bucketed aggregation.
+
+    get_json_object is JVM-side (Jackson); for a fixed schema at scale
+    prefer from_json with an explicit StructType once per pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k_val"), (k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "events_type_funnel",
+    oracle_sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value,
+           round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS share
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    """,
+)
+def events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type funnel with global share (scalar subquery / cross join)."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.select(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+            F.round(F.col("n_events") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )

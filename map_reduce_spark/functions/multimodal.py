@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The Spark-side machinery here is real and tested — schema contracts,
+``mapInPandas`` batch iteration, partition sizing — while the actual
+media decode is stubbed behind ``FakeDecoder`` (the container has no
+image/audio libraries; swap in PIL/libav by replacing one function).
+
+Design for 100 TB of media:
+- media bytes travel as a ``binary`` column next to typed metadata,
+  so Catalyst prunes/filters on metadata without touching payloads;
+- decode/feature steps are ``mapInPandas`` (Arrow batches, zero-copy
+  into numpy) — per-batch Python cost is amortized, never per-row;
+- ``spark.sql.files.maxPartitionBytes`` (or explicit repartition)
+  keeps a partition's payload bytes within executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class FakeDecoder:
+    """Deterministic stand-in for a real media decoder.
+
+    Real deployment: replace ``features`` with PIL/torchvision (image)
+    or libav/torchaudio (audio) calls. Raises ``NotImplementedError``
+    for kinds it does not model, exactly where a real decoder would.
+    """
+
+    SUPPORTED = {"image", "audio"}
+
+    @staticmethod
+    def features(payload: bytes, kind: str) -> np.ndarray:
+        if kind not in FakeDecoder.SUPPORTED:
+            raise NotImplementedError(
+                f"decode for kind={kind!r} requires a media library not in this image"
+            )
+        # Deterministic pseudo-features from payload bytes: byte
+        # histogram folded to FEATURE_DIM buckets, L2-normalized.
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
+        norm = np.linalg.norm(hist)
+        return (hist / norm if norm > 0 else hist).astype(np.float32)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (seeded payloads)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8))
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                64 + i % 32 if kind == "image" else None,
+                64 + i % 16 if kind == "image" else None,
+                1000 * (i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, skip_unsupported: bool = True) -> DataFrame:
+    """Decode + featurize media payloads via mapInPandas (Arrow batches).
+
+    ``skip_unsupported=True`` drops kinds the decoder cannot handle
+    (video here); ``False`` propagates NotImplementedError — the
+    choice a real pipeline makes between filter-and-log and fail-fast.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if skip_unsupported:
+                pdf = pdf[pdf["kind"].isin(list(FakeDecoder.SUPPORTED))]
+            if not len(pdf):
+                continue
+            feats = [
+                FakeDecoder.features(p, k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — never touches payload bytes, so the
+    scan prunes the binary column entirely (check ReadSchema)."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.avg("width").alias("avg_width"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )

@@ -138,8 +138,12 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH + exact rerank.
 
     Sketch = 16 sign bits; candidates = corpus vectors whose sketch
-    is within hamming distance 3 of the probe's sketch (sign-sketch
-    hamming approximates angle: P[bit differs] = theta/pi); exact
+    is within hamming distance 6 of the probe's sketch (sign-sketch
+    hamming approximates angle: P[bit differs] = theta/pi). At
+    hamming<=6, an unrelated vector (p=0.5/bit) passes with p~0.23
+    while a true neighbor at cosine~0.4 (p~0.37/bit) passes with
+    p~0.6 — a ~4x comparison cut at ~60% recall on *unclustered*
+    data; on real clustered embeddings the gap is far wider. Exact
     cosine reranks candidates. Bounded work per probe — the shape
     that scales to 10^9 vectors (replace the hamming filter with
     bucketed multi-probe at that size).
@@ -161,7 +165,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes),
         (F.col("neighbor_id") != F.col("probe_id"))
         & (
-            F.bit_count(F.col("sketch").bitwiseXOR(F.col("probe_sketch"))) <= 3
+            F.bit_count(F.col("sketch").bitwiseXOR(F.col("probe_sketch"))) <= 6
         ),
     )
     from pyspark.sql import Window as W

@@ -1,0 +1,124 @@
+"""Structured Streaming slice over the ``events`` fixture.
+
+Streaming analogues of the batch queries in ``events_batch.py`` plus
+the stream-only operators (watermarked late-data handling, session
+windows, streaming dedup). The fixture parquet is replayed as a file
+source with ``Trigger.AvailableNow`` so every query is deterministic
+and batch-equivalent — the property the tests assert.
+
+Scale notes: each query's state is bounded by its watermark —
+windows/dedup keys older than the watermark are evicted, so state
+size is O(events per watermark horizon), independent of total stream
+length. That is the 100 TB-stream design constraint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema pinned explicitly — streaming sources must not infer.
+# ts arrives as int64 nanos (the fixture's TIMESTAMP(NANOS) physical
+# type, read via nanosAsLong) and is rebuilt as a typed timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with typed event time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source needs a directory; select just the events
+    # file out of the fixture dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (append-able sink)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1 h windows sliding every 30 min, watermarked."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (30-min inactivity gap) per user.
+
+    The streaming-native form of operators/windows.sessionize_user_events;
+    session state merges incrementally and is evicted past the watermark.
+    """
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Exactly-once event delivery: drop duplicate event_ids within the
+    watermark horizon (state bounded by the watermark)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query to completion over all available input
+    (Trigger.AvailableNow) and return the materialized result.
+
+    Deterministic replay used by tests and by batch-parity checks.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,154 @@
+"""Compat-layer tests: the reference's own differential-testing scheme
+(SURVEY.md §5.1) — distributed output must equal the sequential
+oracle's output as a sorted multiset of lines (test-mr.sh:103-104) —
+plus the fault-tolerance and exactly-once harness behaviors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from map_reduce_spark.compat.apps import APPS
+from map_reduce_spark.compat.fnv import fnv1a_32, ihash
+from map_reduce_spark.compat.job import MapReduceJob, sorted_output
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic Gutenberg-analogue corpus: 6 text files with repeated
+    vocabulary, mixed case, punctuation, and non-ASCII letters."""
+    d = tmp_path_factory.mktemp("corpus")
+    texts = {
+        "pg-alpha.txt": "The quick brown fox jumps over the lazy dog.\n"
+        "THE QUICK fox! A dog? Über-fox naïve café.\n" * 20,
+        "pg-beta.txt": "To be or not to be, that is the question.\n"
+        "Whether tis nobler in the mind to suffer.\n" * 30,
+        "pg-gamma.txt": "It was the best of times, it was the worst of times.\n" * 25,
+        "pg-delta.txt": "Call me Ishmael. Some years ago - never mind how long.\n" * 15,
+        "pg-epsilon.txt": "alpha beta gamma delta epsilon zeta eta theta\n" * 40,
+        "pg-zeta.txt": "lorem ipsum dolor sit amet consectetur adipiscing elit\n" * 35,
+    }
+    for name, text in texts.items():
+        (d / name).write_text(text, encoding="utf-8")
+    return str(d)
+
+
+def test_fnv32a_known_vectors():
+    # Published FNV-1a 32-bit test vectors (public domain reference values)
+    assert fnv1a_32("") == 0x811C9DC5
+    assert fnv1a_32("a") == 0xE40C292C
+    assert fnv1a_32("foobar") == 0xBF9CF968
+    assert 0 <= ihash("anything") <= 0x7FFFFFFF
+
+
+@pytest.mark.parametrize("app", ["wc", "indexer", "concat", "filecount"])
+def test_distributed_equals_sequential(spark, corpus, tmp_path, app):
+    """Three-way differential golden: the reference's defining check.
+
+    sequential oracle ≡ 1-partition distributed ≡ 10-partition
+    distributed, compared as sorted line multisets.
+    """
+    map_fn, reduce_fn = APPS[app]
+    inputs = f"{corpus}/pg-*.txt"
+
+    seq = sorted_output(MapReduceJob(inputs, map_fn, reduce_fn).run_sequential())
+    one = sorted_output(
+        MapReduceJob(inputs, map_fn, reduce_fn, n_reduce=1).run(
+            spark, str(tmp_path / f"{app}_p1")
+        )
+    )
+    ten = sorted_output(
+        MapReduceJob(inputs, map_fn, reduce_fn, n_reduce=10).run(
+            spark, str(tmp_path / f"{app}_p10")
+        )
+    )
+    assert seq == one == ten
+    assert len(seq) > 0
+
+
+def test_output_file_layout(spark, corpus, tmp_path):
+    """E8 parity: one mr-out-<r> file per reduce partition, lines
+    '<key> <value>', keys ascending within each partition, and each
+    key in its FNV-designated partition (worker.go:96-138)."""
+    map_fn, reduce_fn = APPS["wc"]
+    out = tmp_path / "wc_layout"
+    MapReduceJob(f"{corpus}/pg-*.txt", map_fn, reduce_fn, n_reduce=10).run(
+        spark, str(out)
+    )
+    files = sorted(os.listdir(out))
+    assert files == [f"mr-out-{r}" for r in range(10)][: len(files)] or len(files) == 10
+    for r in range(10):
+        lines = (out / f"mr-out-{r}").read_text().splitlines()
+        keys = [line.split(" ")[0] for line in lines]
+        assert keys == sorted(keys)  # per-partition ascending sort (E6)
+        for k in keys:
+            assert ihash(k) % 10 == r  # exact FNV placement (E3)
+
+
+def test_wc_counts_are_exact(spark, corpus, tmp_path):
+    """Spot-check: wc output equals an independent Python Counter."""
+    import itertools
+    from collections import Counter
+    from glob import glob
+
+    counter: Counter[str] = Counter()
+    for path in glob(f"{corpus}/pg-*.txt"):
+        text = open(path, encoding="utf-8").read()
+        counter.update(
+            "".join(g) for alpha, g in itertools.groupby(text, key=str.isalpha) if alpha
+        )
+    map_fn, reduce_fn = APPS["wc"]
+    lines = MapReduceJob(f"{corpus}/pg-*.txt", map_fn, reduce_fn).run(
+        spark, str(tmp_path / "wc_exact")
+    )
+    got = dict(line.rsplit(" ", 1) for line in lines)
+    assert got == {w: str(n) for w, n in counter.items()}
+    # Unicode-letter tokenization caught the non-ASCII words
+    assert "Über" in got and "naïve" in got and "café" in got
+
+
+def test_fault_tolerance_reexecution(spark, corpus, tmp_path):
+    """The crash-test analogue (test-mr.sh:284-330): map attempts fail
+    on their first execution, Spark re-executes (task.maxFailures=2),
+    and the output still matches the sequential oracle byte-for-byte.
+    """
+    from pyspark import TaskContext
+
+    map_fn, reduce_fn = APPS["wc"]
+
+    def crashy_map(filename: str, contents: str):
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0 and filename.endswith("alpha.txt"):
+            raise RuntimeError("injected crash (first attempt)")
+        return map_fn(filename, contents)
+
+    inputs = f"{corpus}/pg-*.txt"
+    seq = sorted_output(MapReduceJob(inputs, map_fn, reduce_fn).run_sequential())
+    got = sorted_output(
+        MapReduceJob(inputs, crashy_map, reduce_fn).run(spark, str(tmp_path / "crashy"))
+    )
+    assert got == seq
+
+
+def test_exactly_once_map_execution(spark, corpus, tmp_path):
+    """jobcount analogue (test-mr.sh:201-223): without failures, each
+    input file's map runs exactly once (no spurious re-execution)."""
+    acc = spark.sparkContext.accumulator(0)
+    map_fn, reduce_fn = APPS["filecount"]
+
+    def counting_map(filename: str, contents: str):
+        acc.add(1)
+        return map_fn(filename, contents)
+
+    MapReduceJob(f"{corpus}/pg-*.txt", counting_map, reduce_fn).run(
+        spark, str(tmp_path / "jobcount")
+    )
+    assert acc.value == 6  # one map invocation per input file
+
+
+def test_parallelism_probe(spark, corpus, tmp_path):
+    """mtiming/rtiming analogue: the job actually runs with >1
+    concurrent task slot (SURVEY.md §5.3.4)."""
+    assert spark.sparkContext.defaultParallelism >= 2

@@ -1,0 +1,76 @@
+"""Dedup ground-truth tests: the approximate paths (MinHash-LSH,
+SimHash) are validated against the exact n-gram Jaccard pairs —
+recall bounds, not hash equality (SURVEY.md §7 'Hard 4').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_spark.functions.dedup import (
+    JACCARD_THRESHOLD,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard_pairs,
+    dedup_simhash,
+    dedup_simhash_pairs,
+    shingles_col,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, sf_dir):
+    return {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+
+
+def test_shingles_small_example(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["doc_id", "text"])
+    rows = {r.doc_id: sorted(r.sh) for r in df.select("doc_id", shingles_col().alias("sh")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # shorter than the shingle width
+
+
+def test_exact_pairs_exist(true_pairs):
+    # The fixture plants near-duplicate documents; the exact Jaccard
+    # join must surface them.
+    assert len(true_pairs) >= 5
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir, true_pairs):
+    """Verified-LSH output == exact jaccard>=t pairs on this fixture
+    (detection probability ~1 at the planted similarity levels)."""
+    lsh_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh_pairs == true_pairs
+
+
+def test_minhash_jaccard_values_match_exact(spark, sf_dir):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    a = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf_dir).collect()}
+    b = {r.doc_id: r.simhash for r in dedup_simhash(spark, sf_dir).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_simhash_recall_on_near_dups(spark, sf_dir, true_pairs):
+    """Near-identical docs (jaccard>=0.6 on trigrams) should collide
+    within hamming<=6 — SimHash's design property."""
+    sim_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    found = len(true_pairs & sim_pairs)
+    assert found / max(len(true_pairs), 1) >= 0.8

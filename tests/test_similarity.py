@@ -1,0 +1,48 @@
+"""Similarity-search tests: LSH ANN recall against the brute-force
+oracle, centroid math sanity."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from map_reduce_spark.functions.similarity import (
+    TOP_K,
+    sim_knn_bruteforce,
+    sim_knn_lsh,
+)
+
+
+def _by_probe(rows):
+    d = defaultdict(set)
+    for r in rows:
+        d[r.probe_id].add(r.neighbor_id)
+    return d
+
+
+def test_lsh_recall_at_k(spark, sf_dir):
+    """recall@10 of the sketch-filtered ANN vs exact top-10.
+
+    16-bit sign sketches at hamming<=6 cut comparisons ~4x; on
+    *random* (unclustered) 64-d vectors — the worst case for LSH —
+    expected recall is ~0.6.
+    """
+    exact = _by_probe(sim_knn_bruteforce(spark, sf_dir).collect())
+    approx = _by_probe(sim_knn_lsh(spark, sf_dir).collect())
+    assert set(exact) == set(approx)  # same probe set
+    recalls = [
+        len(exact[p] & approx[p]) / TOP_K for p in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall@{TOP_K} too low: {recalls}"
+
+
+def test_bruteforce_scores_sorted_and_bounded(spark, sf_dir):
+    rows = sim_knn_bruteforce(spark, sf_dir).collect()
+    by_probe = defaultdict(list)
+    for r in rows:
+        by_probe[r.probe_id].append((r.rank, r.score))
+    for probe, rs in by_probe.items():
+        rs.sort()
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in scores)
+        assert len(rs) == TOP_K

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_spread, load_table
 
 # MinHash parameters: 64 hashes in 16 bands of 4 rows. Candidate
 # probability 1-(1-s^4)^16: s=0.4 -> 0.34, s=0.6 -> 0.89, s=0.85 ->
@@ -72,12 +72,18 @@ _JACCARD_PAIRS_SQL = (
 )
 
 
-def shingles_col(n: int = 3) -> Column:
-    """Word n-gram shingles from the token array — array-side, no join.
+def shingles_col(toks: Column | None = None, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column — array-side, no join.
+
+    ``toks`` must be a *materialized* column (not the raw tokenizer
+    expression): each shingle reads n elements, and an inline
+    expression would re-tokenize the document once per element_at —
+    quadratic per-doc work that Catalyst does not CSE away across
+    higher-order-function lambdas.
 
     Guarded for short docs (fewer than n tokens -> empty array).
     """
-    toks = tokens_col()
+    toks = F.col("toks") if toks is None else toks
     size = F.size(toks)
     make = F.transform(
         F.sequence(F.lit(1), size - (n - 1)),
@@ -91,8 +97,13 @@ def shingles_col(n: int = 3) -> Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct 3-gram shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) exploded distinct 3-gram shingles.
+
+    Loaded via load_spread: shingling is compute-bound, so the scan is
+    spread across all cores before the per-row array work. The token
+    array is projected once, then shingled (see shingles_col).
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     return docs.select("doc_id", F.explode(shingles_col()).alias("sh"))
 
 
@@ -266,7 +277,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB); pytest verifies that hamming-near pairs match the exact
     Jaccard ground truth.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
     h = F.xxhash64(F.col("tok"))
     votes = [

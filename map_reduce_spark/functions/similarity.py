@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_spread, load_table
 
 TOP_K = 10
 PROBE_MOD = 100  # probes = vec_id % PROBE_MOD == 0 → 1% of the corpus
@@ -73,7 +73,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once, never shuffled for the join; the only
     shuffle is the per-probe top-k window on probe_id.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -151,7 +151,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (sketch planes are engine-side constants); pytest
     measures recall@k against sim_knn_bruteforce.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     sk = emb.withColumn("sketch", _sketch("embedding"))
     probes = sk.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -208,7 +208,7 @@ def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd aggregate sum+count instead of avg and divide at the end —
     same plan, explicit merge.)
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(_dvec("embedding")).alias("pos0", "v")
     ).withColumn("pos", F.col("pos0") + 1)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_spread, load_table
 
 # Tiny per-language stopword lists for the n-gram-free heuristic
 # language identifier. Deliberately small + deterministic — the point
@@ -80,7 +80,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure narrow transformation (no shuffle at all); the CASE
     chain encodes a fixed tie-break order so output is reproducible.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     hits = {lang: _hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER}
     scored = docs.select("doc_id", *hits.values())
     c = {lang: F.col(f"{lang}_hits") for lang in LANG_ORDER}
@@ -120,7 +120,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whitespace/letter tokenization + array aggregates — all codegen'd
     array expressions, no shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     n_tokens = F.size("toks")
     n_unique = F.size(F.array_distinct("toks"))
     total_len = F.aggregate(
@@ -173,7 +173,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The standard cheap pre-filter in a data-curation pipeline; runs as
     a narrow projection so it can sit directly on the ingest scan.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     n_tokens = F.size("toks")
     stop_hits = _hits("en")
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(

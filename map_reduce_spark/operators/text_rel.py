@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_spread, load_table
 
 # One tokenizer, used by every documents-table query (and mirrored in
 # each oracle): lowercase, split on non-letters, drop empties. The
@@ -54,7 +54,7 @@ def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode multiplies rows but partial aggregation collapses
     them map-side before the single shuffle on `word`.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_col()).alias("word"))
         .groupBy("word")
@@ -92,7 +92,7 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is bounded by document frequency; for 100 TB you'd cap it
     (slice) or bucket by (word, doc_id range).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", F.explode(tokens_col()).alias("word"))
         .dropDuplicates(["doc_id", "word"])
@@ -136,7 +136,7 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built array-side with zip(tokens, tokens[1:]) — no self-join, no
     extra shuffle; the oracle uses the equivalent positional self-join.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(tokens_col().alias("toks"))
     bigrams = toks.select(
         F.explode(

@@ -1,3 +1,8 @@
-from map_reduce_spark.sources.tables import TABLES, load_table, register_views
+from map_reduce_spark.sources.tables import (
+    TABLES,
+    load_spread,
+    load_table,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "load_spread", "load_table", "register_views"]

@@ -49,6 +49,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """Load a table and repartition it across all cores.
+
+    Small single-file parquet arrives as ONE input split, which would
+    serialize compute-heavy narrow transforms (tokenize, shingle,
+    vector math) onto a single task. One cheap shuffle of the raw
+    rows buys full-cluster parallelism for everything downstream —
+    the right trade whenever per-row work dominates row width. On a
+    real cluster with many input files this is a near-no-op (the
+    scan is already split); keyed variants also pre-align the
+    partitioning with a downstream join/agg key.
+    """
+    n = spark.sparkContext.defaultParallelism
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -27,7 +27,10 @@ def true_pairs(spark, sf_dir):
 
 
 def test_shingles_small_example(spark):
+    from map_reduce_spark.operators.text_rel import tokens_col
+
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["doc_id", "text"])
+    df = df.withColumn("toks", tokens_col())
     rows = {r.doc_id: sorted(r.sh) for r in df.select("doc_id", shingles_col().alias("sh")).collect()}
     assert rows[1] == ["a b c", "b c d"]
     assert rows[2] == []  # shorter than the shingle width

@@ -1,0 +1,215 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native AS-OF join (SURVEY.md §2.3 "as-of not needed by
+fixtures" — added anyway as a first-class training-pipeline
+operator). Both are implemented in their scale-correct forms:
+
+- as-of: union-then-window (one shuffle on the key, one sorted pass)
+  — never a per-row subquery.
+- range join: broadcast the bucket table; for two large sides you'd
+  bucketize the range key and equi-join on the bucket (noted below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+VALUE_BUCKETS = [
+    ("tiny", 0.0, 50.0),
+    ("small", 50.0, 100.0),
+    ("medium", 100.0, 150.0),
+    ("large", 150.0, 1e18),
+]
+
+
+@register(
+    "asof_error_after_signup",
+    oracle_sql="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S') AS last_signup_ts,
+           CASE WHEN last_signup_ts IS NULL THEN NULL
+                ELSE date_diff('second', last_signup_ts, ts) END AS sec_since_signup
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_signup_ts
+        FROM events)
+    WHERE event_type = 'error'
+    ORDER BY event_id
+    """,
+)
+def asof_error_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each error event matched to the latest signup event
+    at-or-before it for the same user.
+
+    Scale shape: both "sides" live in one stream, so the as-of match
+    is a running max over a window — one shuffle on user_id, one
+    sorted pass, zero joins. For two separate tables, union them with
+    a side tag first (same plan). This is the canonical
+    merge-asof-at-scale pattern; a per-row correlated subquery would
+    be O(n^2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ts", last_signup)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_signup_ts"
+            ),
+            F.when(
+                F.col("last_signup_ts").isNull(), F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.col("ts").cast("long") - F.col("last_signup_ts").cast("long")
+            )
+            .alias("sec_since_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    oracle_sql="""
+    SELECT bucket, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    JOIN (VALUES ('tiny', 0.0, 50.0),
+                 ('small', 50.0, 100.0),
+                 ('medium', 100.0, 150.0),
+                 ('large', 150.0, 1e18)) AS b(bucket, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: events banded into value buckets.
+
+    The bucket side is broadcast, so the range predicate evaluates
+    map-side (BroadcastNestedLoopJoin over 4 rows — O(n*4) scan, no
+    shuffle). When both sides are large, bucketize the range key to a
+    grid and equi-join on the grid cell + residual filter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(
+        VALUE_BUCKETS, ["bucket", "lo", "hi"]
+    )
+    return (
+        ev.join(
+            F.broadcast(buckets),
+            (ev.value >= buckets.lo) & (ev.value < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "pivot_native_qty",
+    oracle_sql="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_native_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .pivot() with an explicit value list.
+
+    Passing the values explicitly skips the extra distinct-discovery
+    job over the fact table — the only .pivot() form allowed at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return (
+        p.select(
+            "l_returnflag",
+            F.round("O", 2).alias("qty_O"),
+            F.round("F", 2).alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_distinct", oracle_sql=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority.
+
+    The 100 TB cardinality operator: fixed-size mergeable sketches vs
+    exact distinct's full shuffle of the key space. No SQL oracle
+    (DuckDB's approx_count_distinct uses a different sketch); pytest
+    bounds the relative error against the exact count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "events_props_from_json",
+    oracle_sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs the
+    per-path get_json_object in events_json_props). One parse per row
+    regardless of how many fields are read — the scale-correct form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k LONG"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("p.k").alias("sum_k"),
+            F.round(F.avg("p.k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -113,6 +113,37 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_concat_sorted_values",
+    oracle_sql="""
+    SELECT lang AS key,
+           string_agg(v, ' ' ORDER BY v) AS joined
+    FROM (
+        SELECT lang, CAST(n_chars AS VARCHAR) AS v FROM documents)
+    GROUP BY lang
+    ORDER BY key
+    """,
+)
+def mr_concat_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted value concatenation per key — the A3 (crash/nocrash app)
+    reduce semantics (/root/reference/src/mrapps/nocrash.go:38-46:
+    sort values ascending, join with ' ') as a relational operator.
+
+    collect_list + sort_array materializes per-key value lists —
+    bounded here by group size; the byte-faithful file-based twin
+    lives in compat/apps.py (concat_reduce).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.col("n_chars").cast("string").alias("v"))
+        .groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.concat_ws(" ", F.sort_array(F.collect_list("v"))).alias("joined")
+        )
+        .orderBy("key")
+    )
+
+
+@register(
     "doc_bigram_topk",
     oracle_sql="""
     WITH toks AS (

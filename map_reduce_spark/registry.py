@@ -49,7 +49,13 @@ def register(name: str, oracle_sql: str | None = None):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
-    from map_reduce_spark.operators import relational, windows, text_rel  # noqa: F401
+    from map_reduce_spark.operators import (  # noqa: F401
+        relational,
+        sql_queries,
+        temporal,
+        text_rel,
+        windows,
+    )
     from map_reduce_spark.functions import text, dedup, similarity  # noqa: F401
     from map_reduce_spark.streaming import events_batch  # noqa: F401
 

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     from map_reduce_spark.operators import (  # noqa: F401
         relational,
+        relational2,
         sql_queries,
         temporal,
         text_rel,

@@ -9,6 +9,8 @@ The LLM-data-pipeline dedup suite (BASELINE.json north star):
                            shingle → k minhashes → banded bucket join
                            → exact verification of candidates only
 - SimHash                — 64-bit fingerprints via bitwise majority
+- embedding-cosine       — near-dup pairs over the embeddings table
+                           with min-id keeper selection
 
 The reference engine has no dedup surface; its closest relative is
 the indexer app's per-document word-set dedup
@@ -344,4 +346,61 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 6)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_TAU = 0.4  # fixture embeddings are near-random; real corpora use ~0.95
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle_sql=f"""
+    SELECT b.vec_id AS dup_id,
+           min(a.vec_id) AS keeper_id,
+           round(arg_min(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), a.vec_id), 6)
+               AS keeper_score,
+           count(*) AS n_near_dups
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_DUP_TAU}
+    GROUP BY b.vec_id
+    ORDER BY dup_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: each vector that has a
+    near-dup with a smaller vec_id is marked a duplicate of its
+    lowest-id near neighbor (the canonical min-id survivor rule, so the
+    keeper set is well-defined without connected components).
+
+    Exact all-pairs here (the fixtures are small and the DuckDB oracle
+    must see identical pairs); at corpus scale the pair generation is
+    replaced by LSH blocking — exactly `similarity._sketch` bucketing
+    or `dedup_minhash_lsh`'s banded join — with this same exact-cosine
+    verify + min-id keeper reduction downstream. The reduction itself
+    is a decomposable agg (min / min_by / count), one shuffle on dup_id.
+    """
+    from map_reduce_spark.functions.similarity import _dvec, cosine
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = (
+        b.join(F.broadcast(a), F.col("ia") < F.col("ib"))
+        .withColumn("cos", cosine(_dvec("ea"), _dvec("eb")))
+        .filter(F.col("cos") >= COSINE_DUP_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("ib").alias("dup_id"))
+        .agg(
+            F.min("ia").alias("keeper_id"),
+            F.round(F.min_by("cos", "ia"), 6).alias("keeper_score"),
+            F.count(F.lit(1)).alias("n_near_dups"),
+        )
+        .orderBy("dup_id")
     )

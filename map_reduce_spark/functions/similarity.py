@@ -257,3 +257,117 @@ def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("la", "lb", "n_pairs", F.round("avg_cos_raw", 6).alias("avg_cos"))
         .orderBy("la", "lb")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (cell-probed scale path)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBE = 2
+KMEANS_ITERS = 2
+
+
+def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int) -> Column:
+    """array of the n cell ids whose centroids have highest cosine to vec."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(_dvec(vec_col), F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_sort on (score, cell) structs is ascending; take the last n
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(scored)), 1, n), lambda x: x["cell"]
+    )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Train the coarse quantizer: K-means over the corpus, cosine
+    assignment, dimension-wise mean recompute.
+
+    The centroid table (N_CELLS x DIM doubles) is the one structure
+    IVF *requires* on the driver — it is tiny by construction (the
+    whole point of a coarse quantizer), so collect() here is the
+    standard pattern, not a scale bug: each iteration is one
+    distributed assign (map-only, centroids broadcast as literals)
+    plus one decomposable avg shuffle. Init = first N_CELLS vectors
+    (deterministic; k-means++ would sharpen cells but adds passes).
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.withColumn(
+            "cell", _nearest_cells("embedding", centroids, 1)[0]
+        )
+        rows = (
+            assigned.select("cell", F.posexplode(_dvec("embedding")).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = {r.cell: centroids[r.cell][:] for r in rows}
+        for r in rows:
+            new[r.cell][r.pos] = float(r.m)
+        centroids = [new.get(i, centroids[i]) for i in range(N_CELLS)]
+    return centroids
+
+
+def knn_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF top-k: assign corpus to cells, probe the n_probe nearest
+    cells per query, exact-rerank only those cells' vectors.
+
+    Per-probe work drops from |corpus| to ~n_probe/N_CELLS of it; the
+    cell join is an equi-join on cell id (hash-partitionable), so at
+    10^9 vectors the corpus side shuffles once on cell and each probe
+    touches only its cells' partitions. n_probe=N_CELLS degrades to
+    exact brute force (the recall=1 invariant the tests pin).
+    """
+    centroids = ivf_centroids(spark, sf_dir)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        _nearest_cells("embedding", centroids, 1)[0].alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            F.explode(
+                _nearest_cells("embedding", centroids, n_probe)
+            ).alias("cell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(probes), ["cell"]
+    ).filter(F.col("neighbor_id") != F.col("probe_id"))
+    from pyspark.sql import Window as W
+
+    scored = cand.withColumn(
+        "score_raw", cosine(_dvec("probe_emb"), _dvec("embedding"))
+    ).drop("embedding", "probe_emb")
+    w = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+@register("sim_knn_ivf", oracle_sql=None)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVF ANN at the default n_probe (no SQL oracle — the
+    trained centroids are engine-side state; pytest pins the
+    n_probe=N_CELLS ≡ brute-force invariant and recall@k bounds)."""
+    return knn_ivf(spark, sf_dir, N_PROBE)

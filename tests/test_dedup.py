@@ -77,3 +77,30 @@ def test_simhash_recall_on_near_dups(spark, sf_dir, true_pairs):
     }
     found = len(true_pairs & sim_pairs)
     assert found / max(len(true_pairs), 1) >= 0.8
+
+
+def test_embedding_cosine_dedup_keeper_rule(spark, sf_dir, duck):
+    """Keeper is always the lowest-id near neighbor; scores >= tau;
+    pair set matches an exact DuckDB all-pairs run."""
+    from map_reduce_spark.functions.dedup import (
+        COSINE_DUP_TAU,
+        dedup_embedding_cosine,
+    )
+
+    rows = dedup_embedding_cosine(spark, sf_dir).collect()
+    assert rows, "fixture should contain near-dups at tau=0.4"
+    for r in rows:
+        assert r.keeper_id < r.dup_id
+        assert r.keeper_score >= COSINE_DUP_TAU
+    dup_ids = {r.dup_id for r in rows}
+    expected = {
+        v
+        for (v,) in duck.execute(
+            f"""SELECT DISTINCT b.vec_id
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[])
+                      >= {COSINE_DUP_TAU}"""
+        ).fetchall()
+    }
+    assert dup_ids == expected

@@ -1,0 +1,92 @@
+"""Source/sink round-trips and scan-pruning assertions for
+map_reduce_spark.sources.io (SURVEY.md §2.3 scans/sinks rows)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources.io import read_table, write_table
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def canon(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_csv_round_trip_pinned_schema(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_table(nation, path, "csv")
+    back = read_table(spark, path, "csv", schema=NATION_SCHEMA)
+    assert back.schema == NATION_SCHEMA
+    pd.testing.assert_frame_equal(canon(nation), canon(back))
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    path = str(tmp_path / "cust_json")
+    write_table(cust, path, "json")
+    back = read_table(spark, path, "json", schema=cust.schema)
+    pd.testing.assert_frame_equal(canon(cust), canon(back))
+
+
+def test_text_sink_and_source(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat_ws(" ", "n_name", "n_nationkey").alias("value")
+    )
+    path = str(tmp_path / "nation_txt")
+    write_table(lines, path, "text")
+    back = read_table(spark, path, "text")
+    assert sorted(r.value for r in back.collect()) == sorted(
+        r.value for r in lines.collect()
+    )
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + an equality predicate on the
+    partition column must prune directories in the scan (the partition
+    never reaches the executors), and row-group filters must push for
+    data columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_table(orders, path, "parquet", partition_by=["o_orderpriority"])
+
+    back = read_table(spark, path, "parquet")
+    q = back.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+
+    expected = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 1000.0)
+    ).count()
+    assert q.count() == expected
+
+
+def test_parquet_scan_pushdown_on_fixture(spark, sf_dir):
+    """The fixture scans themselves must keep pushdown + pruning: a
+    2-column projection with a range predicate reads only those columns
+    (ReadSchema) and pushes the predicate (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema

@@ -280,21 +280,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ground truth.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
+    # hash hoisted to its own projection so it's computed once per
+    # token, not once per bit inside the 64 vote aggregates
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+        "doc_id", F.xxhash64(F.col("tok")).alias("h")
+    )
+    h = F.col("h")
+    # +1/-1 majority vote per bit == (ones-count > n/2): sum the raw
+    # bit (branch-free shift+mask, cheaper than a per-row CASE) and
+    # compare against the token count once per group.
+    ones = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long"))).alias(
+            f"b{i}"
+        )
         for i in range(64)
     ]
-    voted = toks.groupBy("doc_id").agg(*votes)
+    voted = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *ones)
     fingerprint = None
     for i in range(64):
         bit = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"b{i}") * 2 > F.col("n_tok"),
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return voted.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")
@@ -385,14 +391,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify + min-id keeper reduction downstream. The reduction itself
     is a decomposable agg (min / min_by / count), one shuffle on dup_id.
     """
-    from map_reduce_spark.functions.similarity import _dvec, cosine
+    from map_reduce_spark.functions.similarity import dot, with_norm
 
-    emb = load_spread(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    emb = with_norm(
+        load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("dv").alias("dva"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
+    )
     pairs = (
         b.join(F.broadcast(a), F.col("ia") < F.col("ib"))
-        .withColumn("cos", cosine(_dvec("ea"), _dvec("eb")))
+        .withColumn("cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= COSINE_DUP_TAU)
     )
     return (

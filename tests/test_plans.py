@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions: the properties that matter at
+100 TB, pinned so a refactor can't silently regress them.
+
+- star-schema joins broadcast their dimension side (no shuffled
+  sort-merge join against a 5-row region table);
+- filters reach the parquet scan (PushedFilters);
+- projections prune the scan (ReadSchema ⊂ table schema);
+- no accidental cartesian products anywhere in the manifest.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_spark.plans.explain import (
+    count_broadcast_joins,
+    physical_plan,
+    reads_columns,
+)
+from map_reduce_spark.registry import load_all
+
+BROADCAST_JOIN_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q12ish_shipmode_buckets",
+    "q18ish_large_volume_customers",
+]
+
+PUSHDOWN_QUERIES = {
+    # query -> substring of a predicate that must appear pushed at a scan
+    "q6_forecast_revenue": "l_discount",
+    "q4ish_priority_order_counts": "o_orderdate",
+    "q12ish_shipmode_buckets": "l_shipdate",
+}
+
+# Deliberate nested-loop joins: a 4-row bucket table broadcast against
+# events with a range predicate, and a broadcast 1-row scalar aggregate
+# (the avg-balance threshold) joined without keys.
+ALLOWED_NESTED_LOOP = {
+    "range_join_value_buckets",
+    "q22ish_idle_customers",
+    "events_type_funnel",  # broadcast 1-row global-total scalar
+}
+
+
+@pytest.mark.parametrize("name", BROADCAST_JOIN_QUERIES)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    df = load_all()[name].builder(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1, physical_plan(df)[:2000]
+
+
+@pytest.mark.parametrize("name,pred", sorted(PUSHDOWN_QUERIES.items()))
+def test_filters_pushed_to_scan(spark, sf_dir, name, pred):
+    plan = physical_plan(load_all()[name].builder(spark, sf_dir))
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any(pred in seg for seg in pushed), f"{pred} not pushed: {pushed}"
+
+
+def test_q1_prunes_lineitem_scan(spark, sf_dir):
+    """q1 touches 7 of lineitem's 16 columns; the scan must not read
+    the rest (l_comment is the widest — it staying unread is the win)."""
+    df = load_all()["q1_pricing_summary"].builder(spark, sf_dir)
+    cols = reads_columns(df, "lineitem")
+    assert cols, "no ReadSchema found"
+    assert "l_returnflag" in cols and "l_quantity" in cols
+    assert "l_comment" not in cols and "l_shipmode" not in cols
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Nothing in the manifest may plan a CartesianProduct, and only
+    the whitelisted range join may use BroadcastNestedLoopJoin."""
+    for name, spec in load_all().items():
+        plan = physical_plan(spec.builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name in ALLOWED_NESTED_LOOP:
+            continue
+        if "BroadcastNestedLoopJoin" in plan:
+            # theta self-joins on tiny broadcast sides (pairwise-sample
+            # similarity, near-dup pair gen) are bounded by construction
+            assert name.startswith(("sim_", "dedup_")), (
+                f"{name} plans an unexpected BroadcastNestedLoopJoin"
+            )

@@ -1,0 +1,154 @@
+"""Advanced operator demonstrations: Arrow-batched Python UDAF
+(applyInPandas), explicit skew-salted join, approximate percentiles.
+
+These fill the remaining SURVEY.md §2.3 rows that the core relational
+batches don't exercise: the grouped-map UDF surface (the typed
+generalization of the reference's ``reducef(key, values)`` contract,
+/root/reference/src/mr/worker.go:121-137, where the reducer sees every
+value of a key at once), and the skew-mitigation join strategy the
+100 TB brief calls for.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+# --- applyInPandas UDAF ----------------------------------------------------
+
+MAD_SCHEMA = (
+    "l_returnflag string, median_qty double, mad_qty double, n_rows bigint"
+)
+
+
+def _mad_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Median absolute deviation — a holistic (non-decomposable)
+    statistic: it needs the full value set per group, exactly the
+    reference's reduce contract. Arrives as one Arrow batch per group."""
+    q = pdf["l_quantity"]
+    med = q.median()
+    mad = (q - med).abs().median()
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "median_qty": [round(med, 4)],
+            "mad_qty": [round(mad, 4)],
+            "n_rows": [len(pdf)],
+        }
+    )
+
+
+@register(
+    "udaf_mad_quantity",
+    oracle_sql="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS median_qty,
+           round(median(abs(l_quantity - m)), 4) AS mad_qty,
+           count(*) AS n_rows
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               median(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+        FROM lineitem)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDAF via applyInPandas: per-group median absolute
+    deviation of quantity.
+
+    Scale note: a grouped-map UDF materializes each group in executor
+    memory (like the reference's reduce); safe here because groups are
+    the 3 return flags with bounded value sets of one numeric column.
+    For high-cardinality holistic stats, switch to percentile_approx
+    (mergeable sketch, `approx_quantiles_value` below).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(_mad_fn, MAD_SCHEMA)
+        .orderBy("l_returnflag")
+    )
+
+
+# --- explicit skew-salted join ---------------------------------------------
+
+N_SALTS = 8
+
+
+@register(
+    "join_salted_customer_orders",
+    oracle_sql="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_salted_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: identical result to the plain equi-join
+    (the oracle), but no single reducer can receive a hot key's entire
+    row set.
+
+    Mechanics: the build side is replicated N_SALTS times with a salt
+    column; the probe side assigns each row a deterministic salt from
+    an uncorrelated key; the join key becomes (custkey, salt), so a hot
+    custkey's rows spread over N_SALTS reducers. This is the manual
+    fallback when the dim is too big to broadcast and AQE's runtime
+    skew split (spark.sql.adaptive.skewJoin, on in session.py) can't
+    see the skew — e.g. a first-stage shuffle straight into the join.
+    Cost: build side bytes ×N_SALTS, so pick the smaller side to salt.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    salted_orders = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_totalprice"), F.lit(N_SALTS)).cast("int")
+    )
+    joined = salted_orders.hint("shuffle_hash").join(
+        salted_cust,
+        (salted_orders.o_custkey == salted_cust.c_custkey)
+        & (salted_orders.salt == salted_cust.salt),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- approximate percentiles -----------------------------------------------
+
+
+@register("approx_quantiles_value", oracle_sql=None)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (mergeable quantile sketch) per event type —
+    the scale path for the holistic stats above: bounded state per
+    group regardless of group size.
+
+    rows-only check (approximate by construction; DuckDB's exact
+    quantiles differ). pytest bounds the error against exact
+    percentiles instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -50,6 +50,7 @@ def register(name: str, oracle_sql: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     from map_reduce_spark.operators import (  # noqa: F401
+        advanced,
         relational,
         relational2,
         sql_queries,

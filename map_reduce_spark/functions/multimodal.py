@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from map_reduce_spark.registry import register
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -131,6 +133,39 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.avg("width").alias("avg_width"),
             F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register("media_feature_stats", oracle_sql=None)
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class multimodal query: synthetic media table ->
+    mapInPandas decode/featurize -> per-kind feature statistics.
+
+    ``sf_dir`` is unused: the fixture set has no media table, so the
+    deterministic seeded ``synthetic_media`` corpus stands in (the
+    Spark-side plumbing — binary payloads, Arrow batching, schema
+    contract — is the part under test; the decoder itself is the
+    documented stub). Rows-only driver check (no SQL oracle: the
+    table is generated in-session, not a registered parquet view).
+    """
+    media = synthetic_media(spark, 96)
+    feats = extract_features(media, skip_unsupported=True)
+    fnorm = F.sqrt(
+        F.aggregate(
+            F.transform("feature", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return (
+        feats.withColumn("fnorm", fnorm)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.round(F.avg("fnorm"), 4).alias("avg_feature_norm"),
         )
         .orderBy("kind")
     )

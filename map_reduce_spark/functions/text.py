@@ -223,7 +223,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 4) AS avg_chars,
            min(doc_id) AS first_doc
     FROM documents

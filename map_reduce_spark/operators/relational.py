@@ -14,10 +14,13 @@ this module is the native analytics surface that generalizes it.
 Design rules applied throughout (100 TB scale):
 - Filters and projections are expressed declaratively so Catalyst
   pushes them into the parquet scan (verified via plans.explain_check).
-- Dimension joins (region/nation/supplier/part/customer vs lineitem/
-  orders) use explicit ``F.broadcast`` hints — at any scale factor the
-  dims stay tiny relative to the fact table, so every such join avoids
-  shuffling the fact side.
+- Joins against the TRUE dimension tables (region/nation/supplier)
+  use explicit ``F.broadcast`` hints — those stay tiny at any scale
+  factor, so the fact side is never shuffled for them. customer, part,
+  and orders grow linearly with scale factor: joins against them
+  shuffle on the key (AQE may still pick broadcast at runtime when a
+  filtered side lands below the threshold — that is its call, not a
+  hard-coded hint that would OOM a 1000-executor cluster at 100 TB).
 - Aggregates are decomposable (sum/count/avg/min/max) → Spark runs
   partial (map-side) aggregation automatically; no collect_list-style
   unbounded per-key state in the hot path.
@@ -143,20 +146,21 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter -> broadcast joins -> agg -> top-k.
+    """TPC-H Q3: selective filters -> keyed joins -> agg -> top-k.
 
-    Scale: customer (filtered to one segment) and orders (date-filtered)
-    broadcast against lineitem, so the fact table is never shuffled for
-    the join; the final orderBy+limit plans as TakeOrderedAndProject
-    (no global sort).
+    Scale: customer and orders grow with scale factor, so both joins
+    shuffle on their keys (the segment/date filters push to the scans
+    and shrink the shuffled bytes; AQE may still broadcast the filtered
+    sides at small SF). The final orderBy+limit plans as
+    TakeOrderedAndProject (no global sort).
     """
     cutoff = F.lit("1995-03-15").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -182,11 +186,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: five-way star join, all dims broadcast.
+    """TPC-H Q5: five-way star join — true dims broadcast, facts shuffled.
 
-    Scale: region→nation→supplier collapses to a tiny broadcast side;
-    lineitem joins it map-side, then joins broadcast orders/customer.
-    Only the final 25-group aggregate shuffles.
+    Scale: region→nation→supplier collapses to a tiny broadcast side
+    that lineitem joins map-side. orders and customer grow with scale
+    factor, so those two joins shuffle on orderkey/custkey; the final
+    25-group aggregate is map-side combined.
     """
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -202,9 +207,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (customer.c_nationkey == dim.s_nationkey),
         )
@@ -233,16 +238,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: returned-item revenue by customer, top 20.
 
-    Scale: returnflag filter pushes to the scan; customer+nation
-    broadcast; top-k via TakeOrderedAndProject.
+    Scale: returnflag filter pushes to the scan; orders and customer
+    shuffle-join on their keys (both grow with sf); nation broadcasts;
+    top-k via TakeOrderedAndProject.
     """
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -265,13 +271,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-style conditional aggregation over a broadcast join."""
+    """TPC-H Q14-style conditional aggregation over a keyed join.
+
+    part grows with scale factor (fact-sized at 100 TB), so the join
+    shuffles on partkey; only p_partkey/p_type are read (pruned scan).
+    """
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),

@@ -88,10 +88,10 @@ def q4ish_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12ish_shipmode_buckets",
     oracle_sql="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -100,7 +100,12 @@ def q4ish_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12ish_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: join + priority bucketing via conditional sums."""
+    """TPC-H Q12 shape: join + priority bucketing via conditional sums.
+
+    orders is a FACT table (grows with scale factor), so this is a
+    shuffle hash join on the order key — never broadcast; AQE may
+    still downgrade it to broadcast below threshold at tiny SF.
+    """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -108,7 +113,7 @@ def q12ish_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
@@ -135,7 +140,13 @@ def q12ish_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18ish_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: HAVING-filtered aggregate joined back to dims."""
+    """TPC-H Q18: HAVING-filtered aggregate joined back to its parents.
+
+    orders and customer both grow linearly with scale factor, so both
+    joins are shuffle joins on their keys. The HAVING filter shrinks
+    the left side drastically first, and AQE can still pick broadcast
+    at runtime when the filtered side is small — but we never force it.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -145,8 +156,8 @@ def q18ish_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("total_qty") > 60)
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -309,7 +320,8 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            count(bal_or_null) AS n_positive,
            round(coalesce(avg(bal_or_null), -1), 4) AS avg_positive,
-           sum(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END) AS n_nulled
+           CAST(sum(CASE WHEN bal_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulled
     FROM (
         SELECT c_mktsegment, nullif(greatest(c_acctbal, 0), 0) AS bal_or_null
         FROM customer)

@@ -190,7 +190,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
     FROM events
     GROUP BY event_type

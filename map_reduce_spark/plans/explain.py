@@ -15,10 +15,12 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
+    """True iff at least one scan carries a non-empty PushedFilters list."""
     plan = physical_plan(df)
-    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
-        "PushedFilters: ["
-    )[0]
+    return any(
+        seg and not seg.startswith("]")
+        for seg in plan.split("PushedFilters: [")[1:]
+    )
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
@@ -29,12 +31,23 @@ def count_shuffles(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange")
 
 
-def reads_columns(df: DataFrame, table_hint: str) -> list[str]:
-    """Columns actually read from scans (column-pruning check)."""
+def reads_columns(df: DataFrame, table_hint: str | None = None) -> list[str]:
+    """Columns actually read from scans (column-pruning check).
+
+    With ``table_hint``, only scans whose Location/relation line
+    mentions the hint (e.g. a table file name) are counted — so a
+    pruned scan of one table is not masked by a wide scan of another.
+    """
     import re
 
     plan = physical_plan(df)
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols.extend(part.split(":")[0] for part in m.group(1).split(",") if part)
+    # "formatted" explain renders each scan block with Location/ReadSchema
+    # lines adjacent; split per scan so the hint filter applies per-scan.
+    for block in re.split(r"\(\d+\) Scan ", plan)[1:]:
+        if table_hint is not None and table_hint not in block.split("ReadSchema:")[0]:
+            continue
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if m:
+            cols.extend(part.split(":")[0] for part in m.group(1).split(",") if part)
     return cols

@@ -48,17 +48,26 @@ def register(name: str, oracle_sql: str | None = None):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every module that registers queries, then return the registry."""
-    from map_reduce_spark.operators import (  # noqa: F401
-        advanced,
-        relational,
-        relational2,
-        sql_queries,
-        temporal,
-        text_rel,
-        windows,
-    )
-    from map_reduce_spark.functions import text, dedup, similarity  # noqa: F401
+    """Import every module that registers queries, then return the registry.
+
+    IMPORT ORDER IS REGISTRATION ORDER, and registration order is the
+    order the driver's correctness gate walks the queries. The r1 run
+    checked only the first 50 registry entries, leaving the entire
+    LLM-pipeline family (registered last) unverified — so the
+    north-star operators (dedup / similarity / text / events /
+    multimodal) now register FIRST, and the long-stable relational /
+    window / SQL demos bring up the rear.
+    """
+    from map_reduce_spark.functions import text, dedup, similarity, multimodal  # noqa: F401
+    from map_reduce_spark.operators import text_rel  # noqa: F401
     from map_reduce_spark.streaming import events_batch  # noqa: F401
+    from map_reduce_spark.operators import (  # noqa: F401
+        temporal,
+        advanced,
+        relational2,
+        relational,
+        windows,
+        sql_queries,
+    )
 
     return QUERIES

@@ -4,10 +4,13 @@ Schemas documented in FIXTURES.md §B (verified against
 /root/testdata/sf0.001). All reads are plain ``spark.read.parquet`` so
 Catalyst gets full predicate-pushdown + column-pruning into the scan.
 
-Scale notes: the dimension tables (region 5, nation 25, supplier
-~10/sf-unit, part, customer) stay broadcast-sized even at 100 TB-of-
-lineitem scale factors; ``DIM_TABLES`` marks them so query builders
-can apply ``F.broadcast`` hints deliberately.
+Scale notes: region (5 rows) and nation (25 rows) are constant-size;
+supplier grows slowly and stays broadcast-sized at realistic scale
+factors. customer, part, and orders grow LINEARLY with scale factor —
+they are fact-sized at the 100 TB design point and must never be
+force-broadcast; joins against them shuffle on the key and AQE may
+downgrade to broadcast at small SF. ``DIM_TABLES`` marks only the
+always-safe broadcast set.
 """
 
 from __future__ import annotations
@@ -30,7 +33,8 @@ TABLES = [
 
 # Tables that remain small relative to the fact table at any scale
 # factor — always safe to broadcast in a join against lineitem/orders.
-DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
+# customer/part/orders grow with sf and are deliberately NOT here.
+DIM_TABLES = {"region", "nation", "supplier"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,9 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sub-microsecond components so the conversion is lossless.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Exact integer division (DIV): ns magnitudes (~1.7e18) are not
+        # representable in an IEEE double, so float division + floor()
+        # can land 1 µs low. DIV stays in long arithmetic — lossless.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

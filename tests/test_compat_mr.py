@@ -132,6 +132,95 @@ def test_fault_tolerance_reexecution(spark, corpus, tmp_path):
     assert got == seq
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_fault_tolerance_many_seeds(spark, corpus, tmp_path, seed):
+    """test-mr-many.sh analogue (reference loops the crash suite to
+    catch retry races): vary WHICH maps and WHICH reduce partitions
+    crash on their first attempt across seeds; every variant must
+    still match the sequential oracle exactly."""
+    import random
+
+    from pyspark import TaskContext
+
+    rng = random.Random(seed)
+    crash_files = tuple(
+        rng.sample(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"], k=2)
+    )
+    crash_parts = set(rng.sample(range(5), k=2))
+    map_fn, reduce_fn = APPS["wc"]
+
+    def crashy_map(filename: str, contents: str):
+        ctx = TaskContext.get()
+        if (
+            ctx is not None
+            and ctx.attemptNumber() == 0
+            and any(filename.endswith(f"{f}.txt") for f in crash_files)
+        ):
+            raise RuntimeError(f"injected map crash (seed={seed})")
+        return map_fn(filename, contents)
+
+    def crashy_reduce(key: str, values: list[str]) -> str:
+        ctx = TaskContext.get()
+        if (
+            ctx is not None
+            and ctx.attemptNumber() == 0
+            and ctx.partitionId() in crash_parts
+        ):
+            raise RuntimeError(f"injected reduce crash (seed={seed})")
+        return reduce_fn(key, values)
+
+    inputs = f"{corpus}/pg-*.txt"
+    seq = sorted_output(MapReduceJob(inputs, map_fn, reduce_fn).run_sequential())
+    got = sorted_output(
+        MapReduceJob(inputs, crashy_map, crashy_reduce, n_reduce=5).run(
+            spark, str(tmp_path / f"crashy_{seed}")
+        )
+    )
+    assert got == seq
+
+
+def test_early_exit_atomic_visibility(spark, corpus, tmp_path):
+    """Early-exit analogue (test-mr.sh:230-280): partial output is
+    never observable. Poll the output dir while a slow job runs: any
+    mr-out-<r> file, from the moment it first exists, must already
+    hold its final complete content (the distributed write commits to
+    a temp dir; each visible file appears via one atomic rename)."""
+    import threading
+    import time
+
+    map_fn, reduce_fn = APPS["wc"]
+
+    def slow_reduce(key: str, values: list[str]) -> str:
+        time.sleep(0.01)
+        return reduce_fn(key, values)
+
+    out = tmp_path / "early_exit"
+    job = MapReduceJob(f"{corpus}/pg-*.txt", map_fn, slow_reduce, n_reduce=4)
+    result: dict[str, list[str]] = {}
+
+    def run():
+        result["lines"] = job.run(spark, str(out))
+
+    t = threading.Thread(target=run)
+    t.start()
+    first_seen: dict[str, str] = {}
+    while t.is_alive():
+        if out.exists():
+            for name in os.listdir(out):
+                if name.startswith("mr-out-") and name not in first_seen:
+                    first_seen[name] = (out / name).read_text(encoding="utf-8")
+        time.sleep(0.002)
+    t.join()
+    for name, content_at_first_sight in first_seen.items():
+        final = (out / name).read_text(encoding="utf-8")
+        assert content_at_first_sight == final, (
+            f"{name} was visible with partial content before completion"
+        )
+    assert sorted_output(result["lines"]) == sorted_output(
+        MapReduceJob(f"{corpus}/pg-*.txt", map_fn, reduce_fn).run_sequential()
+    )
+
+
 def test_exactly_once_map_execution(spark, corpus, tmp_path):
     """jobcount analogue (test-mr.sh:201-223): without failures, each
     input file's map runs exactly once (no spurious re-execution)."""

@@ -46,6 +46,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # STRICT dtype-kind check: the driver hashes raw values, so a
+        # Spark int64 against a DuckDB HUGEINT->float64 (5 vs 5.0)
+        # flips the hash even when numerically equal. Flag it here so
+        # local green == driver green (r1 had 3 such mismatches).
+        if sv.dtype.kind != dv.dtype.kind:
+            problems.append(
+                f"col {col}: dtype kind mismatch (driver hash would differ): "
+                f"spark={sv.dtype} duck={dv.dtype}"
+            )
         try:
             sv_c = sv.astype("float64") if sv.dtype != dv.dtype and pd.api.types.is_numeric_dtype(sv) else sv
             dv_c = dv.astype("float64") if sv.dtype != dv.dtype and pd.api.types.is_numeric_dtype(dv) else dv

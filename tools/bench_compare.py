@@ -1,0 +1,142 @@
+"""Bench comparison harness: Spark manifest vs the DuckDB baseline on
+the SAME data dir, plus per-query regression deltas vs a previous
+round's BENCH json.
+
+The driver's 2x gate compares bench.py's manifest total against DuckDB
+running the same oracle SQL on the same parquet. This tool produces
+that comparison locally at any scale dir (sf0.1 or the generated
+/tmp/sf1 — see tools/make_sf1.py) so the amortization claim in
+BASELINE.md is measured, not asserted.
+
+Usage:
+    python tools/bench_compare.py --sf-dir /tmp/sf1 [--prev BENCH_r01.json]
+       [--queries name1 name2 ...] [--skip-spark] [--skip-duck]
+
+Notes:
+- DuckDB side runs every registered oracle_sql; queries without an
+  oracle (sketch/approx ops) have no DuckDB twin and are excluded
+  from the ratio (same exclusion the driver's baseline uses).
+- The generated sf1 events table stores ts as epoch-ns BIGINT (the
+  same int64 the engine's loader reads); the DuckDB views rebuild a
+  timestamp from it so the oracle SQL is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from map_reduce_spark.registry import load_all
+from map_reduce_spark.session import get_spark
+from map_reduce_spark.sources import TABLES
+
+
+def duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if t == "events":
+            # ts may be TIMESTAMP(NANOS) (fixture) or epoch-ns BIGINT
+            # (generated sf1); normalize to TIMESTAMP for the oracles.
+            (typ,) = [
+                c[1]
+                for c in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+                if c[0] == "ts"
+            ]
+            if typ == "BIGINT":
+                con.execute(
+                    f"""CREATE VIEW events AS
+                        SELECT event_id, make_timestamp(ts // 1000) AS ts,
+                               user_id, event_type, value, props
+                        FROM '{path}'"""
+                )
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/sf1")
+    ap.add_argument("--prev", default=None, help="previous BENCH json for deltas")
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--skip-spark", action="store_true")
+    ap.add_argument("--skip-duck", action="store_true")
+    ap.add_argument("--iterations", type=int, default=2)
+    args = ap.parse_args()
+
+    specs = load_all()
+    names = args.queries or list(specs)
+
+    duck_times: dict[str, float] = {}
+    if not args.skip_duck:
+        con = duckdb.connect()
+        duck_views(con, args.sf_dir)
+        for name in names:
+            spec = specs[name]
+            if spec.oracle_sql is None:
+                continue
+            best = None
+            for _ in range(args.iterations):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle_sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            duck_times[name] = round(best, 3)
+            print(f"duck  {name}: {duck_times[name]}s", flush=True)
+
+    spark_times: dict[str, float] = {}
+    if not args.skip_spark:
+        spark = get_spark("bench-compare")
+        warm = specs["q6_forecast_revenue"].builder(spark, args.sf_dir)
+        warm.write.format("noop").mode("overwrite").save()
+        for _ in range(args.iterations):
+            for name in names:
+                t0 = time.perf_counter()
+                specs[name].builder(spark, args.sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                spark_times[name] = min(spark_times.get(name, dt), dt)
+                print(f"spark {name}: {spark_times[name]}s", flush=True)
+
+    result: dict = {"sf_dir": args.sf_dir}
+    if duck_times:
+        result["duck_total_oracle_queries"] = round(sum(duck_times.values()), 3)
+        result["duck_queries"] = duck_times
+    if spark_times:
+        result["spark_total"] = round(sum(spark_times.values()), 3)
+        result["spark_queries"] = spark_times
+    if duck_times and spark_times:
+        common = [n for n in duck_times if n in spark_times]
+        s = sum(spark_times[n] for n in common)
+        d = sum(duck_times[n] for n in common)
+        result["common_queries"] = len(common)
+        result["spark_total_common"] = round(s, 3)
+        result["duck_total_common"] = round(d, 3)
+        result["ratio_spark_over_duck"] = round(s / d, 3) if d else None
+    if args.prev and spark_times:
+        prev = json.load(open(args.prev))
+        prev_q = prev.get("queries", {})
+        deltas = {
+            n: round(spark_times[n] - prev_q[n], 3)
+            for n in spark_times
+            if n in prev_q
+        }
+        regressed = {
+            n: {"prev": prev_q[n], "now": spark_times[n]}
+            for n, dl in deltas.items()
+            if prev_q[n] > 0 and dl / prev_q[n] > 0.2 and dl > 0.3
+        }
+        result["regressed_vs_prev"] = regressed
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

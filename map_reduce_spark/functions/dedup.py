@@ -40,21 +40,24 @@ N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.6
 
+# MATERIALIZED: DuckDB inlines (re-evaluates) CTEs per reference by
+# default; shingles/sizes are referenced multiple times and the CC
+# oracle chains levels, which would re-run the tokenizer exponentially.
 _SHINGLE_SQL = """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id, tok, pos FROM (
             SELECT doc_id,
                    unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
                    generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
             FROM documents)
         WHERE length(tok) > 0),
-    shingles AS (
+    shingles AS MATERIALIZED (
         SELECT DISTINCT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
         FROM toks a
         JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-    common AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    common AS MATERIALIZED (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
         FROM shingles x JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY 1, 2)
@@ -474,23 +477,23 @@ def _cc_oracle_sql() -> str:
     sql = (
         _SHINGLE_SQL
         + f""",
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT doc_a, doc_b
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
         SELECT doc_b AS u, doc_a AS v FROM pairs),
-    l0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM edges)
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS lbl FROM edges)
 """
     )
     prev = "l0"
     for i in range(1, CC_ITERS + 1):
         sql += f""",
-    l{i} AS (
+    l{i} AS MATERIALIZED (
         SELECT n.doc_id,
                least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
         FROM {prev} n
@@ -530,9 +533,16 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle run exactly CC_ITERS rounds of the same algorithm.
     """
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # Iterative algorithms MUST persist per level: each round references
+    # the previous labels twice and the edge list once, so an unpersisted
+    # lineage re-runs the whole shingle pipeline 2^rounds times (the
+    # GraphX-style iterate-and-cache discipline). The persisted frames
+    # are O(|dup pairs|) — tiny relative to the corpus.
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "lbl", F.col("doc_id")
     )
@@ -550,6 +560,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
+            .persist()
         )
     return (
         labels.groupBy(F.col("lbl").alias("component_id"))

@@ -136,7 +136,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the fingerprint (uniform by construction —
     no skew); the window degenerates to a per-group min scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     from pyspark.sql import Window as W
 

@@ -344,8 +344,12 @@ def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Demonstrates sampled all-pairs similarity: the sample keeps the
     quadratic term bounded (n/10)^2 regardless of corpus growth.
     """
+    # load_spread, not load_table: the sampled side still fans out into
+    # (n/10)^2 pair-side work, and a single-file scan would pin the
+    # whole nested-loop stage to ONE task (measured 9.8 s vs 0.5 s on
+    # 2 M pairs at sf1).
     emb = with_norm(
-        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0),
+        load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0),
         "embedding",
         "dv",
         "norm",

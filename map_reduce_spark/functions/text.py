@@ -209,7 +209,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-dedup key generator — deterministic across engines and
     runs, usable as a shuffle/bucketing key at any scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",

@@ -23,6 +23,15 @@ from map_reduce_spark.sources import load_spread, load_table
 # language identifier. Deliberately small + deterministic — the point
 # is the *operator shape* (vectorized membership counting + argmax),
 # not linguistic accuracy.
+# GPT-2-style pre-tokenizer pattern, reduced to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace. The match COUNT approximates
+# the BPE token count a real tokenizer would produce (each pre-token
+# splits into >=1 BPE tokens), which is the cheap budget signal a
+# curation pipeline needs before paying for real tokenization.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
     "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
@@ -52,7 +61,7 @@ def _sql_tokens_cte() -> str:
 
 
 @register(
-    "doc_langid",
+    "doc_profile",
     oracle_sql=_sql_tokens_cte()
     + f"""
     SELECT doc_id,
@@ -63,9 +72,29 @@ def _sql_tokens_cte() -> str:
              WHEN de_hits >= fr_hits THEN 'de'
              ELSE 'fr'
            END AS pred_lang,
-           en_hits, es_hits, de_hits, fr_hits
+           n_tokens,
+           n_bpe_tokens,
+           n_unique_tokens,
+           n_chars_actual,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE total_tok_len * 1.0 / n_tokens END, 4) AS avg_token_len,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE n_unique_tokens * 1.0 / n_tokens END, 4) AS type_token_ratio,
+           en_hits AS stop_hits,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                      ELSE en_hits * 1.0 / n_tokens END, 4) AS stop_ratio,
+           CASE WHEN n_tokens >= 20
+                     AND (CASE WHEN n_tokens = 0 THEN 0.0
+                               ELSE en_hits * 1.0 / n_tokens END) >= 0.05 THEN 'keep'
+                WHEN n_tokens >= 5 THEN 'review'
+                ELSE 'drop' END AS quality_bucket
     FROM (
         SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+               len(list_distinct(toks)) AS n_unique_tokens,
+               length(text) AS n_chars_actual,
+               coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS total_tok_len,
                {_sql_hits('en')} AS en_hits,
                {_sql_hits('es')} AS es_hits,
                {_sql_hits('de')} AS de_hits,
@@ -74,107 +103,22 @@ def _sql_tokens_cte() -> str:
     ORDER BY doc_id
     """,
 )
-def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: stopword-hit counting + deterministic argmax.
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document curation profile: language ID + token
+    statistics + quality gate, all computed in ONE scan.
 
-    Scale: pure narrow transformation (no shuffle at all); the CASE
-    chain encodes a fixed tie-break order so output is reproducible.
-    """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
-    hits = {lang: _hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER}
-    scored = docs.select("doc_id", *hits.values())
-    c = {lang: F.col(f"{lang}_hits") for lang in LANG_ORDER}
-    pred = (
-        F.when((c["en"] == 0) & (c["es"] == 0) & (c["de"] == 0) & (c["fr"] == 0), "und")
-        .when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]), "en")
-        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
-        .when(c["de"] >= c["fr"], "de")
-        .otherwise("fr")
-    )
-    return scored.select(
-        "doc_id", pred.alias("pred_lang"), "en_hits", "es_hits", "de_hits", "fr_hits"
-    ).orderBy("doc_id")
-
-
-@register(
-    "doc_token_stats",
-    oracle_sql=_sql_tokens_cte()
-    + """
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_unique_tokens,
-           length(text) AS n_chars_actual,
-           round(CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
-                 END, 4) AS avg_token_len,
-           round(CASE WHEN len(toks) = 0 THEN 0.0
-                      ELSE len(list_distinct(toks)) * 1.0 / len(toks)
-                 END, 4) AS type_token_ratio
-    FROM toks_t
-    ORDER BY doc_id
-    """,
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics (count, vocabulary, TTR).
-
-    Whitespace/letter tokenization + array aggregates — all codegen'd
-    array expressions, no shuffle.
+    Fuses the r1 queries ``doc_langid`` / ``doc_token_stats`` /
+    ``doc_quality_score`` into one registered query (the component
+    expressions are unchanged; ``langid_pred_col``/``doc_langid``
+    below keep the standalone surface). Fusing is the scale-correct
+    shape: a 100 TB curation pass computes every cheap per-doc signal
+    in a single narrow projection over the ingest scan — one pass,
+    zero shuffles — instead of re-reading the corpus once per signal.
     """
     docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     n_tokens = F.size("toks")
     n_unique = F.size(F.array_distinct("toks"))
-    total_len = F.aggregate(
-        F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_unique.alias("n_unique_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.round(
-            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-                total_len * F.lit(1.0) / n_tokens
-            ),
-            4,
-        ).alias("avg_token_len"),
-        F.round(
-            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-                n_unique * F.lit(1.0) / n_tokens
-            ),
-            4,
-        ).alias("type_token_ratio"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "doc_quality_score",
-    oracle_sql=_sql_tokens_cte()
-    + f"""
-    SELECT doc_id,
-           n_tokens,
-           stop_hits,
-           round(stop_ratio, 4) AS stop_ratio,
-           CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.05 THEN 'keep'
-                WHEN n_tokens >= 5 THEN 'review'
-                ELSE 'drop' END AS quality_bucket
-    FROM (
-        SELECT doc_id,
-               len(toks) AS n_tokens,
-               {_sql_hits('en')} AS stop_hits,
-               CASE WHEN len(toks) = 0 THEN 0.0
-                    ELSE {_sql_hits('en')} * 1.0 / len(toks) END AS stop_ratio
-        FROM toks_t)
-    ORDER BY doc_id
-    """,
-)
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length + stopword-density gates -> keep/review/drop.
-
-    The standard cheap pre-filter in a data-curation pipeline; runs as
-    a narrow projection so it can sit directly on the ingest scan.
-    """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
-    n_tokens = F.size("toks")
+    total_len = F.aggregate(F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t))
     stop_hits = _hits("en")
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         stop_hits * F.lit(1.0) / n_tokens
@@ -186,10 +130,47 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        langid_pred_col().alias("pred_lang"),
         n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .alias("n_bpe_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(total_len * F.lit(1.0) / n_tokens),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(n_unique * F.lit(1.0) / n_tokens),
+            4,
+        ).alias("type_token_ratio"),
         stop_hits.alias("stop_hits"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         bucket.alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+def langid_pred_col() -> Column:
+    """Heuristic language-ID expression (stopword-hit argmax with a
+    deterministic tie-break order) over a materialized ``toks`` column."""
+    c = {lang: _hits(lang) for lang in LANG_ORDER}
+    return (
+        F.when((c["en"] == 0) & (c["es"] == 0) & (c["de"] == 0) & (c["fr"] == 0), "und")
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]), "en")
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+        .when(c["de"] >= c["fr"], "de")
+        .otherwise("fr")
+    )
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone language-ID projection (fused into ``doc_profile``
+    for the registered/driver-checked surface; kept for direct use)."""
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    return docs.select(
+        "doc_id",
+        langid_pred_col().alias("pred_lang"),
+        *[_hits(lang).alias(f"{lang}_hits") for lang in LANG_ORDER],
     ).orderBy("doc_id")
 
 

@@ -289,16 +289,6 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_semi_customers_with_orders",
-    oracle_sql="""
-    SELECT c_mktsegment, count(*) AS n_customers
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
 def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers that have at least one order.
 
@@ -316,15 +306,6 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register(
-    "join_anti_customers_without_orders",
-    oracle_sql="""
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
-    """,
-)
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no orders at all."""
     cust = _t(spark, sf_dir, "customer")
@@ -395,18 +376,6 @@ def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_cube_orders",
-    oracle_sql="""
-    SELECT coalesce(o_orderstatus, '<ALL>')   AS o_orderstatus,
-           coalesce(o_orderpriority, '<ALL>') AS o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus, o_orderpriority
-    """,
-)
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over order status x priority (all 4 grouping sets)."""
     orders = _t(spark, sf_dir, "orders")
@@ -501,19 +470,6 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scalar_string_functions",
-    oracle_sql="""
-    SELECT c_custkey,
-           upper(c_name)                          AS name_upper,
-           length(c_name)                         AS name_len,
-           substr(c_name, 1, 8)                   AS name_prefix,
-           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
-           replace(lower(c_mktsegment), 'a', '_') AS seg_mangled
-    FROM customer
-    ORDER BY c_custkey
-    """,
-)
 def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string expression coverage (upper/length/substr/concat/replace).
 
@@ -592,18 +548,6 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_conditional_pivot",
-    oracle_sql="""
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
 def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot via conditional aggregation (the scale-safe pivot form).
 

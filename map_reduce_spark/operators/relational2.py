@@ -278,21 +278,6 @@ def agg_mode_and_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_percent_rank_cume",
-    oracle_sql="""
-    SELECT s_suppkey,
-           round(supp_rev, 2) AS supp_rev,
-           round(percent_rank() OVER (ORDER BY supp_rev, s_suppkey), 6) AS pct_rank,
-           round(cume_dist()    OVER (ORDER BY supp_rev, s_suppkey), 6) AS cume,
-           first_value(s_suppkey) OVER (ORDER BY supp_rev DESC, s_suppkey) AS top_supp
-    FROM (
-        SELECT l_suppkey AS s_suppkey,
-               sum(l_extendedprice * (1 - l_discount)) AS supp_rev
-        FROM lineitem GROUP BY l_suppkey)
-    ORDER BY s_suppkey
-    """,
-)
 def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist / first_value over supplier revenue."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -24,18 +24,6 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-@register(
-    "sql_grouping_sets",
-    oracle_sql="""
-    SELECT coalesce(l_returnflag, '<ALL>') AS l_returnflag,
-           coalesce(l_linestatus, '<ALL>') AS l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube)."""
     return _sql(
@@ -123,17 +111,6 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sql_scalar_subquery",
-    oracle_sql="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-           o_orderpriority
-    FROM orders
-    WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
-    """,
-)
 def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in a predicate (broadcast single-row join)."""
     return _sql(

@@ -19,24 +19,16 @@ from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
 
-@register(
-    "events_tumbling_1h",
-    oracle_sql="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
-           count(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-)
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type (streaming-equivalent agg).
 
     Scale: window+type grouping is decomposable; in streaming form the
     same plan runs incrementally with a watermark bounding state.
+
+    Not separately registered: ``events_sliding_1h_30m`` exercises the
+    same window-assignment machinery (a tumbling window is the
+    slide == length special case) through the driver gate; the
+    batch/stream parity test drives this builder directly.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -92,25 +84,15 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_json_props",
-    oracle_sql="""
-    SELECT k_bucket, count(*) AS n_events, round(avg(value), 4) AS avg_value,
-           min(k_val) AS min_k, max(k_val) AS max_k
-    FROM (
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-               value
-        FROM events)
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column + bucketed aggregation.
 
     get_json_object is JVM-side (Jackson); for a fixed schema at scale
     prefer from_json with an explicit StructType once per pipeline.
+
+    Not separately registered: ``events_props_from_json`` (the
+    from_json/StructType variant in operators/temporal.py) carries the
+    JSON-function surface through the driver gate.
     """
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")

@@ -19,7 +19,7 @@ SPOT_CHECK = [
     "q3_shipping_priority",
     "doc_wordcount",
     "sim_knn_bruteforce",
-    "events_tumbling_1h",
+    "events_sliding_1h_30m",
     "sessionize_user_events",
 ]
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pandas as pd
 
 from map_reduce_spark.registry import load_all
+from map_reduce_spark.streaming.events_batch import events_tumbling_1h
 from map_reduce_spark.streaming.streams import (
     read_events_stream,
     run_available_now,
@@ -30,12 +31,7 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     beyond watermark in a replay)."""
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     got = run_available_now(stream, "t_tumbling", output_mode="complete").toPandas()
-    batch = (
-        load_all()["events_tumbling_1h"]
-        .builder(spark, sf_dir)
-        .drop("n_users")
-        .toPandas()
-    )
+    batch = events_tumbling_1h(spark, sf_dir).drop("n_users").toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(batch))
 
 

@@ -43,12 +43,14 @@ def main() -> None:
     # JVM/codegen warm-up (not measured)
     execute(specs["q6_forecast_revenue"].builder(spark, SF_DIR))
 
-    # Two iterations, report the min: the first run pays one-time
-    # codegen/JIT compile and stray ContextCleaner pauses; the min is
-    # the steady-state per-query cost (the number comparable across
-    # engines).
+    # Three iterations, report the min: the first run pays one-time
+    # codegen/JIT compile, index-cache materialization, and stray
+    # ContextCleaner pauses, and this host shows ±30-40% transient
+    # noise on sub-second queries; the min over three is the
+    # steady-state per-query cost (the number comparable across
+    # engines and across rounds).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))):
         for name, spec in specs.items():
             t0 = time.perf_counter()
             execute(spec.builder(spark, SF_DIR))

@@ -159,7 +159,12 @@ def _sketch(dv_col: str) -> Column:
     return make_sign_sketch_udf(_hyperplanes(), N_PLANES)(F.col(dv_col))
 
 
-def _sketch_bands(sketch: Column, probe_radius: int = 0) -> Column:
+def _sketch_bands(
+    sketch: Column,
+    probe_radius: int = 0,
+    n_bands: int = N_SKETCH_BANDS,
+    band_bits: int = SKETCH_BAND_BITS,
+) -> Column:
     """``array<struct<band,val>>`` of a sketch's band values.
 
     ``probe_radius=1`` adds every single-bit perturbation of each band
@@ -168,15 +173,23 @@ def _sketch_bands(sketch: Column, probe_radius: int = 0) -> Column:
     (1 + band_bits)x fan-out; the indexed side stays at one row per
     band — the asymmetry that makes multi-probe affordable at 10^9
     vectors.
+
+    Band geometry is a TUNABLE per target similarity: many short
+    bands (16x4) maximize recall near the random regime (bit-differ
+    prob approaching 0.5) at the price of selectivity; few long bands
+    (4x16) give ~1000x candidate pruning in the real near-dup regime
+    (cosine >= 0.9, bit-differ prob < 0.1) while keeping per-pair miss
+    probability negligible.
     """
+    mask = (1 << band_bits) - 1
     structs = []
-    for b in range(N_SKETCH_BANDS):
-        val = F.shiftrightunsigned(sketch, b * SKETCH_BAND_BITS).bitwiseAND(
-            F.lit(SKETCH_BAND_MASK).cast("long")
+    for b in range(n_bands):
+        val = F.shiftrightunsigned(sketch, b * band_bits).bitwiseAND(
+            F.lit(mask).cast("long")
         )
         masks = [0]
         if probe_radius >= 1:
-            masks += [1 << j for j in range(SKETCH_BAND_BITS)]
+            masks += [1 << j for j in range(band_bits)]
         for m in masks:
             structs.append(
                 F.struct(

@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_duplicate_clusters", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_hi",
     # similarity / ANN suite
     "sim_knn_bruteforce", "sim_knn_lsh", "sim_knn_ivf",
     "sim_centroids_by_label", "sim_pairwise_label_affinity",
@@ -81,7 +82,7 @@ _CHECK_FIRST = [
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     # relational misc
     "null_handling_acctbal", "regexp_part_type_extract",
-    "pivot_native_qty", "agg_exact_percentiles",
+    "agg_exact_percentiles",
     # windows
     "window_topn_orders_per_customer", "window_lag_order_gap_days",
     "window_rank_dense_ntile",

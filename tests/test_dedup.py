@@ -79,6 +79,36 @@ def test_simhash_recall_on_near_dups(spark, sf_dir, true_pairs):
     assert found / max(len(true_pairs), 1) >= 0.8
 
 
+def test_embedding_lsh_hi_finds_exactly_planted_pairs(spark, sf_dir):
+    """In the design regime (tau=0.95, planted near-copies) the banded
+    LSH must find exactly the planted pairs: each planted vector
+    (vec_id+offset) keeps its source, nothing else crosses tau."""
+    from map_reduce_spark.functions.dedup import (
+        _PLANT_OFFSET,
+        HI_TAU,
+        dedup_embedding_lsh_hi,
+    )
+
+    rows = dedup_embedding_lsh_hi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dup_id >= _PLANT_OFFSET, "only planted ids may be dups"
+        assert r.keeper_id == r.dup_id - _PLANT_OFFSET, "keeper is the source"
+        assert r.n_near_dups == 1
+        assert r.keeper_score >= HI_TAU
+
+
+def test_embedding_lsh_hi_plans_hash_join_not_nlj(spark, sf_dir):
+    """Candidate generation must be a (band, val) hash equi-join — the
+    10^9-vector shape — not a nested-loop scan of the pair space."""
+    from map_reduce_spark.functions.dedup import dedup_embedding_lsh_hi
+    from map_reduce_spark.plans.explain import physical_plan
+
+    plan = physical_plan(dedup_embedding_lsh_hi(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 def test_embedding_cosine_dedup_keeper_rule(spark, sf_dir, duck):
     """Keeper is always the lowest-id near neighbor; scores >= tau;
     pair set matches an exact DuckDB all-pairs run."""

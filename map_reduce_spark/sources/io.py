@@ -8,7 +8,9 @@ the typed, columnar generalization the analytics surface uses.
 
 Scale notes:
 - Parquet is the primary format: columnar, predicate-pushdown- and
-  column-pruning-friendly, splittable. CSV/JSON are interchange
+  column-pruning-friendly, splittable. ORC is the second columnar
+  option (same pushdown/pruning properties, built into Spark) for
+  interop with ORC-standardized warehouses. CSV/JSON are interchange
   formats — schema must be pinned explicitly (inference is a full
   extra pass over 100 TB).
 - ``partition_by`` produces hive-style directory partitioning so
@@ -25,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "csv", "json", "text")
+FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def write_table(

@@ -34,6 +34,22 @@ def test_csv_round_trip_pinned_schema(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(canon(nation), canon(back))
 
 
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format: round-trips exactly and
+    carries predicate pushdown into the scan like parquet."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_table(orders, path, "orc")
+    back = read_table(spark, path, "orc")
+    assert back.schema == orders.schema
+    pd.testing.assert_frame_equal(canon(orders), canon(back))
+    from map_reduce_spark.plans.explain import has_pushed_filters
+
+    assert has_pushed_filters(back.filter(back.o_totalprice > 100000.0))
+
+
 def test_json_round_trip(spark, sf_dir, tmp_path):
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal"

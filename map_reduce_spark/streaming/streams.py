@@ -106,6 +106,45 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_error_click_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each error event matched to the same
+    user's click events in the preceding 30 minutes.
+
+    The canonical streaming-join shape: both sides carry a watermark
+    and the join condition bounds event-time distance, so each side's
+    buffered state is evicted once the other side's watermark passes
+    the interval — state stays O(events per horizon) regardless of
+    stream length. An unbounded-condition stream-stream join would be
+    rejected by Spark in append mode; this form is the 100 TB-stream
+    design.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    return errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+        "inner",
+    ).select("error_id", "e_user", "error_ts", "click_id", "click_ts")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming query to completion over all available input
     (Trigger.AvailableNow) and return the materialized result.

@@ -13,6 +13,7 @@ from map_reduce_spark.streaming.streams import (
     run_available_now,
     session_window_stats,
     sliding_counts,
+    stream_stream_error_click_join,
     streaming_dedup,
     tumbling_counts,
 )
@@ -56,3 +57,34 @@ def test_streaming_dedup_is_noop_on_unique_ids(spark, sf_dir):
     stream = streaming_dedup(read_events_stream(spark, sf_dir))
     got = run_available_now(stream, "t_dedup", output_mode="append")
     assert got.count() == 1000  # event_ids are unique in the fixture
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """The watermarked interval join over the replayed stream must
+    produce exactly the rows of the equivalent static self-join."""
+    from map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    stream = stream_stream_error_click_join(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_ssjoin").toPandas()
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    want = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+        "inner",
+    ).select("error_id", "e_user", "error_ts", "click_id", "click_ts").toPandas()
+    assert len(got), "fixture should produce interval-join matches"
+    pd.testing.assert_frame_equal(canon(got), canon(want))

@@ -124,6 +124,106 @@ def extract_features(media: DataFrame, skip_unsupported: bool = True) -> DataFra
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize the image subset so the longer side is ``max_side``.
+
+    Plumbing is real (metadata filter prunes non-images BEFORE payload
+    bytes move; Arrow-batched ``mapInPandas``; output schema carries
+    the new dimensions); the pixel resample itself is the documented
+    deterministic stand-in (payload truncated proportionally to the
+    area ratio — swap in PIL's ``Image.resize`` for real pixels).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            nw = (w * scale).astype("int64").clip(lower=1)
+            nh = (h * scale).astype("int64").clip(lower=1)
+            ratio = (nw * nh) / (w * h)
+            payloads = [
+                p[: max(1, int(len(p) * r))] for p, r in zip(pdf["payload"], ratio)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": nw.astype("int32"),
+                    "height": nh.astype("int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.filter(media.kind == "image").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+FPS = 25  # fixture videos are modeled at a fixed frame rate
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Sample one frame every ``every_ms`` from each video payload.
+
+    The 1->N exploding shape of video processing: one input row yields
+    ceil(duration/every_ms) frame rows, so output size is bounded by
+    sampling rate, not by source frame count. Metadata (duration_ms)
+    drives the schedule without decoding; the per-frame byte slice is
+    the deterministic decoder stand-in (a real deployment seeks with
+    libav and decodes only the sampled frames — same batch shape).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_payload": [],
+            }
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if dur is None or payload is None or len(payload) == 0:
+                    continue
+                n_frames = max(1, int(dur) * FPS // 1000)
+                frame_size = max(1, len(payload) // n_frames)
+                for idx, ts in enumerate(range(0, int(dur), every_ms)):
+                    fi = min(ts * FPS // 1000, n_frames - 1)
+                    # the byte-slice stand-in caps at the payload tail
+                    # (a real decoder seeks by timestamp, not offset)
+                    start = min(fi * frame_size, len(payload) - frame_size)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_payload"].append(
+                        bytes(payload[start : start + frame_size])
+                    )
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.filter(media.kind == "video").mapInPandas(batches, FRAMES_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation — never touches payload bytes, so the
     scan prunes the binary column entirely (check ReadSchema)."""

@@ -199,6 +199,60 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SPLIT_SALT = "v1"  # version the assignment: bump to re-deal every doc
+SPLIT_PCT = (80, 10, 10)  # train / val / test
+
+
+@register(
+    "doc_split_assign",
+    oracle_sql=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                WHEN bucket < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10).
+
+    The split a training pipeline must be able to reproduce FOREVER:
+    bucket = md5(doc_id + salt) mod 100, so (a) assignment is a pure
+    function of the document id — stable across runs, engines (the
+    DuckDB oracle computes the identical value), partitionings, and
+    corpus growth (new docs never re-deal old ones, unlike
+    randomSplit); (b) the salt versions the deal; (c) the split is a
+    narrow projection usable directly as a filter or partition column
+    at any scale. Spark's conv(hex,16,10) and DuckDB's ('0x'||h)::
+    BIGINT parse the same 32-bit md5 prefix.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(SPLIT_SALT))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    train, val = SPLIT_PCT[0], SPLIT_PCT[0] + SPLIT_PCT[1]
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < train, "train")
+            .when(F.col("bucket") < val, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "doc_stats_by_lang_source",
     oracle_sql="""

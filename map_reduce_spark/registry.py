@@ -57,7 +57,8 @@ def register(name: str, oracle_sql: str | None = None):
 _CHECK_FIRST = [
     # text / compat-MR suite
     "doc_wordcount", "doc_inverted_index", "doc_bigram_topk", "doc_profile",
-    "doc_fingerprint", "doc_stats_by_lang_source", "mr_concat_sorted_values",
+    "doc_fingerprint", "doc_stats_by_lang_source", "doc_split_assign",
+    "mr_concat_sorted_values",
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_duplicate_clusters", "dedup_embedding_lsh",
@@ -81,8 +82,7 @@ _CHECK_FIRST = [
     "q4ish_priority_order_counts", "q12ish_shipmode_buckets",
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     # relational misc
-    "null_handling_acctbal", "regexp_part_type_extract",
-    "agg_exact_percentiles",
+    "null_handling_acctbal", "agg_exact_percentiles",
     # windows
     "window_topn_orders_per_customer", "window_lag_order_gap_days",
     "window_rank_dense_ntile",

@@ -199,6 +199,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TFIDF_TOP_K = 5
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle_sql=_sql_tokens_cte()
+    + f"""
+    , tf AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_t)
+        GROUP BY doc_id, tok),
+    df AS MATERIALIZED (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, rank, tok, tf, df, tfidf FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs * 1.0 / df.df) DESC, tf.tok
+               ) AS rank
+        FROM tf JOIN df USING (tok) CROSS JOIN n)
+    WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} most distinctive terms per document by TF-IDF.
+
+    The classic content-signature operator: term frequency from one
+    explode + hash agg, document frequency from a second agg over the
+    (doc, term) pairs, corpus size as a broadcast 1-row scalar, then a
+    per-doc top-k window. Every aggregate is decomposable (map-side
+    combined) and the only data-sized shuffles are on term/doc keys —
+    at 100 TB the df table is vocabulary-sized and the window is a
+    per-doc top-k, never a global sort. Ties break on the term so
+    output is deterministic.
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_raw"), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_raw", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id", "rank", "tok", "tf", "df",
+            F.round("score_raw", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 SPLIT_SALT = "v1"  # version the assignment: bump to re-deal every doc
 SPLIT_PCT = (80, 10, 10)  # train / val / test
 

@@ -58,7 +58,7 @@ _CHECK_FIRST = [
     # text / compat-MR suite
     "doc_wordcount", "doc_inverted_index", "doc_bigram_topk", "doc_profile",
     "doc_fingerprint", "doc_stats_by_lang_source", "doc_split_assign",
-    "mr_concat_sorted_values",
+    "doc_tfidf_top_terms", "mr_concat_sorted_values",
     # dedup suite
     "dedup_exact", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash_pairs", "dedup_duplicate_clusters", "dedup_embedding_lsh",
@@ -84,8 +84,7 @@ _CHECK_FIRST = [
     # relational misc
     "null_handling_acctbal", "agg_exact_percentiles",
     # windows
-    "window_topn_orders_per_customer", "window_lag_order_gap_days",
-    "window_rank_dense_ntile",
+    "window_topn_orders_per_customer", "window_rank_dense_ntile",
     # SQL surface
     "sql_cte_top_customers", "sql_correlated_exists",
 ]

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_spread, load_table
+from map_reduce_spark.sources import load_spread, load_table, session_cached
 
 # MinHash parameters: 64 hashes in 16 bands of 4 rows. Candidate
 # probability 1-(1-s^4)^16: s=0.4 -> 0.34, s=0.6 -> 0.89, s=0.85 ->
@@ -101,33 +101,25 @@ def shingles_col(toks: Column | None = None, n: int = 3) -> Column:
     )
 
 
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@session_cached
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct 3-gram shingles, persisted
-    per (session, corpus).
+    per (session, corpus) via ``session_cached``.
 
     Loaded via load_spread: shingling is compute-bound, so the scan is
     spread across all cores before the per-row array work. The token
     array is projected once, then shingled (see shingles_col).
 
-    Persisted because the shingle table is an INDEX, consumed many
+    Cached because the shingle table is an INDEX, consumed many
     times: the exact-Jaccard pair query references it three times in
     one plan (pair join x2 + sizes), MinHash-LSH references it three
     more (signatures + verify x2), and the duplicate-cluster query
     builds on the pair query. Without the persist each reference
     re-tokenizes the corpus from parquet — measured ~40% of the whole
-    dedup family's bench cost. At 100 TB this is the artifact a
-    pipeline writes to storage once per corpus snapshot.
+    dedup family's bench cost.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SHINGLE_CACHE:
-        docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
-        _SHINGLE_CACHE[key] = docs.select(
-            "doc_id", F.explode(shingles_col()).alias("sh")
-        ).persist()
-    return _SHINGLE_CACHE[key]
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    return docs.select("doc_id", F.explode(shingles_col()).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -203,12 +195,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIR_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@session_cached
 def jaccard_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified exact-Jaccard near-dup pair set (doc_a, doc_b),
-    persisted per (session, corpus).
+    persisted per (session, corpus) via ``session_cached``.
 
     The pair set is the second derived INDEX of the dedup family (the
     shingle table being the first): the pairs query emits it, and the
@@ -216,14 +206,7 @@ def jaccard_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the cluster query's cost proportional to the (tiny) pair
     graph instead of re-running the shingle inverted-index join.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PAIR_INDEX_CACHE:
-        _PAIR_INDEX_CACHE[key] = (
-            dedup_ngram_jaccard_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .persist()
-        )
-    return _PAIR_INDEX_CACHE[key]
+    return dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -311,21 +294,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@session_cached
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) fingerprints, persisted per (session, corpus).
+    """(doc_id, simhash) fingerprints, persisted per (session, corpus)
+    via ``session_cached``.
 
-    Both registered simhash queries consume this; without the persist
+    The simhash queries consume this repeatedly; without the persist
     the pairs query recomputed the 64 vote aggregates from raw text
     (the r1 bench showed the duplicated cost). A fingerprint table is
     an index: built once, queried many times — persisting it is the
     batch analogue of writing the index out.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SIMHASH_CACHE:
-        return _SIMHASH_CACHE[key]
     docs = load_spread(spark, sf_dir, "documents")
     # hash hoisted to its own projection so it's computed once per
     # token, not once per bit inside the 64 vote aggregates
@@ -350,9 +329,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    fps = voted.select("doc_id", fingerprint.alias("simhash")).persist()
-    _SIMHASH_CACHE[key] = fps
-    return fps
+    return voted.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,6 +604,32 @@ _PLANT_EPS = 0.01
 _HI_N_BANDS = 4
 _HI_BAND_BITS = 16
 
+@session_cached
+def _augmented_sketched_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ planted near-copies with hoisted norms + sign sketches,
+    persisted via ``session_cached`` — the hi-threshold query's plan
+    references it four times (two band explodes + two vector-payload
+    rejoins), so an unpersisted subtree would re-run the union, the
+    norm aggregate, and the sketch UDF per reference."""
+    from map_reduce_spark.functions.similarity import _sketch
+
+    emb = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("dv", lambda x: x + F.lit(_PLANT_EPS)).alias("dv"),
+    )
+    return (
+        emb.unionAll(planted)
+        .withColumn(
+            "norm",
+            F.sqrt(F.aggregate("dv", F.lit(0.0), lambda acc, v: acc + v * v)),
+        )
+        .withColumn("sketch", _sketch("dv"))
+    )
+
+
 _EMBEDDING_HI_SQL = f"""
     WITH aug AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
@@ -667,27 +670,9 @@ def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape (sketch -> band equi-join -> verify -> keeper
     reduction) is identical and 10^9-vector-partitionable.
     """
-    from map_reduce_spark.functions.similarity import (
-        _sketch,
-        _sketch_bands,
-        dot,
-    )
+    from map_reduce_spark.functions.similarity import _sketch_bands, dot
 
-    emb = load_spread(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
-    )
-    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
-        F.transform("dv", lambda x: x + F.lit(_PLANT_EPS)).alias("dv"),
-    )
-    aug = (
-        emb.unionAll(planted)
-        .withColumn(
-            "norm",
-            F.sqrt(F.aggregate("dv", F.lit(0.0), lambda acc, v: acc + v * v)),
-        )
-        .withColumn("sketch", _sketch("dv"))
-    )
+    aug = _augmented_sketched_embeddings(spark, sf_dir)
     index_bands = aug.select(
         F.col("vec_id").alias("ib"),
         F.explode(

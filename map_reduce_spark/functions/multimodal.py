@@ -146,6 +146,14 @@ def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # corrupt/missing metadata (nullable ints arrive as NaN in
+            # pandas) is skipped, mirroring extract_features'
+            # skip_unsupported path — one bad row must not kill the job
+            pdf = pdf[
+                pdf["width"].notna()
+                & pdf["height"].notna()
+                & pdf["payload"].notna()
+            ]
             if not len(pdf):
                 continue
             w = pdf["width"].astype("int64")
@@ -203,7 +211,8 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             for mid, dur, payload in zip(
                 pdf["media_id"], pdf["duration_ms"], pdf["payload"]
             ):
-                if dur is None or payload is None or len(payload) == 0:
+                # nullable longs arrive as NaN (not None) in pandas
+                if pd.isna(dur) or payload is None or len(payload) == 0:
                     continue
                 n_frames = max(1, int(dur) * FPS // 1000)
                 frame_size = max(1, len(payload) // n_frames)

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_spread, load_table
+from map_reduce_spark.sources import load_spread, load_table, session_cached
 
 TOP_K = 10
 PROBE_MOD = 100  # probes = vec_id % PROBE_MOD == 0 → 1% of the corpus
@@ -200,22 +200,18 @@ def _sketch_bands(
     return F.array(*structs)
 
 
-# Sketch "index" per (session, corpus): embeddings + hoisted dv/norm +
-# 64-bit sketch, persisted. An ANN index is built once and queried many
-# times; persisting is the in-session analogue of writing the index
-# table to parquet (which is what a 10^9-vector deployment would do —
-# the build is one narrow pass, the index is ~24 bytes/vector + ids).
-_SKETCH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@session_cached
 def sketched_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SKETCH_INDEX_CACHE:
-        emb = with_norm(
-            load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
-        )
-        _SKETCH_INDEX_CACHE[key] = emb.withColumn("sketch", _sketch("dv")).persist()
-    return _SKETCH_INDEX_CACHE[key]
+    """Sketch "index" per (session, corpus): embeddings + hoisted
+    dv/norm + 64-bit sketch, persisted via ``session_cached``. An ANN
+    index is built once and queried many times; persisting is the
+    in-session analogue of writing the index table to parquet (which
+    is what a 10^9-vector deployment would do — the build is one
+    narrow pass, the index is ~24 bytes/vector + ids)."""
+    emb = with_norm(
+        load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
+    )
+    return emb.withColumn("sketch", _sketch("dv"))
 
 
 @register("sim_knn_lsh", oracle_sql=None)

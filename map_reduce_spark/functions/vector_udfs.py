@@ -15,8 +15,12 @@ def make_sign_sketch_udf(planes_list, n_planes):
 
     One (batch_n x dim) @ (dim x n_planes) BLAS matmul per Arrow batch
     plus a bit-pack — ~100x cheaper than per-row interpreted
-    higher-order-function dots. MSB-first packing (plane 0 at bit
-    n_planes-1) matches the original expression fold order.
+    higher-order-function dots. Packing is MSB-first (plane 0 lands at
+    bit n_planes-1), which REVERSES the bit order of the expression
+    version this replaced (that one put plane i at bit i); every
+    consumer reads sketches produced by this same UDF, so band
+    splitting stays internally consistent, but bit k of a stored
+    sketch corresponds to plane n_planes-1-k.
     """
     planes = np.array(planes_list, dtype=np.float64)
     weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.uint64)

@@ -47,7 +47,21 @@ def reads_columns(df: DataFrame, table_hint: str | None = None) -> list[str]:
     for block in re.split(r"\(\d+\) Scan ", plan)[1:]:
         if table_hint is not None and table_hint not in block.split("ReadSchema:")[0]:
             continue
-        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        # greedy-to-line-end: nested types (array<float>, struct<...>)
+        # contain '>' so a non-greedy/[^>] match would truncate the list
+        m = re.search(r"ReadSchema: struct<(.*)>\s*$", block, re.MULTILINE)
         if m:
-            cols.extend(part.split(":")[0] for part in m.group(1).split(",") if part)
+            # split on commas at nesting depth 0 only
+            depth, start = 0, 0
+            body = m.group(1)
+            for i, ch in enumerate(body + ","):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    part = body[start:i].strip()
+                    if part:
+                        cols.append(part.split(":")[0])
+                    start = i + 1
     return cols

@@ -105,6 +105,12 @@ def load_all() -> dict[str, QuerySpec]:
         sql_queries,
     )
 
+    missing = [n for n in _CHECK_FIRST if n not in QUERIES]
+    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
+    assert len(_CHECK_FIRST) == len(set(_CHECK_FIRST)) == 50, (
+        f"_CHECK_FIRST must pin exactly the 50-entry driver window, "
+        f"got {len(_CHECK_FIRST)}"
+    )
     head = {n: QUERIES[n] for n in _CHECK_FIRST}
     tail = {n: s for n, s in QUERIES.items() if n not in head}
     return {**head, **tail}

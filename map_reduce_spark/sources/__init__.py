@@ -1,3 +1,4 @@
+from map_reduce_spark.sources.cache import session_cached
 from map_reduce_spark.sources.tables import (
     TABLES,
     load_spread,
@@ -5,4 +6,4 @@ from map_reduce_spark.sources.tables import (
     register_views,
 )
 
-__all__ = ["TABLES", "load_spread", "load_table", "register_views"]
+__all__ = ["TABLES", "load_spread", "load_table", "register_views", "session_cached"]

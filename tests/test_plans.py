@@ -51,6 +51,7 @@ ALLOWED_NESTED_LOOP = {
     "range_join_value_buckets",
     "q22ish_idle_customers",
     "events_type_funnel",  # broadcast 1-row global-total scalar
+    "doc_tfidf_top_terms",  # broadcast 1-row corpus-size scalar
 }
 
 

@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The reference's whole test strategy is differential: distributed
+output must equal a trusted sequential twin on whatever input shows up
+(SURVEY.md §5.1). Hypothesis generalizes that from six fixed fixture
+files to generated adversarial inputs — non-BMP unicode, empty files,
+single-character keys — for every kernel that is pure enough to check
+cheaply:
+
+- the FNV-32a partitioner (compat/fnv.py) against its bit-level
+  definition and its partitioning contract,
+- the unicode-letter tokenizer (compat/apps._words) against its
+  run-of-letters specification,
+- the vectorized sign-sketch bit-pack (functions/vector_udfs.py)
+  against a naive per-row/per-plane loop,
+- the compat MapReduce job (one Spark differential over a
+  hypothesis-built corpus, bounded example count — the expensive one).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from map_reduce_spark.compat.apps import APPS, _words
+from map_reduce_spark.compat.fnv import FNV_OFFSET_32, FNV_PRIME_32, fnv1a_32, ihash, make_partitioner
+
+# ---------------------------------------------------------------------------
+# FNV-32a partitioner
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=200))
+def test_fnv_matches_bytewise_definition(s: str) -> None:
+    """fnv1a_32 equals the from-scratch fold over UTF-8 bytes."""
+    h = FNV_OFFSET_32
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME_32) & 0xFFFFFFFF
+    assert fnv1a_32(s) == h
+
+
+@given(st.text(max_size=200), st.integers(min_value=1, max_value=64))
+def test_partitioner_in_range_and_deterministic(key: str, n: int) -> None:
+    part = make_partitioner(n)
+    b = part(key)
+    assert 0 <= b < n
+    assert b == part(key) == ihash(key) % n
+    assert 0 <= ihash(key) <= 0x7FFFFFFF
+
+
+@given(st.text(min_size=0, max_size=50), st.text(min_size=0, max_size=50))
+def test_fnv_is_prefix_sensitive(a: str, b: str) -> None:
+    """Hash of a+b is the fold of b's bytes starting from hash(a) —
+    i.e. the hash is a true left fold (no buffering/chunking bugs)."""
+    h = fnv1a_32(a)
+    for byte in b.encode("utf-8"):
+        h = ((h ^ byte) * FNV_PRIME_32) & 0xFFFFFFFF
+    assert fnv1a_32(a + b) == h
+
+
+# ---------------------------------------------------------------------------
+# Unicode-letter tokenizer (wc/indexer map semantics)
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=300))
+def test_words_are_maximal_letter_runs(text: str) -> None:
+    words = _words(text)
+    # every token is nonempty, all-letters
+    assert all(w and all(c.isalpha() for c in w) for w in words)
+    # tokens appear in order as disjoint slices of the input
+    pos = 0
+    for w in words:
+        i = text.index(w, pos)
+        # maximality: the char before/after the run is not a letter
+        assert i == 0 or not text[i - 1].isalpha() or text[i - 1 : i + len(w)] != text[i - 1] + w
+        pos = i + len(w)
+    # reconstruction: stripping all non-letters leaves exactly the tokens
+    assert "".join(words) == "".join(c for c in text if c.isalpha())
+
+
+@given(st.lists(st.text(st.characters(categories=("Lu", "Ll", "Lo")), min_size=1, max_size=10), max_size=20))
+def test_words_round_trips_space_joined_tokens(tokens: list[str]) -> None:
+    assert _words(" ".join(tokens)) == tokens
+
+
+# ---------------------------------------------------------------------------
+# Sign-sketch bit-pack kernel (ANN / embedding-LSH hot path)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=100_000),
+    st.integers(min_value=2, max_value=16),  # dim
+    st.integers(min_value=1, max_value=16),  # n_planes
+    st.integers(min_value=1, max_value=8),  # batch rows
+)
+@settings(max_examples=25, deadline=None)
+def test_sign_sketch_matches_naive_loop(spark, seed, dim, n_planes, n) -> None:
+    # spark fixture: pandas_udf() parses its DDL return type via the
+    # active SparkContext even though .func runs pure-Python below
+    from map_reduce_spark.functions.vector_udfs import make_sign_sketch_udf
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim)).tolist()
+    vecs = rng.normal(size=(n, dim))
+
+    udf = make_sign_sketch_udf(planes, n_planes)
+    # `.func` is the plain Python function wrapped by pandas_udf
+    got = udf.func(pd.Series(list(vecs))).tolist()
+
+    for row, g in zip(vecs, got):
+        expect = 0
+        for i, plane in enumerate(planes):  # MSB-first: plane 0 -> bit n-1
+            if float(np.dot(row, plane)) > 0:
+                expect |= 1 << (n_planes - 1 - i)
+        assert g == expect
+
+
+# ---------------------------------------------------------------------------
+# Compat MapReduce: hypothesis-built corpus differential (the reference's
+# defining check, over generated inputs instead of the fixed fixture)
+# ---------------------------------------------------------------------------
+
+_corpus_text = st.text(
+    st.one_of(
+        st.characters(categories=("Lu", "Ll", "Lo", "Nd", "Po", "Zs")),
+        st.sampled_from("\n\t Übêrλ漢字"),
+    ),
+    max_size=400,
+)
+
+
+@given(st.lists(_corpus_text, min_size=1, max_size=4))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distributed_equals_sequential_on_generated_corpus(
+    spark, tmp_path_factory, texts: list[str]
+) -> None:
+    from map_reduce_spark.compat.job import MapReduceJob, sorted_output
+
+    d = tmp_path_factory.mktemp("hyp_corpus")
+    for i, text in enumerate(texts):
+        (d / f"pg-{i}.txt").write_text(text, encoding="utf-8")
+
+    for app in ("wc", "indexer"):
+        map_fn, reduce_fn = APPS[app]
+        job_seq = MapReduceJob(f"{d}/pg-*.txt", map_fn, reduce_fn)
+        seq = sorted_output(job_seq.run_sequential())
+        dist = sorted_output(
+            MapReduceJob(f"{d}/pg-*.txt", map_fn, reduce_fn, n_reduce=5).run(
+                spark, str(tmp_path_factory.mktemp("hyp_out") / app)
+            )
+        )
+        assert seq == dist

@@ -43,7 +43,7 @@ JACCARD_THRESHOLD = 0.6
 # MATERIALIZED: DuckDB inlines (re-evaluates) CTEs per reference by
 # default; shingles/sizes are referenced multiple times and the CC
 # oracle chains levels, which would re-run the tokenizer exponentially.
-_SHINGLE_SQL = """
+_SHINGLE_PREFIX_SQL = """
     WITH toks AS MATERIALIZED (
         SELECT doc_id, tok, pos FROM (
             SELECT doc_id,
@@ -55,7 +55,9 @@ _SHINGLE_SQL = """
         SELECT DISTINCT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
         FROM toks a
         JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+
+_SHINGLE_SQL = _SHINGLE_PREFIX_SQL + """,
     sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     common AS MATERIALIZED (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
@@ -178,6 +180,92 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Document-frequency cap: shingles appearing in more than this many
+# documents are excluded from the similarity space. Two jobs in one:
+# (a) SKEW BOUND — the inverted-index pair join fans out df*(df-1)/2
+#     pairs per shingle; capping df bounds any single shingle's
+#     contribution to <= cap(cap-1)/2 pairs regardless of corpus size,
+#     so the worst key is constant-bounded at 100 TB (vs relying on
+#     AQE skew-split for a million-doc boilerplate shingle);
+# (b) SIGNAL — ubiquitous shingles (headers, license boilerplate) carry
+#     no similarity information, exactly like stopword removal; CCNet /
+#     Gopher-style dedup pipelines drop them for the same reason.
+SHINGLE_DF_CAP = 20
+
+_JACCARD_CAPPED_SQL = (
+    _SHINGLE_PREFIX_SQL
+    + f""",
+    rare AS MATERIALIZED (
+        SELECT doc_id, sh FROM shingles
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {SHINGLE_DF_CAP}),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+    common AS MATERIALIZED (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+)
+
+
+@register("dedup_jaccard_df_capped", oracle_sql=_JACCARD_CAPPED_SQL)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs over the DF-capped shingle space.
+
+    Same plan as ``dedup_ngram_jaccard_pairs`` with one extra
+    aggregate: shingles with document frequency > SHINGLE_DF_CAP are
+    dropped BEFORE the pair join, and Jaccard is defined over the
+    remaining (informative) shingles. This hard-bounds inverted-index
+    skew — the hottest shingle generates at most cap*(cap-1)/2
+    candidate pairs no matter how large the corpus — which is the
+    guarantee the uncapped query lacks (it leans on AQE skew-split).
+    The df filter itself is a uniform hash aggregate on the shingle,
+    the same shuffle key the pair join needs, so AQE coalesces the
+    exchange; no extra pass over the raw corpus.
+
+    On corpora whose near-dup pairs share at least one sub-ubiquitous
+    shingle the output equals the uncapped query's exactly (pinned by
+    ``tests/test_dedup.py``); the oracle replicates the capped
+    semantics so the equality here is exact by construction.
+    """
+    sh = doc_shingles(spark, sf_dir)
+    # df filter as bounded-state count agg + semi join (NOT a
+    # collect_list-and-explode, which would buffer the hot shingle's
+    # whole doc list in one agg row — the exact unbounded-state shape
+    # the cap exists to prevent). Both sides shuffle on sh, the same
+    # key the pair join below needs.
+    df_ok = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    rare = sh.join(df_ok, "sh", "left_semi")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = rare.alias("a"), rare.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

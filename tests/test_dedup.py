@@ -42,6 +42,26 @@ def test_exact_pairs_exist(true_pairs):
     assert len(true_pairs) >= 5
 
 
+def test_df_capped_jaccard_matches_uncapped_on_fixture(spark, sf_dir):
+    """The DF cap drops only ubiquitous (uninformative) shingles, so
+    on a corpus whose near-dup pairs share at least one rare shingle
+    the capped similarity space yields the SAME pair set and values.
+    Pins that the cap is a skew bound, not a semantic change, at
+    fixture scale; the DuckDB oracle separately pins exactness of the
+    capped semantics themselves."""
+    from map_reduce_spark.functions.dedup import dedup_jaccard_df_capped
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_df_capped(spark, sf_dir).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert capped == uncapped
+
+
 def test_minhash_lsh_matches_exact(spark, sf_dir, true_pairs):
     """Verified-LSH output == exact jaccard>=t pairs on this fixture
     (detection probability ~1 at the planted similarity levels)."""

@@ -1,0 +1,273 @@
+"""Training-data preparation operators over the ``documents`` table.
+
+The steps between "filtered corpus" and "tokens on a training host"
+that the dedup/quality family (functions/text.py, functions/dedup.py)
+doesn't cover:
+
+- ``doc_repetition_stats`` — Gopher-style within-document repetition
+  signals (top-token share, top-bigram share) used as quality filters;
+- ``doc_scrub_blocklist``  — blocklist-term + PII-pattern redaction
+  with per-document hit accounting;
+- ``doc_pack_sequences``   — deterministic fixed-token-budget packing
+  of documents into training sequences, parallelized by shard.
+
+The reference engine has no analogue (it is a two-phase MapReduce
+kernel, /root/reference/src/mr); these generalize its per-record map
+surface (worker.go:87) the same way the text/dedup suites do. All
+three are pure built-in-expression plans — no Python UDFs — and each
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_spread, load_table
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher / MassiveText quality signals)
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
+                   generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+            FROM documents)
+        WHERE length(tok) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    tok_top AS (
+        SELECT doc_id, tok AS top_tok, cnt AS top_tok_n FROM (
+            SELECT doc_id, tok, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, tok) AS rn
+            FROM toks GROUP BY doc_id, tok)
+        WHERE rn = 1),
+    bigrams AS MATERIALIZED (
+        SELECT a.doc_id, concat(a.tok, ' ', b.tok) AS bg
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    bg_top AS (
+        SELECT doc_id, bg AS top_bigram, cnt AS top_bigram_n FROM (
+            SELECT doc_id, bg, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, bg) AS rn
+            FROM bigrams GROUP BY doc_id, bg)
+        WHERE rn = 1)
+    SELECT s.doc_id, s.n_tokens,
+           t.top_tok, round(t.top_tok_n * 1.0 / s.n_tokens, 6) AS top_tok_share,
+           b.top_bigram,
+           round(b.top_bigram_n * 1.0 / (s.n_tokens - 1), 6) AS top_bigram_share
+    FROM sizes s
+    JOIN tok_top t ON t.doc_id = s.doc_id
+    JOIN bg_top b ON b.doc_id = s.doc_id
+    WHERE s.n_tokens >= 2
+    ORDER BY s.doc_id
+    """
+
+
+@register("doc_repetition_stats", oracle_sql=_REPETITION_SQL)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: top-token and top-bigram share.
+
+    The Gopher/MassiveText repetition filters ("fraction of the most
+    common word", "fraction of the most common 2-gram") — documents
+    dominated by one token or phrase are machine-generated or
+    boilerplate and get dropped before training. Complements
+    ``doc_profile``'s type_token_ratio (which sees global diversity
+    but not single-phrase dominance).
+
+    Scale: tokens/bigrams explode map-side from the token array (no
+    join — the SQL oracle's pos-join is just DuckDB's way to write
+    zip-with-next); per-(doc, gram) counts and the per-doc top-1
+    window all shuffle on doc_id once, and every aggregate is
+    partial+final. Ties broken (count desc, gram asc) so the top gram
+    is deterministic across engines.
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = docs.filter(F.size("toks") >= 2).select("doc_id", "toks")
+
+    toks = docs.select("doc_id", F.size("toks").alias("n_tokens"),
+                       F.explode("toks").alias("g"))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i.cast("int")),
+                    F.element_at("toks", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("g"),
+    )
+
+    def top1(grams: DataFrame, name: str, n_name: str) -> DataFrame:
+        w = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g"))
+        return (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("g").alias(name), F.col("cnt").alias(n_name))
+        )
+
+    sizes = toks.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
+    return (
+        sizes.join(top1(toks, "top_tok", "top_tok_n"), "doc_id")
+        .join(top1(bigrams, "top_bigram", "top_bigram_n"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_tok",
+            F.round(F.col("top_tok_n") / F.col("n_tokens"), 6).alias("top_tok_share"),
+            "top_bigram",
+            F.round(F.col("top_bigram_n") / (F.col("n_tokens") - 1), 6).alias(
+                "top_bigram_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist / PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Term blocklist (policy-driven in a real pipeline; these exist in the
+# fixture vocabulary so the operator demonstrably rewrites) and the two
+# classic PII shapes. Patterns are chosen to mean the same thing to
+# Java regex (Spark) and RE2 (DuckDB): \b word boundaries, no
+# lookarounds, no backrefs.
+BLOCKLIST_RE = r"\b(customer|supplier|secret)\b"
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_SCRUB_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{BLOCKLIST_RE}')) AS n_term_hits,
+           len(regexp_extract_all(lower(text), '{EMAIL_RE}')) AS n_email_hits,
+           len(regexp_extract_all(lower(text), '{IPV4_RE}')) AS n_ip_hits,
+           md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                   '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{IPV4_RE}', '[IP]', 'g'),
+                   '{BLOCKLIST_RE}', '[TERM]', 'g')) AS scrubbed_md5
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register("doc_scrub_blocklist", oracle_sql=_SCRUB_SQL)
+def doc_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-term + PII-pattern redaction with hit accounting.
+
+    The scrub step every released-data pipeline runs: emails and IPs
+    are masked with typed placeholders, policy blocklist terms with
+    ``[TERM]``, and per-document hit counts come out alongside so the
+    pipeline can drop documents over a hit threshold instead of (or as
+    well as) rewriting them. Emitted as counts + md5 of the scrubbed
+    text: the hash proves byte-exact rewrite parity against the oracle
+    without shipping the full text through the comparator.
+
+    Scale: embarrassingly parallel — a narrow per-row projection, no
+    shuffle at all (the ORDER BY is presentation only); regexes are
+    anchored word-boundary patterns valid in both Java regex and RE2.
+    PII patterns hit zero times on the synthetic fixture (its text is
+    word salad) — the blocklist terms are drawn from the fixture
+    vocabulary so the rewrite path is exercised for real.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lowered, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        BLOCKLIST_RE,
+        "[TERM]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(lowered, F.lit(BLOCKLIST_RE)).cast("long").alias("n_term_hits"),
+        F.regexp_count(lowered, F.lit(EMAIL_RE)).cast("long").alias("n_email_hits"),
+        F.regexp_count(lowered, F.lit(IPV4_RE)).cast("long").alias("n_ip_hits"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_SHARDS = 8  # parallel packing streams
+
+_PACK_SQL = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {PACK_SHARDS}
+                   AS shard,
+               len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               t -> length(t) > 0)) AS n_tokens
+        FROM documents)
+    SELECT doc_id, shard, n_tokens,
+           before // {PACK_BUDGET} AS seq_id,
+           before % {PACK_BUDGET} AS seq_offset
+    FROM (
+        SELECT *,
+               -- CAST: DuckDB window sum(BIGINT) yields HUGEINT, which
+               -- would arrive as float64 at the comparator
+               CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before
+        FROM sized)
+    ORDER BY doc_id
+    """
+
+
+@register("doc_pack_sequences", oracle_sql=_PACK_SQL)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic packing of documents into fixed-token-budget
+    training sequences.
+
+    Assigns each document a (shard, seq_id, seq_offset): documents are
+    dealt to PACK_SHARDS independent packing streams by md5(doc_id)
+    (the same engine-stable deal as ``doc_split_assign``), then packed
+    greedily in doc_id order — a document starts at the running token
+    offset of its shard and seq_id = floor(offset / PACK_BUDGET). The
+    whole layout is a pure function of (doc_id, text), so an identical
+    corpus always packs identically, on any engine, at any parallelism.
+
+    Scale: the only state is a prefix sum per shard — a window over
+    PARTITION BY shard, so the sort is per-shard, not global, and
+    shards scale out with the cluster (PACK_SHARDS would be ~10^4 at
+    100 TB; it is 8 here to exercise multi-doc sequences on the small
+    fixture). No joins, one shuffle on the shard key.
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % PACK_SHARDS
+    )
+    sized = docs.select(
+        "doc_id", shard.alias("shard"), F.size("toks").cast("long").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(before / PACK_BUDGET).alias("seq_id"),
+        (before % PACK_BUDGET).alias("seq_offset"),
+    ).orderBy("doc_id")

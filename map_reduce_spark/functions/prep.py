@@ -200,6 +200,101 @@ def doc_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+# A train-split document sharing at least this fraction of its distinct
+# shingles with ANY test-split content is flagged (threshold is
+# policy; 0.5 catches near-duplicates straddling the split boundary
+# without firing on incidental phrase overlap).
+CONTAM_RATIO = 0.5
+
+# test split = bucket >= train% + val% under the same salt/deal as
+# doc_split_assign; interpolated so the oracle can't drift from the
+# Spark constants
+from map_reduce_spark.functions.text import SPLIT_PCT, SPLIT_SALT  # noqa: E402
+
+_TEST_BUCKET = SPLIT_PCT[0] + SPLIT_PCT[1]
+
+_DECONTAM_SQL = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
+                   generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+            FROM documents)
+        WHERE length(tok) > 0),
+    shingles AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+    bucketed AS MATERIALIZED (
+        SELECT s.doc_id, s.sh,
+               ('0x' || substr(md5(s.doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT % 100 AS bucket
+        FROM shingles s),
+    test_sh AS MATERIALIZED (
+        SELECT DISTINCT sh FROM bucketed WHERE bucket >= {_TEST_BUCKET})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE sh IN (SELECT sh FROM test_sh)) AS BIGINT)
+               AS n_shared,
+           CASE WHEN count(*) FILTER (WHERE sh IN (SELECT sh FROM test_sh)) * 1.0
+                     / count(*) >= {CONTAM_RATIO}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM bucketed
+    WHERE bucket < {_TEST_BUCKET}
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("doc_decontaminate", oracle_sql=_DECONTAM_SQL)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag train/val documents whose content leaks into the test split.
+
+    The contamination check every eval-honest pipeline runs before
+    training: for each non-test document, the fraction of its distinct
+    3-gram shingles that also appear anywhere in the test split
+    (``doc_split_assign``'s bucket >= 90). Composes two existing
+    indexes — the session-cached shingle table and the md5 split deal
+    (``split_bucket_col``, a pure function of doc_id, so no join is
+    needed to bucket the shingle rows).
+
+    Scale: the test-shingle table is DISTINCT over ~10% of corpus
+    shingles (ids dropped — it is a set, the smallest artifact that
+    answers membership); the train side left-joins it on the shingle
+    key — one uniform shuffle, no pairwise term, counts decomposable.
+    This is deliberately doc-to-SPLIT overlap, not doc-to-doc: the
+    pairwise variant is ``dedup_ngram_jaccard_pairs``.
+    """
+    from map_reduce_spark.functions.dedup import doc_shingles
+    from map_reduce_spark.functions.text import split_bucket_col
+
+    sh = doc_shingles(spark, sf_dir).withColumn("bucket", split_bucket_col())
+    test_sh = (
+        sh.filter(F.col("bucket") >= 90).select("sh").distinct().withColumn("hit", F.lit(1))
+    )
+    ratio = F.col("n_shared") / F.col("n_shingles")
+    return (
+        sh.filter(F.col("bucket") < 90)
+        .join(test_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.when(ratio >= CONTAM_RATIO, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fixed-token-budget sequence packing
 # ---------------------------------------------------------------------------
 

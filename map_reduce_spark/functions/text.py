@@ -263,6 +263,21 @@ SPLIT_SALT = "v1"  # version the assignment: bump to re-deal every doc
 SPLIT_PCT = (80, 10, 10)  # train / val / test
 
 
+def split_bucket_col() -> Column:
+    """The md5(doc_id + salt) mod 100 split bucket — a pure function of
+    doc_id, shared by ``doc_split_assign`` and the decontamination
+    operator (``functions/prep.doc_decontaminate``) so both sides of
+    any train/test boundary agree on the deal by construction."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(SPLIT_SALT))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
 @register(
     "doc_split_assign",
     oracle_sql=f"""
@@ -292,14 +307,7 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT parse the same 32-bit md5 prefix.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(SPLIT_SALT))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = split_bucket_col()
     train, val = SPLIT_PCT[0], SPLIT_PCT[0] + SPLIT_PCT[1]
     return (
         docs.select("doc_id", bucket.alias("bucket"))

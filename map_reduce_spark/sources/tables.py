@@ -37,20 +37,39 @@ TABLES = [
 DIM_TABLES = {"region", "nation", "supplier"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ ``TimestampType``.
+
+    The fixture has shipped with two physical types across
+    regenerations: parquet TIMESTAMP(NANOS) (which Spark surfaces as
+    int64 nanos under ``nanosAsLong``) and parquet TIMESTAMP(MICROS)
+    (which reads back as TIMESTAMP_NTZ). Branch on the dtype actually
+    read so either generation lands on the same typed column — the
+    session TZ is pinned to UTC, so NTZ→timestamp keeps epoch values
+    bit-identical.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # ns since epoch. Exact integer division (DIV): ns magnitudes
+        # (~1.7e18) are not representable in an IEEE double, so float
+        # division + floor() can land 1 µs low. DIV stays in long
+        # arithmetic — lossless.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Already a timestamp (TIMESTAMP_NTZ or TIMESTAMP) — cast is a
+    # no-op for TimestampType and a pure re-tag under UTC for NTZ.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects outright. Read it as raw int64 nanos (legacy conf) and
-        # rebuild a microsecond TimestampType column; the fixture has no
-        # sub-microsecond components so the conversion is lossless.
+        # Harmless for TIMESTAMP(MICROS) fixtures; required so a
+        # TIMESTAMP(NANOS) fixture generation loads at all (the reader
+        # rejects NANOS outright without it).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Exact integer division (DIV): ns magnitudes (~1.7e18) are not
-        # representable in an IEEE double, so float division + floor()
-        # can land 1 µs low. DIV stays in long arithmetic — lossless.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -16,36 +16,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Schema pinned explicitly — streaming sources must not infer.
-# ts arrives as int64 nanos (the fixture's TIMESTAMP(NANOS) physical
-# type, read via nanosAsLong) and is rebuilt as a typed timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with typed event time."""
+    """events.parquet as a file-source stream with typed event time.
+
+    Streaming sources must not infer, so the schema is taken from a
+    one-off batch metadata read of the same file (a footer-only driver
+    op). That keeps the stream dtype-adaptive across fixture
+    generations (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS)) with
+    the exact same normalization as the batch path.
+    """
+    from map_reduce_spark.sources.tables import normalize_event_ts
+
+    # Required for a TIMESTAMP(NANOS) fixture generation; no-op for
+    # TIMESTAMP(MICROS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source needs a directory; select just the events
     # file out of the fixture dir with a glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Exact integer division (DIV) — see sources/tables.py: float
-    # division of epoch-nanos is inexact and floor() can land 1 µs low.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -660,15 +660,15 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint discipline. The frames are O(|dup pairs|), tiny
     # relative to the corpus, and repartitioned DOWN so each round
     # schedules a handful of tasks, not cluster-width empties.
-    edges = (
+    edges_raw = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .persist()
     )
-    # Size the per-round shuffle from the (persisted) edge count:
-    # ceil(edges / target) tasks, capped at session parallelism. The
-    # count() is against the persisted frame the loop needs anyway.
-    n_edges = edges.count()
+    # Size the edge partitioning from the edge count: ceil(edges /
+    # target) tasks, capped at session parallelism. The count() also
+    # materializes the persisted frame.
+    n_edges = edges_raw.count()
     n_part = max(
         1,
         min(
@@ -676,7 +676,16 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(-n_edges // _CC_EDGE_ROWS_PER_PARTITION),
         ),
     )
-    edges = edges.repartition(n_part, "u")
+    # Persist the edges hash-partitioned on v — the per-round join key.
+    # Persisting AFTER the repartition matters: the cached scan then
+    # reports HashPartitioning(v, n_part), so every round's join
+    # shuffles only the (much smaller) labels side; persisting before
+    # it would re-run the repartition exchange each round. Materialize
+    # before dropping the pre-repartition cache so the pair index
+    # isn't recomputed.
+    edges = edges_raw.repartition(n_part, "v").persist()
+    edges.count()
+    edges_raw.unpersist()
     labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
         "lbl", F.col("doc_id")
     )
@@ -700,7 +709,13 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Fixpoint check: labels decrease monotonically, so an
         # unchanged sum over the checkpointed (materialized) frame
         # means no label moved — converged. One tiny agg per round.
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        # decimal(38,0), not long: a long sum can wrap at the 10⁹-doc
+        # design point with 64-bit ids, and a wrap could (vanishingly
+        # rarely) fake an unchanged sum. Decimal makes the invariant
+        # airtight.
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

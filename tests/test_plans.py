@@ -88,8 +88,24 @@ def test_no_forced_per_document_broadcast(spark, sf_dir, name):
     """The dedup/similarity family must not hint a broadcast of any
     per-document-row table (shingle sizes, sampled vectors): those grow
     linearly with the corpus, so a hard hint OOMs at the design point.
-    Plain equi-joins let AQE broadcast only when genuinely small."""
+    Plain equi-joins let AQE broadcast only when genuinely small.
+
+    Known limit: for dedup_duplicate_clusters the iterative rounds
+    localCheckpoint (lineage truncation), so this analyzed plan covers
+    only the post-loop aggregation; the join-bearing subtree the
+    truncation hides is pinned separately below."""
     df = load_all()[name].builder(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert "ResolvedHint" not in logical, logical[:2000]
+
+
+def test_cc_pair_index_no_forced_broadcast(spark, sf_dir):
+    """The connected-components query's pre-loop pair index is the
+    per-document join the generic test above cannot see past the
+    per-round localCheckpoint truncation — pin it directly."""
+    from map_reduce_spark.functions.dedup import jaccard_pair_index
+
+    df = jaccard_pair_index(spark, sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
     assert "ResolvedHint" not in logical, logical[:2000]
 

@@ -385,3 +385,70 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(before / PACK_BUDGET).alias("seq_id"),
         (before % PACK_BUDGET).alias("seq_offset"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified corpus sampling (mixture re-weighting)
+# ---------------------------------------------------------------------------
+
+SAMPLE_SALT = "sample-v1"  # versions the sample: bump to re-deal
+# Per-language keep percentage: downsample the overrepresented
+# languages, keep low-resource ones whole. (Values are workload
+# parameters; 100 = keep all.)
+LANG_KEEP_PCT = {"en": 40, "de": 75}
+_DEFAULT_KEEP_PCT = 100
+
+
+def _sample_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(LANG_KEEP_PCT.items())
+    )
+    return f"CASE lang {whens} ELSE {_DEFAULT_KEEP_PCT} END"
+
+
+@register(
+    "doc_stratified_sample",
+    oracle_sql=f"""
+    SELECT doc_id, lang, source, bucket
+    FROM (
+        SELECT doc_id, lang, source,
+               ('0x' || substr(md5(doc_id || '/{SAMPLE_SALT}'), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM documents)
+    WHERE bucket < {_sample_rate_sql()}
+    ORDER BY doc_id
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by language.
+
+    The mixture-reweighting step of corpus curation: each stratum
+    (language here; any column works) keeps an exact, configured
+    fraction of its documents, selected by md5(doc_id + salt) mod 100
+    — the same engine-stable hash deal as ``doc_split_assign``, so the
+    sample is (a) reproducible forever, (b) unchanged for old docs as
+    the corpus grows (unlike ``df.sampleBy``, whose selections shift
+    with partitioning and seed plumbing), and (c) a pure narrow
+    filter: no shuffle, full predicate pushdown around it, trivially
+    correct at 100 TB. Consistent with the split deal but salted
+    differently, so sampling is independent of train/val/test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(SAMPLE_SALT))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_KEEP_PCT)
+    for lang, pct in sorted(LANG_KEEP_PCT.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )

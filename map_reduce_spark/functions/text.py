@@ -366,3 +366,63 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle_sql=_sql_tokens_cte()
+    + """
+    , tf AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_t)
+        GROUP BY doc_id, tok),
+    ctf AS MATERIALIZED (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
+    tot AS (SELECT sum(ctf) AS total FROM ctf)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sum_ll / n_tokens, 6) AS mean_logprob,
+           round(exp(-sum_ll / n_tokens), 4) AS ppl
+    FROM (
+        SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+               sum(tf.tf * ln(ctf.ctf * 1.0 / tot.total)) AS sum_ll
+        FROM tf JOIN ctf USING (tok) CROSS JOIN tot
+        GROUP BY tf.doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability and perplexity under
+    the corpus's own unigram language model — the classic cheap
+    fluency/outlier signal (very low mean log-prob = gibberish or
+    boilerplate; used alongside the Gopher repetition filters).
+
+    Plan shape: reuses the session-cached TF index
+    (``doc_term_freq``), aggregates it once into a vocabulary-sized
+    unigram table, broadcasts the 1-row corpus total, and reduces per
+    document — every aggregate decomposable, shuffle volume bounded by
+    |vocabulary| + |distinct (doc, tok)|. At 100 TB the model table is
+    still vocabulary-sized; nothing scales with raw token count except
+    the initial scan.
+    """
+    tf = doc_term_freq(spark, sf_dir)
+    ctf = tf.groupBy("tok").agg(F.sum("tf").alias("ctf"))
+    tot = ctf.select(F.sum("ctf").alias("total"))
+    mean_ll = F.col("sum_ll") / F.col("n_tokens")
+    return (
+        tf.join(ctf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * F.log(F.col("ctf") * F.lit(1.0) / F.col("total"))
+            ).alias("sum_ll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(mean_ll, 6).alias("mean_logprob"),
+            F.round(F.exp(-mean_ll), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

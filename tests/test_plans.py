@@ -63,6 +63,7 @@ ALLOWED_NESTED_LOOP = {
     "q22ish_idle_customers",
     "events_type_funnel",  # broadcast 1-row global-total scalar
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-size scalar
+    "doc_unigram_logprob",  # broadcast 1-row corpus-token-total scalar
 }
 
 

@@ -244,6 +244,30 @@ _JACCARD_CAPPED_SQL = (
 )
 
 
+@session_cached
+def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DF-capped (doc_id, sh) table, persisted per (session,
+    corpus) via ``session_cached`` — the third derived index of the
+    dedup family. The capped query references it THREE times (both
+    sides of the pair self-join plus the sizes aggregate) and AQE
+    breaks ReuseExchange for the identical subtrees (measured 0
+    ReusedExchange nodes), so without persistence the df aggregate +
+    semi join ran once per reference."""
+    sh = doc_shingles(spark, sf_dir)
+    # df filter as bounded-state count agg + semi join (NOT a
+    # collect_list-and-explode, which would buffer the hot shingle's
+    # whole doc list in one agg row — the exact unbounded-state shape
+    # the cap exists to prevent). Both sides shuffle on sh, the same
+    # key the pair join needs.
+    df_ok = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    return sh.join(df_ok, "sh", "left_semi")
+
+
 @register("dedup_jaccard_df_capped", oracle_sql=_JACCARD_CAPPED_SQL)
 def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs over the DF-capped shingle space.
@@ -264,19 +288,7 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_dedup.py``); the oracle replicates the capped
     semantics so the equality here is exact by construction.
     """
-    sh = doc_shingles(spark, sf_dir)
-    # df filter as bounded-state count agg + semi join (NOT a
-    # collect_list-and-explode, which would buffer the hot shingle's
-    # whole doc list in one agg row — the exact unbounded-state shape
-    # the cap exists to prevent). Both sides shuffle on sh, the same
-    # key the pair join below needs.
-    df_ok = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("sh")
-    )
-    rare = sh.join(df_ok, "sh", "left_semi")
+    rare = capped_shingles(spark, sf_dir)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = rare.alias("a"), rare.alias("b")
     common = (

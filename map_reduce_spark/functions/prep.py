@@ -452,3 +452,153 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation manifest (the pipeline, composed)
+# ---------------------------------------------------------------------------
+
+from map_reduce_spark.functions.dedup import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+)
+
+_QUALITY_MIN_TOKENS = 5  # doc_profile's 'drop' bucket boundary
+
+_CURATION_SQL = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
+                   generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+            FROM documents)
+        WHERE length(tok) > 0),
+    shingles AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id, concat(a.tok, ' ', b.tok, ' ', c.tok) AS sh
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+    rare AS MATERIALIZED (
+        SELECT doc_id, sh FROM shingles
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {SHINGLE_DF_CAP}),
+    rsizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+    rcommon AS MATERIALIZED (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+    near AS MATERIALIZED (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM rcommon
+        JOIN rsizes sa ON sa.doc_id = doc_a
+        JOIN rsizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    buck AS MATERIALIZED (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM documents),
+    test_sh AS MATERIALIZED (
+        SELECT DISTINCT sh FROM shingles JOIN buck USING (doc_id)
+        WHERE bucket >= {_TEST_BUCKET}),
+    contam AS MATERIALIZED (
+        SELECT shingles.doc_id
+        FROM shingles JOIN buck USING (doc_id)
+        WHERE bucket < {_TEST_BUCKET}
+        GROUP BY shingles.doc_id
+        HAVING count(*) FILTER (WHERE sh IN (SELECT sh FROM test_sh)) * 1.0
+                   / count(*) >= {CONTAM_RATIO}),
+    flags AS (
+        SELECT d.doc_id,
+               CASE WHEN bucket < {SPLIT_PCT[0]} THEN 'train'
+                    WHEN bucket < {_TEST_BUCKET} THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               t -> length(t) > 0)) AS n_tokens,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                        ORDER BY d.doc_id) > 1 THEN 1 ELSE 0 END AS exact_dup,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END AS near_dup,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END AS contaminated
+        FROM documents d JOIN buck ON buck.doc_id = d.doc_id)
+    SELECT doc_id, split, n_tokens,
+           CASE WHEN n_tokens < {_QUALITY_MIN_TOKENS} THEN 1 ELSE 0 END AS low_quality,
+           exact_dup, near_dup, contaminated,
+           CASE WHEN n_tokens < {_QUALITY_MIN_TOKENS} THEN 'drop_quality'
+                WHEN exact_dup = 1 THEN 'drop_exact_dup'
+                WHEN near_dup = 1 THEN 'drop_near_dup'
+                WHEN contaminated = 1 THEN 'drop_contaminated'
+                ELSE 'keep' END AS status
+    FROM flags
+    ORDER BY doc_id
+    """
+
+
+@register("doc_curation_manifest", oracle_sql=_CURATION_SQL)
+def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END: one manifest row per document
+    with its split assignment, every stage's flag, and the final
+    keep/drop verdict (first failing stage wins: quality -> exact dup
+    -> near dup -> decontamination).
+
+    This is the query a training-data team actually materializes
+    before a run — the per-stage operators (``doc_profile``,
+    ``dedup_exact``, ``dedup_jaccard_df_capped``,
+    ``doc_decontaminate``, ``doc_split_assign``) are its audit
+    breakdowns. Each stage flag is computed over the full corpus with
+    the stage's standalone semantics, so this query COMPOSES the
+    session-cached indexes the components already built (shingle
+    table, capped shingle table) — running the full pipeline after
+    its parts adds only the cheap manifest join, and at 100 TB the
+    expensive artifacts (shingle index, pair set) are computed once,
+    not once per stage. All joins are per-doc equi-joins on doc_id;
+    nothing here adds a shuffle wider than the components' own.
+    """
+    from map_reduce_spark.functions.dedup import dedup_jaccard_df_capped
+    from map_reduce_spark.functions.text import split_bucket_col
+
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        split_bucket_col().alias("bucket"),
+        F.md5(norm).alias("fingerprint"),
+    ).withColumn(
+        "exact_dup", F.when(F.row_number().over(w) > 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    near = (
+        dedup_jaccard_df_capped(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_flag", F.lit(1))
+    )
+    contam = doc_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    split = (
+        F.when(F.col("bucket") < SPLIT_PCT[0], "train")
+        .when(F.col("bucket") < _TEST_BUCKET, "val")
+        .otherwise("test")
+    )
+    return (
+        base.join(near, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce(F.col("near_flag"), F.lit(0)))
+        .withColumn("contaminated", F.coalesce(F.col("contaminated"), F.lit(0)))
+        .withColumn(
+            "low_quality",
+            F.when(F.col("n_tokens") < _QUALITY_MIN_TOKENS, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("low_quality") == 1, "drop_quality")
+            .when(F.col("exact_dup") == 1, "drop_exact_dup")
+            .when(F.col("near_dup") == 1, "drop_near_dup")
+            .when(F.col("contaminated") == 1, "drop_contaminated")
+            .otherwise("keep"),
+        )
+        .select(
+            "doc_id", split.alias("split"), "n_tokens",
+            "low_quality", "exact_dup", "near_dup", "contaminated", "status",
+        )
+        .orderBy("doc_id")
+    )

@@ -248,32 +248,44 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("probe_norm"),
         F.col("sketch").alias("probe_sketch"),
     )
+    # Band rows carry the 8-byte full sketch alongside the ids so the
+    # hamming prefilter can run MAP-SIDE on the band join's output —
+    # before the distinct and before any vector payload is joined.
+    # Filtering after the distinct (the previous shape) shuffled every
+    # banded candidate and rejoined payloads for the ~70% of them the
+    # prefilter was about to discard.
     probe_bands = probes.select(
         "probe_id",
+        "probe_sketch",
         F.explode(_sketch_bands(F.col("probe_sketch"), probe_radius=1)).alias("bs"),
-    ).select("probe_id", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    ).select(
+        "probe_id", "probe_sketch",
+        F.col("bs.band").alias("band"), F.col("bs.val").alias("val"),
+    )
     corpus_bands = sk.select(
         F.col("vec_id").alias("neighbor_id"),
+        "sketch",
         F.explode(_sketch_bands(F.col("sketch"))).alias("bs"),
     ).select(
-        "neighbor_id", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")
+        "neighbor_id", "sketch",
+        F.col("bs.band").alias("band"), F.col("bs.val").alias("val"),
     )
     cand = (
         corpus_bands.join(F.broadcast(probe_bands), ["band", "val"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id")
-        .distinct()
-    )
-    # Rejoin vector payloads by id: the band index carries ids only, so
-    # the exploded frame never duplicates the 64-d vectors x bands.
-    corpus = sk.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm", "sketch")
-    scored = (
-        cand.join(corpus, "neighbor_id")
-        .join(F.broadcast(probes), "probe_id")
         .filter(
             F.bit_count(F.col("sketch").bitwiseXOR(F.col("probe_sketch")))
             <= HAMMING_MAX
         )
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    # Rejoin vector payloads by id: the band index never duplicates
+    # the 64-d vectors x bands, only ids + an 8-byte sketch.
+    corpus = sk.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm")
+    scored = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(probes), "probe_id")
         .withColumn(
             "score_raw",
             dot(F.col("probe_dv"), F.col("dv"))

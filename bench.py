@@ -1,6 +1,9 @@
 """Benchmark harness — runs the full query manifest and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ...}. The stdout line keeps the
+slowest queries only (sized to survive the driver's 2000-byte output
+window); the complete per-query map is written to
+``BENCH_FULL_local.json`` next to this file.
 
 Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 Parallelism: local[$SPARK_GRAFT_CPUS] (default 32)
@@ -58,18 +61,35 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "manifest_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    # Full per-query detail goes to a repo-local artifact; stdout gets
+    # ONE compact JSON line. The driver keeps only the last ~2000
+    # bytes of stdout and parses the JSON from that window, so a line
+    # carrying all ~70 query timings (>2.3 KB) is head-truncated and
+    # never parses (BENCH_r01..r03 all record parsed:null for exactly
+    # this reason). Emit the slowest queries only, trimmed so the line
+    # stays safely inside the window; the artifact has everything.
+    result = {
+        "metric": "manifest_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(sorted(timings.items())),
+        "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    budget = 1800  # bytes; driver window is 2000
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    line = {}
+    for keep in range(len(slowest), 0, -1):
+        line = dict(result)
+        line["queries"] = dict(sorted(slowest[:keep]))
+        line["queries_omitted"] = len(timings) - keep
+        if len(json.dumps(line, separators=(",", ":"))) <= budget:
+            break
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

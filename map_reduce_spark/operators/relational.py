@@ -515,6 +515,26 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_BUCKETS = 8192
+
+
+def _interp(sorted_vals_with_counts, h):
+    """quantile_cont over a (value, count)-sorted multiset at
+    fractional rank h: v_lo + (v_hi - v_lo) * frac — bit-identical to
+    DuckDB's interpolation (verified)."""
+    import math
+
+    kf, kc = math.floor(h), math.ceil(h)
+    picked = {}
+    cum = 0
+    for v, c in sorted_vals_with_counts:
+        for k in (kf, kc):
+            if k not in picked and cum <= k < cum + c:
+                picked[k] = v
+        cum += c
+    return picked[kf] + (picked[kc] - picked[kf]) * (h - kf)
+
+
 @register(
     "agg_exact_percentiles",
     oracle_sql="""
@@ -529,23 +549,129 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median / p90) per return flag.
+    """Exact interpolated percentiles (median / p90) per return flag,
+    computed WITHOUT per-group value buffers.
 
-    Scale note: exact percentiles need per-group value buffers; at
-    100 TB swap to percentile_approx (t-digest, mergeable) — kept exact
-    here because the oracle gate demands bit-stable answers.
+    Spark's built-in exact ``percentile`` buffers every value of a
+    group in one aggregation state — an executor OOM at 100 TB (and
+    3.5 s here). This is the distributed-selection alternative, the
+    shape that stays exact at any scale:
+
+    1. one scan: per-(flag, quantity) histogram carrying min/max
+       price — quantity's value domain is small, so its quantile
+       comes straight off the histogram; group counts and price
+       ranges fall out of the same 150-row aggregate;
+    2. one scan: per-(flag, price-bucket) counts over a fixed
+       {_PCTL_BUCKETS}-bucket range partition of each group's price
+       domain; cumulative counts locate the bucket holding each
+       target order statistic;
+    3. one scan: fetch ONLY the target buckets' rows (~n/buckets per
+       group) and select the exact order statistics locally.
+
+    Driver state is O(groups x buckets) counts + O(n/buckets) fetched
+    values — both bounded by construction, like the IVF trainer. The
+    interpolation arithmetic is bit-identical to DuckDB's
+    quantile_cont (verified against it), so the oracle hash still
+    matches exactly. Wall-clock at sf1 is on par with the buffering
+    built-in (~3.5 s — three cheap passes vs one buffering pass); the
+    change buys bounded memory, not local speed.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        )
-        .orderBy("l_returnflag")
+    import math
+
+    # The selection makes three passes over the same 3-column
+    # projection; persist it so passes 2-3 read the columnar cache
+    # instead of re-scanning parquet (at cluster scale this cache is
+    # optional — the algorithm is correct and bounded without it, each
+    # pass just re-scans).
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .persist()
     )
+    B = _PCTL_BUCKETS
+    # Pass 1: quantity histogram + count + price range, one aggregate.
+    hist = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    )
+    groups: dict[str, dict] = {}
+    for r in hist:
+        g = groups.setdefault(
+            r.l_returnflag, {"qty": [], "n": 0, "mn": r.mn, "mx": r.mx}
+        )
+        g["qty"].append((r.l_quantity, r.c))
+        g["n"] += r.c
+        g["mn"], g["mx"] = min(g["mn"], r.mn), max(g["mx"], r.mx)
+    rng = spark.createDataFrame(
+        [(g, d["mn"], d["mx"]) for g, d in groups.items()],
+        "l_returnflag string, _mn double, _mx double",
+    )
+    w = F.col("_mx") - F.col("_mn")
+    bucket = F.when(w == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("l_extendedprice") - F.col("_mn")) / w * B).cast("int"),
+        )
+    )
+    priced = li.join(F.broadcast(rng), "l_returnflag")
+    # Pass 2: bucket counts -> locate each target rank's bucket.
+    bcounts: dict[str, dict[int, int]] = {}
+    for r in (
+        priced.groupBy("l_returnflag", bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        bcounts.setdefault(r.l_returnflag, {})[r._b] = r.c
+    Q_PRICE = 0.9
+    need: dict[str, set[int]] = {}
+    for g, d in groups.items():
+        h = (d["n"] - 1) * Q_PRICE
+        cum = 0
+        for b in sorted(bcounts[g]):
+            c = bcounts[g][b]
+            if cum <= math.floor(h) < cum + c or cum <= math.ceil(h) < cum + c:
+                need.setdefault(g, set()).add(b)
+            cum += c
+    cond = None
+    for g, bs in need.items():
+        this = (F.col("l_returnflag") == g) & bucket.isin(*bs)
+        cond = this if cond is None else cond | this
+    # Pass 3: fetch target buckets only, select order stats locally.
+    fetched: dict[str, list] = {g: [] for g in groups}
+    base_rank: dict[str, int] = {}
+    for g in groups:
+        base_rank[g] = sum(
+            c for b, c in bcounts[g].items() if b < min(need[g])
+        )
+    for r in priced.filter(cond).select("l_returnflag", "l_extendedprice").collect():
+        fetched[r.l_returnflag].append(r.l_extendedprice)
+    li.unpersist()
+    out = []
+    for g, d in sorted(groups.items()):
+        med = _interp(sorted(d["qty"]), (d["n"] - 1) * 0.5)
+        h = (d["n"] - 1) * Q_PRICE
+        vals = sorted(fetched[g])
+        lo = vals[math.floor(h) - base_rank[g]]
+        hi = vals[math.ceil(h) - base_rank[g]]
+        p90 = lo + (hi - lo) * (h - math.floor(h))
+        out.append((g, med, p90, d["mn"], d["mx"]))
+    res = spark.createDataFrame(
+        out,
+        "l_returnflag string, _med double, _p90 double, _mn double, _mx double",
+    )
+    # Rounding in Spark (HALF_UP), matching the oracle's round().
+    return res.select(
+        "l_returnflag",
+        F.round("_med", 4).alias("median_qty"),
+        F.round("_p90", 4).alias("p90_price"),
+        F.round("_mn", 2).alias("min_price"),
+        F.round("_mx", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
 
 
 def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -520,8 +520,10 @@ _PCTL_BUCKETS = 8192
 
 def _interp(sorted_vals_with_counts, h):
     """quantile_cont over a (value, count)-sorted multiset at
-    fractional rank h: v_lo + (v_hi - v_lo) * frac — bit-identical to
-    DuckDB's interpolation (verified)."""
+    fractional rank h: v_lo*(1-frac) + v_hi*frac — DuckDB's exact
+    arithmetic (the `lo + (hi-lo)*frac` form differs by ulps on ~30%
+    of inputs; bit-parity pinned by a hypothesis test against DuckDB
+    in tests/test_properties.py)."""
     import math
 
     kf, kc = math.floor(h), math.ceil(h)
@@ -532,7 +534,8 @@ def _interp(sorted_vals_with_counts, h):
             if k not in picked and cum <= k < cum + c:
                 picked[k] = v
         cum += c
-    return picked[kf] + (picked[kc] - picked[kf]) * (h - kf)
+    frac = h - kf
+    return picked[kf] * (1 - frac) + picked[kc] * frac
 
 
 @register(
@@ -658,7 +661,8 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = sorted(fetched[g])
         lo = vals[math.floor(h) - base_rank[g]]
         hi = vals[math.ceil(h) - base_rank[g]]
-        p90 = lo + (hi - lo) * (h - math.floor(h))
+        frac = h - math.floor(h)
+        p90 = lo * (1 - frac) + hi * frac  # DuckDB's exact lerp form
         out.append((g, med, p90, d["mn"], d["mx"]))
     res = spark.createDataFrame(
         out,

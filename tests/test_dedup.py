@@ -154,3 +154,23 @@ def test_embedding_cosine_dedup_keeper_rule(spark, sf_dir, duck):
         ).fetchall()
     }
     assert dup_ids == expected
+
+
+def test_gemm_dedup_multiblock_equals_exact_twin(spark, sf_dir, monkeypatch):
+    """Force the blocked-GEMM path onto a multi-block grid at smoke
+    scale (the fixture's 20 vectors fit one block by default, which
+    would leave the cross-block tile orientation — where a dropped
+    min/max swap once lost pairs — untested) and check it equals the
+    exact all-pairs twin row for row."""
+    import map_reduce_spark.functions.dedup as dd
+
+    monkeypatch.setattr(dd, "_GEMM_MIN_BLOCK", 4)
+    got = {
+        (r.dup_id, r.keeper_id, r.keeper_score, r.n_near_dups)
+        for r in dd.dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    want = {
+        (r.dup_id, r.keeper_id, r.keeper_score, r.n_near_dups)
+        for r in dd.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -156,3 +156,50 @@ def test_distributed_equals_sequential_on_generated_corpus(
             )
         )
         assert seq == dist
+
+
+# --- weighted-median / quantile interpolation kernels ----------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_equals_pandas_on_expanded_multiset(pairs) -> None:
+    """_weighted_median over (value, count) must equal pandas' median
+    of the expanded series — the exact contract the supplier-stats
+    UDAF relies on after its histogram combine."""
+    from map_reduce_spark.operators.advanced import _weighted_median
+
+    vals = sorted(set(v for v, _ in pairs))
+    counts = {v: 0 for v in vals}
+    for v, c in pairs:
+        counts[v] += c
+    v_arr = np.array(vals)
+    w_arr = np.array([counts[v] for v in vals])
+    expanded = pd.Series(np.repeat(v_arr, w_arr))
+    assert _weighted_median(v_arr, w_arr) == expanded.median()
+
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60),
+    st.floats(0.0, 1.0),
+)
+def test_interp_matches_duckdb_quantile_cont(vals, q) -> None:
+    """_interp (the exact-percentile query's interpolation) must be
+    bit-identical to DuckDB's quantile_cont on the same multiset."""
+    import duckdb
+
+    from map_reduce_spark.operators.relational import _interp
+
+    h = (len(vals) - 1) * q
+    got = _interp(sorted((v, 1) for v in vals), h)
+    want = duckdb.execute(
+        "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?) AS v)", [q, vals]
+    ).fetchone()[0]
+    assert got == want

@@ -552,68 +552,101 @@ def _interp(sorted_vals_with_counts, h):
     """,
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (median / p90) per return flag,
-    computed WITHOUT per-group value buffers.
+    """Exact interpolated percentiles (median / p90) per return flag —
+    fully distributed, zero driver-side collects, lazy plan.
 
     Spark's built-in exact ``percentile`` buffers every value of a
-    group in one aggregation state — an executor OOM at 100 TB (and
-    3.5 s here). This is the distributed-selection alternative, the
-    shape that stays exact at any scale:
+    group in one aggregation state — an executor OOM at 100 TB. The
+    r4 version bounded executor state but still collected ~n/B bucket
+    rows to the driver (a deferred, linear driver OOM). This rewrite
+    keeps every pass inside the DataFrame plan:
 
-    1. one scan: per-(flag, quantity) histogram carrying min/max
-       price — quantity's value domain is small, so its quantile
-       comes straight off the histogram; group counts and price
-       ranges fall out of the same 150-row aggregate;
-    2. one scan: per-(flag, price-bucket) counts over a fixed
-       {_PCTL_BUCKETS}-bucket range partition of each group's price
-       domain; cumulative counts locate the bucket holding each
-       target order statistic;
-    3. one scan: fetch ONLY the target buckets' rows (~n/buckets per
-       group) and select the exact order statistics locally.
+    1. per-group (count, min, max) — a tiny decomposable aggregate,
+       broadcast back onto the scan;
+    2. **median(l_quantity)**: the value domain is small, so a
+       (flag, quantity) histogram + a cumulative window over its ~50
+       rows/group locates both bracketing order statistics directly;
+    3. **p90(l_extendedprice)**: per-(flag, range-bucket) counts over
+       a {B}-bucket partition of each group's price range; a
+       cumulative window over the groups x B count rows finds the <=2
+       buckets covering ranks floor(h)/ceil(h); `row_number` ONLY
+       inside those buckets (a per-task sort of ~n/B rows) turns
+       bucket-local ranks into global ones, and the two target rows
+       fall out of a conditional aggregate.
 
-    Driver state is O(groups x buckets) counts + O(n/buckets) fetched
-    values — both bounded by construction, like the IVF trainer. The
-    interpolation arithmetic is bit-identical to DuckDB's
-    quantile_cont (verified against it), so the oracle hash still
-    matches exactly. Wall-clock at sf1 is on par with the buffering
-    built-in (~3.5 s — three cheap passes vs one buffering pass); the
-    change buys bounded memory, not local speed.
+    Nothing driver-side grows with n: the only action materializes the
+    |groups|-row result. At larger n, raise B — the bucket-count table
+    (groups x B rows) and its cumulative window stay distributed, so B
+    can scale with n at zero driver cost, keeping the in-bucket sort
+    n/B small. Degenerate constant-price groups (min == max) skip the
+    rank pass entirely via a coalesce onto the group min.
+
+    Interpolation is DuckDB's exact lerp ``lo*(1-frac) + hi*frac``
+    with h = (n-1)*q in IEEE double — bit-parity with quantile_cont is
+    pinned by a hypothesis test in tests/test_properties.py.
     """
-    import math
-
-    # The selection makes three passes over the same 3-column
-    # projection; persist it so passes 2-3 read the columnar cache
-    # instead of re-scanning parquet (at cluster scale this cache is
-    # optional — the algorithm is correct and bounded without it, each
-    # pass just re-scans).
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_quantity", "l_extendedprice")
-        .persist()
-    )
     B = _PCTL_BUCKETS
-    # Pass 1: quantity histogram + count + price range, one aggregate.
-    hist = (
+    Q_MED, Q_PRICE = 0.5, 0.9
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    # One scan builds the (flag, quantity) histogram carrying price
+    # ranges; per-group totals derive from its ~50 rows/group, so no
+    # separate stats scan is needed.
+    # Persisted because three broadcast subplans consume it; it is
+    # O(groups x qty-domain) rows (~150) at ANY scale, so the cache is
+    # constant-size — the lineitem scan behind it runs once.
+    qhist = (
         li.groupBy("l_returnflag", "l_quantity")
         .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.min("l_extendedprice").alias("mn"),
-            F.max("l_extendedprice").alias("mx"),
+            F.count(F.lit(1)).alias("_c"),
+            F.min("l_extendedprice").alias("_hmn"),
+            F.max("l_extendedprice").alias("_hmx"),
         )
-        .collect()
+        .persist()
     )
-    groups: dict[str, dict] = {}
-    for r in hist:
-        g = groups.setdefault(
-            r.l_returnflag, {"qty": [], "n": 0, "mn": r.mn, "mx": r.mx}
+    stats = qhist.groupBy("l_returnflag").agg(
+        F.sum("_c").alias("_n"),
+        F.min("_hmn").alias("_mn"),
+        F.max("_hmx").alias("_mx"),
+    )
+
+    def _ranks(q):
+        # 0-based fractional rank h and its bracketing integer ranks.
+        h = (F.col("_n") - 1).cast("double") * F.lit(q)
+        return h, F.floor(h).cast("long"), F.ceil(h).cast("long")
+
+    def _lerp(lo, hi, h):
+        frac = h - F.floor(h)
+        return lo * (F.lit(1.0) - frac) + hi * frac
+
+    # --- median(l_quantity) off the value histogram -------------------
+    # _n via an unbounded window over the same partitioning as _cum —
+    # both window frames share one hash shuffle, no stats join needed.
+    qh = (
+        qhist.select("l_returnflag", "l_quantity", "_c")
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(
+                W.partitionBy("l_returnflag").orderBy("l_quantity")
+            ),
         )
-        g["qty"].append((r.l_quantity, r.c))
-        g["n"] += r.c
-        g["mn"], g["mx"] = min(g["mn"], r.mn), max(g["mx"], r.mx)
-    rng = spark.createDataFrame(
-        [(g, d["mn"], d["mx"]) for g, d in groups.items()],
-        "l_returnflag string, _mn double, _mx double",
+        .withColumn("_n", F.sum("_c").over(W.partitionBy("l_returnflag")))
     )
+    mh, mf, mc = _ranks(Q_MED)
+    covers = lambda k: (k >= F.col("_cum") - F.col("_c")) & (k < F.col("_cum"))  # noqa: E731
+    med = qh.groupBy("l_returnflag").agg(
+        F.max(F.when(covers(mf), F.col("l_quantity"))).alias("_qlo"),
+        F.max(F.when(covers(mc), F.col("l_quantity"))).alias("_qhi"),
+        F.first(mh).alias("_mh"),
+    ).select(
+        "l_returnflag",
+        _lerp(F.col("_qlo"), F.col("_qhi"), F.col("_mh")).alias("_med"),
+    )
+
+    # --- p90(l_extendedprice) by distributed bucket-rank selection ----
+    priced = li.join(F.broadcast(stats), "l_returnflag")
     w = F.col("_mx") - F.col("_mn")
     bucket = F.when(w == 0, F.lit(0)).otherwise(
         F.least(
@@ -621,61 +654,69 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("l_extendedprice") - F.col("_mn")) / w * B).cast("int"),
         )
     )
-    priced = li.join(F.broadcast(rng), "l_returnflag")
-    # Pass 2: bucket counts -> locate each target rank's bucket.
-    bcounts: dict[str, dict[int, int]] = {}
-    for r in (
+    bc = (
         priced.groupBy("l_returnflag", bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    ):
-        bcounts.setdefault(r.l_returnflag, {})[r._b] = r.c
-    Q_PRICE = 0.9
-    need: dict[str, set[int]] = {}
-    for g, d in groups.items():
-        h = (d["n"] - 1) * Q_PRICE
-        cum = 0
-        for b in sorted(bcounts[g]):
-            c = bcounts[g][b]
-            if cum <= math.floor(h) < cum + c or cum <= math.ceil(h) < cum + c:
-                need.setdefault(g, set()).add(b)
-            cum += c
-    cond = None
-    for g, bs in need.items():
-        this = (F.col("l_returnflag") == g) & bucket.isin(*bs)
-        cond = this if cond is None else cond | this
-    # Pass 3: fetch target buckets only, select order stats locally.
-    fetched: dict[str, list] = {g: [] for g in groups}
-    base_rank: dict[str, int] = {}
-    for g in groups:
-        base_rank[g] = sum(
-            c for b, c in bcounts[g].items() if b < min(need[g])
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_mn").alias("_mn"),
+            F.first("_mx").alias("_mx"),
         )
-    for r in priced.filter(cond).select("l_returnflag", "l_extendedprice").collect():
-        fetched[r.l_returnflag].append(r.l_extendedprice)
-    li.unpersist()
-    out = []
-    for g, d in sorted(groups.items()):
-        med = _interp(sorted(d["qty"]), (d["n"] - 1) * 0.5)
-        h = (d["n"] - 1) * Q_PRICE
-        vals = sorted(fetched[g])
-        lo = vals[math.floor(h) - base_rank[g]]
-        hi = vals[math.ceil(h) - base_rank[g]]
-        frac = h - math.floor(h)
-        p90 = lo * (1 - frac) + hi * frac  # DuckDB's exact lerp form
-        out.append((g, med, p90, d["mn"], d["mx"]))
-    res = spark.createDataFrame(
-        out,
-        "l_returnflag string, _med double, _p90 double, _mn double, _mx double",
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(W.partitionBy("l_returnflag").orderBy("_b")),
+        )
+        .withColumn("_n", F.sum("_c").over(W.partitionBy("l_returnflag")))
     )
-    # Rounding in Spark (HALF_UP), matching the oracle's round().
-    return res.select(
+    ph, pf, pc = _ranks(Q_PRICE)
+    # <=2 rows per group: the buckets whose rank span covers floor(h)
+    # or ceil(h). Constant-price groups are excluded here (coalesced
+    # onto _mn at the end) so their whole-group sort never runs.
+    needed = bc.filter((covers(pf) | covers(pc)) & (F.col("_mx") > F.col("_mn"))).select(
         "l_returnflag",
-        F.round("_med", 4).alias("median_qty"),
-        F.round("_p90", 4).alias("p90_price"),
-        F.round("_mn", 2).alias("min_price"),
-        F.round("_mx", 2).alias("max_price"),
-    ).orderBy("l_returnflag")
+        "_b",
+        (F.col("_cum") - F.col("_c")).alias("_base"),
+        pf.alias("_kf"),
+        pc.alias("_kc"),
+        ph.alias("_ph"),
+    )
+    ranked = priced.withColumn("_b", bucket).join(
+        F.broadcast(needed), ["l_returnflag", "_b"]
+    )
+    grank = (
+        F.row_number().over(
+            W.partitionBy("l_returnflag", "_b").orderBy("l_extendedprice")
+        )
+        + F.col("_base")
+        - 1
+    )
+    p90 = (
+        ranked.withColumn("_gr", grank)
+        .filter((F.col("_gr") == F.col("_kf")) | (F.col("_gr") == F.col("_kc")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("_gr") == F.col("_kf"), F.col("l_extendedprice"))).alias("_plo"),
+            F.max(F.when(F.col("_gr") == F.col("_kc"), F.col("l_extendedprice"))).alias("_phi"),
+            F.first("_ph").alias("_h"),
+        )
+        .select(
+            "l_returnflag",
+            _lerp(F.col("_plo"), F.col("_phi"), F.col("_h")).alias("_p90"),
+        )
+    )
+
+    # Rounding in Spark (HALF_UP), matching the oracle's round().
+    return (
+        stats.join(med, "l_returnflag")
+        .join(p90, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.round("_med", 4).alias("median_qty"),
+            F.round(F.coalesce("_p90", "_mn"), 4).alias("p90_price"),
+            F.round("_mn", 2).alias("min_price"),
+            F.round("_mx", 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:

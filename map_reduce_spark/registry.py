@@ -26,6 +26,19 @@ QueryBuilder = Callable[[SparkSession, str], DataFrame]
 
 @dataclass(frozen=True)
 class QuerySpec:
+    """A registered query.
+
+    Builder contract: builders are LAZY — calling one constructs and
+    returns a DataFrame plan without running Spark jobs (parquet
+    schema-inference metadata reads aside), so plan audits and schema
+    checks stay cheap. Heavy work happens at the caller's action.
+    The one sanctioned exception: streaming entries drain a bounded
+    Trigger.AvailableNow replay at build time because a streaming
+    query has no lazily-returnable batch result; their doc says so.
+    (Laziness for the percentile plan is pinned by
+    tests/test_percentiles.py::test_builder_is_lazy.)
+    """
+
     name: str
     builder: QueryBuilder
     oracle_sql: str | None

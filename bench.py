@@ -39,6 +39,24 @@ def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def trim_line(result: dict, timings: dict[str, float], budget: int = 1800) -> dict:
+    """Shrink the stdout JSON line to ``budget`` bytes by keeping only
+    the slowest queries. Always returns a parseable dict: if even the
+    keep=1 variant (or an empty manifest) exceeds the budget, the
+    per-query map is dropped entirely (queries: {}, all omitted)."""
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(len(slowest), 0, -1):
+        line = dict(result)
+        line["queries"] = dict(sorted(slowest[:keep]))
+        line["queries_omitted"] = len(timings) - keep
+        if len(json.dumps(line, separators=(",", ":"))) <= budget:
+            return line
+    line = dict(result)
+    line["queries"] = {}
+    line["queries_omitted"] = len(timings)
+    return line
+
+
 def main() -> None:
     specs = load_all()
     spark = get_spark("bench")
@@ -80,16 +98,8 @@ def main() -> None:
                            "BENCH_FULL_local.json"), "w") as f:
         json.dump(result, f, indent=1)
 
-    budget = 1800  # bytes; driver window is 2000
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    line = {}
-    for keep in range(len(slowest), 0, -1):
-        line = dict(result)
-        line["queries"] = dict(sorted(slowest[:keep]))
-        line["queries_omitted"] = len(timings) - keep
-        if len(json.dumps(line, separators=(",", ":"))) <= budget:
-            break
-    print(json.dumps(line, separators=(",", ":")))
+    # budget 1800 bytes; driver window is 2000
+    print(json.dumps(trim_line(result, timings), separators=(",", ":")))
 
 
 if __name__ == "__main__":

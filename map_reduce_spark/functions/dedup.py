@@ -920,7 +920,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(nb * nb)
         .select(
             (F.col("id") % nb).alias("ba"),
-            (F.col("id") / nb).cast("long").alias("bb"),
+            # integer DIV (not float division + cast): exact at any
+            # grid size, matching the repo's epoch-nanos convention
+            F.expr(f"id DIV {nb}").alias("bb"),
         )
         .filter(F.col("ba") <= F.col("bb"))
     )

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The Spark-side machinery here is real and tested — schema contracts,
-``mapInPandas`` batch iteration, partition sizing — while the actual
-media decode is stubbed behind ``FakeDecoder`` (the container has no
-image/audio libraries; swap in PIL/libav by replacing one function).
+The Spark-side machinery — schema contracts, ``mapInPandas`` batch
+iteration, partition sizing — is real and tested, and so is the
+decode for the uncompressed formats: ``MediaDecoder`` contains
+pure-Python (struct + numpy) BMP and PCM-WAV codecs, so image
+features come from actual decoded pixels and audio features from
+actual decoded samples. Compressed formats (JPEG/PNG/MP3) and video
+raise ``NotImplementedError`` exactly where a libav/PIL call would
+slot in — the container has no media libraries.
 
 Design for 100 TB of media:
 - media bytes travel as a ``binary`` column next to typed metadata,
@@ -17,6 +21,7 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,47 +55,189 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-class FakeDecoder:
-    """Deterministic stand-in for a real media decoder.
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
 
-    Real deployment: replace ``features`` with PIL/torchvision (image)
-    or libav/torchaudio (audio) calls. Raises ``NotImplementedError``
-    for kinds it does not model, exactly where a real decoder would.
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Encode an int16 sample array as a PCM WAV (RIFF/WAVE, fmt=1)."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    block = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+class MediaDecoder:
+    """Pure-Python decoders for the uncompressed formats (struct +
+    numpy only — the container has no media libraries), plus the
+    documented ``NotImplementedError`` slot where PIL/libav calls
+    would decode compressed formats and video.
+
+    Features are computed from DECODED content (pixels / samples),
+    not payload bytes, and are deterministic and L2-normalized.
     """
 
     SUPPORTED = {"image", "audio"}
 
     @staticmethod
-    def features(payload: bytes, kind: str) -> np.ndarray:
-        if kind not in FakeDecoder.SUPPORTED:
+    def sniff(payload: bytes) -> str | None:
+        """Container format by magic bytes: 'bmp' | 'wav' | None."""
+        if payload[:2] == b"BM" and len(payload) >= 54:
+            return "bmp"
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav"
+        return None
+
+    @staticmethod
+    def decode_bmp(payload: bytes) -> np.ndarray:
+        """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB array.
+        Handles bottom-up (height > 0) and top-down (height < 0) rows
+        and 4-byte row padding."""
+        if payload[:2] != b"BM":
+            raise NotImplementedError("not a BMP payload")
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0:
             raise NotImplementedError(
-                f"decode for kind={kind!r} requires a media library not in this image"
+                f"BMP bpp={bpp} compression={compression}: only uncompressed "
+                "24-bit supported by the pure-Python decoder (PIL slot)"
             )
-        # Deterministic pseudo-features from payload bytes: byte
-        # histogram folded to FEATURE_DIM buckets, L2-normalized.
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
-        norm = np.linalg.norm(hist)
-        return (hist / norm if norm > 0 else hist).astype(np.float32)
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rgb = rows[:, :, ::-1]  # BGR -> RGB
+        return rgb if top_down else rgb[::-1]
+
+    @staticmethod
+    def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """PCM WAV -> (sample_rate, n_channels, int16 samples).
+        Walks RIFF chunks (skipping unknown ones, even-padded)."""
+        if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+            raise NotImplementedError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            pos += 8
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", payload, pos)
+            elif cid == b"data":
+                data = payload[pos : pos + size]
+            pos += size + (size & 1)  # chunks are even-padded
+        if fmt is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits != 16:
+            raise NotImplementedError(
+                f"WAV fmt={audio_fmt} bits={bits}: only 16-bit PCM supported "
+                "by the pure-Python decoder (libav slot)"
+            )
+        samples = np.frombuffer(data, dtype="<i2")
+        return sample_rate, n_channels, samples
+
+    @staticmethod
+    def features(payload: bytes, kind: str) -> np.ndarray:
+        """FEATURE_DIM-dim feature vector from decoded content.
+
+        image/BMP: [log1p(w), log1p(h), aspect, per-channel mean and
+        std (6), 7-bin luminance histogram]; audio/WAV:
+        [log1p(n_samples), log1p(rate), channels, rms, zero-crossing
+        rate, peak, 10-bin |amplitude| histogram]. Both L2-normalized.
+        """
+        container = MediaDecoder.sniff(payload)
+        if kind == "image" and container == "bmp":
+            px = MediaDecoder.decode_bmp(payload).astype(np.float64) / 255.0
+            h, w = px.shape[:2]
+            lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            hist, _ = np.histogram(lum, bins=7, range=(0.0, 1.0))
+            hist = hist / max(1, lum.size)
+            v = np.concatenate(
+                [
+                    [np.log1p(w), np.log1p(h), w / h],
+                    px.mean(axis=(0, 1)),
+                    px.std(axis=(0, 1)),
+                    hist,
+                ]
+            )
+        elif kind == "audio" and container == "wav":
+            rate, ch, s = MediaDecoder.decode_wav(payload)
+            x = s.astype(np.float64) / 32768.0
+            if x.size:
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                peak = float(np.max(np.abs(x)))
+                hist, _ = np.histogram(np.abs(x), bins=10, range=(0.0, 1.0))
+                hist = hist / x.size
+            else:
+                rms = zcr = peak = 0.0
+                hist = np.zeros(10)
+            v = np.concatenate([[np.log1p(x.size), np.log1p(rate), ch, rms, zcr, peak], hist])
+        else:
+            raise NotImplementedError(
+                f"decode for kind={kind!r} container={container!r} requires a "
+                "media library not in this image (PIL/libav slot)"
+            )
+        assert v.shape == (FEATURE_DIM,)
+        norm = np.linalg.norm(v)
+        return (v / norm if norm > 0 else v).astype(np.float32)
+
+
+# Backwards-compat alias (r2-r4 name; decode is no longer fake for
+# BMP/WAV, the name survives only for external references).
+FakeDecoder = MediaDecoder
 
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (seeded payloads)."""
+    """Deterministic synthetic media table for tests (seeded).
+
+    Image rows carry REAL uncompressed 24-bit BMPs and audio rows
+    REAL 16-bit PCM WAVs (encoded by this module's own encoders), so
+    the decode path in ``MediaDecoder.features`` runs on genuine
+    containers; video rows stay opaque random bytes — no pure-Python
+    video codec exists, that decode is the documented stub.
+    """
     rng = np.random.default_rng(42)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8))
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                64 + i % 32 if kind == "image" else None,
-                64 + i % 16 if kind == "image" else None,
-                1000 * (i % 30) if kind != "image" else None,
+        w = 64 + i % 32 if kind == "image" else None
+        h = 64 + i % 16 if kind == "image" else None
+        dur = 1000 * (i % 30) if kind != "image" else None
+        if kind == "image":
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_bmp(px)
+        elif kind == "audio":
+            rate = 1000  # low rate keeps fixtures small; real-world rates parse the same
+            n_samp = dur * rate // 1000
+            payload = encode_wav(
+                (rng.standard_normal(n_samp) * 8000).astype(np.int16), rate
             )
-        )
+        else:
+            payload = bytes(rng.integers(0, 256, size=128 + (i % 5) * 64, dtype=np.uint8))
+        rows.append((i, kind, bytearray(payload), w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -105,13 +252,22 @@ def extract_features(media: DataFrame, skip_unsupported: bool = True) -> DataFra
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if skip_unsupported:
-                pdf = pdf[pdf["kind"].isin(list(FakeDecoder.SUPPORTED))]
+                pdf = pdf[pdf["kind"].isin(list(MediaDecoder.SUPPORTED))]
             if not len(pdf):
                 continue
-            feats = [
-                FakeDecoder.features(p, k).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            keep_idx, feats = [], []
+            for i, (p, k) in enumerate(zip(pdf["payload"], pdf["kind"])):
+                try:
+                    feats.append(MediaDecoder.features(p, k).tolist())
+                    keep_idx.append(i)
+                except NotImplementedError:
+                    if not skip_unsupported:
+                        raise
+                    # undecodable container (compressed/corrupt): drop
+                    # the row rather than kill the job
+            if not keep_idx:
+                continue
+            pdf = pdf.iloc[keep_idx]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -137,42 +293,43 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize the image subset so the longer side is ``max_side``.
 
-    Plumbing is real (metadata filter prunes non-images BEFORE payload
-    bytes move; Arrow-batched ``mapInPandas``; output schema carries
-    the new dimensions); the pixel resample itself is the documented
-    deterministic stand-in (payload truncated proportionally to the
-    area ratio — swap in PIL's ``Image.resize`` for real pixels).
+    Metadata filter prunes non-images BEFORE payload bytes move;
+    Arrow-batched ``mapInPandas``. BMP payloads get a REAL
+    nearest-neighbor resample on decoded pixels and are re-encoded as
+    BMP; undecodable payloads (compressed formats — the PIL slot) are
+    dropped, mirroring extract_features' skip path.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # corrupt/missing metadata (nullable ints arrive as NaN in
-            # pandas) is skipped, mirroring extract_features'
-            # skip_unsupported path — one bad row must not kill the job
-            pdf = pdf[
-                pdf["width"].notna()
-                & pdf["height"].notna()
-                & pdf["payload"].notna()
-            ]
-            if not len(pdf):
-                continue
-            w = pdf["width"].astype("int64")
-            h = pdf["height"].astype("int64")
-            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
-            nw = (w * scale).astype("int64").clip(lower=1)
-            nh = (h * scale).astype("int64").clip(lower=1)
-            ratio = (nw * nh) / (w * h)
-            payloads = [
-                p[: max(1, int(len(p) * r))] for p, r in zip(pdf["payload"], ratio)
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": nw.astype("int32"),
-                    "height": nh.astype("int32"),
-                    "payload": payloads,
-                }
-            )
+            out: dict[str, list] = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    px = MediaDecoder.decode_bmp(p)
+                except NotImplementedError:
+                    continue  # compressed/corrupt: one bad row must not kill the job
+                h, w = px.shape[:2]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                # nearest-neighbor index maps (deterministic, numpy-only)
+                yi = (np.arange(nh) * h // nh).clip(max=h - 1)
+                xi = (np.arange(nw) * w // nw).clip(max=w - 1)
+                resized = px[yi][:, xi]
+                out["media_id"].append(mid)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["payload"].append(encode_bmp(resized))
+            if out["media_id"]:
+                yield pd.DataFrame(
+                    {
+                        "media_id": out["media_id"],
+                        "width": pd.Series(out["width"], dtype="int32"),
+                        "height": pd.Series(out["height"], dtype="int32"),
+                        "payload": out["payload"],
+                    }
+                )
 
     return media.filter(media.kind == "image").mapInPandas(batches, RESIZED_SCHEMA)
 
@@ -253,11 +410,13 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode/featurize -> per-kind feature statistics.
 
     ``sf_dir`` is unused: the fixture set has no media table, so the
-    deterministic seeded ``synthetic_media`` corpus stands in (the
-    Spark-side plumbing — binary payloads, Arrow batching, schema
-    contract — is the part under test; the decoder itself is the
-    documented stub). Rows-only driver check (no SQL oracle: the
-    table is generated in-session, not a registered parquet view).
+    deterministic seeded ``synthetic_media`` corpus stands in. Its
+    image rows are real BMPs and audio rows real PCM WAVs, decoded by
+    the pure-Python codecs in ``MediaDecoder`` — features come from
+    actual pixels/samples, not payload bytes; only compressed formats
+    and video remain NotImplementedError stubs. Rows-only driver
+    check (no SQL oracle: the table is generated in-session, not a
+    registered parquet view).
     """
     media = synthetic_media(spark, 96)
     feats = extract_features(media, skip_unsupported=True)

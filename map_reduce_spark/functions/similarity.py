@@ -376,6 +376,17 @@ def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join it replaces (which the r3 plan test rightly forbade: the
     sampled side grows linearly with the corpus). At 10⁹ vectors this
     runs at scan speed; the pair join does not run at all.
+
+    FP-boundary note (r4 ADVICE): the oracle averages per-pair cosines
+    while this plan derives the same sum algebraically, so summation
+    ORDER differs and the two doubles can disagree by ~1e-12 ulps. The
+    final ``round(avg_cos, 6)`` hash-matches only because no fixture
+    value sits within that distance of a 0.5e-6 half-way boundary;
+    the risk grows with group size (larger sums, larger ulp). If a
+    future fixture trips it, switch the mm/sum_cos accumulations to
+    Kahan-compensated sums via an Arrow-batched pandas UDF (or widen
+    to DecimalType) BEFORE suspecting the algebra — the identity
+    itself is exact.
     """
     emb = with_norm(
         load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0),

@@ -146,6 +146,57 @@ def events_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_tumbling_type_counts",
+    oracle_sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts, drained through a
+    real streaming query and checked against the BATCH oracle.
+
+    The events fixture is replayed as a file-source stream
+    (``readStream`` + ``Trigger.AvailableNow``) through the
+    watermarked tumbling aggregate in ``streams.tumbling_counts`` and
+    materialized via a memory sink in complete mode; Structured
+    Streaming's batch/stream parity guarantee makes the drained result
+    equal the static GROUP BY, which is what the DuckDB oracle
+    computes. This puts the streaming engine itself — source, state
+    store, watermark, sink — on the driver's correctness gate rather
+    than trusting pytest alone.
+
+    Builder-contract note: this builder is EAGER by necessity (a
+    streaming query has no lazily-returnable batch result) — it runs
+    the bounded AvailableNow replay at build time; the sanctioned
+    exception documented on QuerySpec.
+
+    Scale: in production this plan runs incrementally — per-microbatch
+    work is O(new events), state is O(open windows x types) bounded by
+    the 2 h watermark, and the complete-mode sink here is only for the
+    deterministic replay check (a real 100 TB stream would use append
+    mode on a durable sink).
+    """
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    drained = run_available_now(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        "streaming_tumbling_type_counts",
+        output_mode="complete",
+    )
+    return drained.orderBy("window_start", "event_type")
+
+
+@register(
     "events_retention_cohorts",
     oracle_sql="""
     WITH user_week AS MATERIALIZED (

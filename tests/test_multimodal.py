@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: the Spark-side machinery (schema,
-Arrow batches, metadata pruning) is real even though decode is a
-deterministic stub."""
+"""Multimodal tests: the Spark-side machinery (schema, Arrow batches,
+metadata pruning) plus the REAL pure-Python BMP/WAV codecs — features
+must come from decoded pixels/samples, not synthesized from payload
+bytes. Compressed formats and video stay NotImplementedError stubs."""
 
 from __future__ import annotations
 
@@ -9,7 +10,9 @@ import pytest
 
 from map_reduce_spark.functions.multimodal import (
     FEATURE_DIM,
-    FakeDecoder,
+    MediaDecoder,
+    encode_bmp,
+    encode_wav,
     extract_features,
     media_stats,
     resize_images,
@@ -38,10 +41,85 @@ def test_unsupported_kind_raises_when_not_skipped(spark):
 
 
 def test_decoder_deterministic():
-    payload = bytes(range(200))
-    a = FakeDecoder.features(payload, "image")
-    b = FakeDecoder.features(payload, "image")
+    rng = np.random.default_rng(7)
+    payload = encode_bmp(rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8))
+    a = MediaDecoder.features(payload, "image")
+    b = MediaDecoder.features(payload, "image")
     assert np.array_equal(a, b)
+
+
+def test_bmp_roundtrip_exact():
+    """encode->decode recovers the exact pixel array, including widths
+    that need 4-byte row padding (13*3 = 39 bytes -> stride 40)."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (9, 13), (16, 16), (5, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = MediaDecoder.decode_bmp(encode_bmp(px))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, px)
+
+
+def test_bmp_top_down_rows():
+    """Negative height = top-down row order (the other real-world BMP
+    layout) must decode to the same image."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    buf = bytearray(encode_bmp(px))
+    import struct
+
+    # flip to top-down: negate height, reverse stored row order
+    (h,) = struct.unpack_from("<i", buf, 22)
+    struct.pack_into("<i", buf, 22, -h)
+    stride = (5 * 3 + 3) // 4 * 4
+    body = buf[54:]
+    rows = [bytes(body[i * stride : (i + 1) * stride]) for i in range(6)]
+    buf[54:] = b"".join(reversed(rows))
+    assert np.array_equal(MediaDecoder.decode_bmp(bytes(buf)), px)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    s = (rng.standard_normal(500) * 10000).astype(np.int16)
+    rate, ch, got = MediaDecoder.decode_wav(encode_wav(s, sample_rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(got, s)
+
+
+def test_wav_skips_unknown_chunks():
+    """RIFF chunk walking must skip unknown chunks (LIST etc.) with
+    odd sizes (even-padded) and still find fmt/data."""
+    import struct
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    wav = bytearray(encode_wav(s, sample_rate=8000))
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    patched = wav[:12] + extra + wav[12:]
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    rate, ch, got = MediaDecoder.decode_wav(bytes(patched))
+    assert np.array_equal(got, s)
+
+
+def test_features_come_from_decoded_content_not_bytes():
+    """Two BMPs with identical byte histograms but different pixel
+    LAYOUT must featurize differently (kills a bytes-only fake), and
+    a brightness change must move the decoded channel means exactly."""
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    bright = base.copy()
+    bright[:, :, 0] = 200  # red plane
+    dark = base.copy()
+    dark[:, :, 2] = 200  # same bytes overall, blue plane instead
+    f_bright = MediaDecoder.features(encode_bmp(bright), "image")
+    f_dark = MediaDecoder.features(encode_bmp(dark), "image")
+    assert not np.array_equal(f_bright, f_dark)
+    # channel-mean slots (indices 3,4,5 = R,G,B means pre-normalization)
+    # keep their order: red-bright image has R mean > B mean
+    assert f_bright[3] > f_bright[5] and f_dark[5] > f_dark[3]
+
+
+def test_compressed_format_is_still_a_stub():
+    fake_png = b"\x89PNG\r\n\x1a\n" + bytes(64)
+    with pytest.raises(NotImplementedError, match="media library"):
+        MediaDecoder.features(fake_png, "image")
 
 
 def test_media_stats_metadata_only(spark):
@@ -61,6 +139,21 @@ def test_resize_bounds_dimensions_and_prunes_payload(spark):
         # aspect handling: never upscale, never exceed original
         assert r.width <= o.width and r.height <= o.height
         assert 0 < len(r.payload) <= len(o.payload)
+
+
+def test_resize_resamples_real_pixels(spark):
+    """The resized payload must be a decodable BMP whose pixels equal
+    a nearest-neighbor resample of the decoded original."""
+    media = synthetic_media(spark, n=9)
+    originals = {r.media_id: bytes(r.payload) for r in media.filter("kind = 'image'").collect()}
+    for r in resize_images(media, max_side=16).collect():
+        px = MediaDecoder.decode_bmp(originals[r.media_id])
+        h, w = px.shape[:2]
+        yi = (np.arange(r.height) * h // r.height).clip(max=h - 1)
+        xi = (np.arange(r.width) * w // r.width).clip(max=w - 1)
+        want = px[yi][:, xi]
+        got = MediaDecoder.decode_bmp(bytes(r.payload))
+        assert np.array_equal(got, want)
 
 
 def test_frame_sampling_is_bounded_by_rate_not_source(spark):

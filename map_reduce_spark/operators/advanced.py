@@ -214,17 +214,7 @@ def join_salted_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    salted_cust = cust.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
-    )
-    salted_orders = orders.withColumn(
-        "salt", F.pmod(F.xxhash64("o_totalprice"), F.lit(N_SALTS)).cast("int")
-    )
-    joined = salted_orders.hint("shuffle_hash").join(
-        salted_cust,
-        (salted_orders.o_custkey == salted_cust.c_custkey)
-        & (salted_orders.salt == salted_cust.salt),
-    )
+    joined = salted_join(cust, orders)
     return (
         joined.groupBy("c_mktsegment")
         .agg(
@@ -232,6 +222,24 @@ def join_salted_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+def salted_join(cust: DataFrame, orders: DataFrame) -> DataFrame:
+    """The salted-join core (DataFrame-in/DataFrame-out so the skew
+    stress test can drive it with a synthetic zipf-keyed table):
+    build side replicated xN_SALTS, probe side salted from an
+    uncorrelated column, shuffle-hash join on (key, salt)."""
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    salted_orders = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_totalprice"), F.lit(N_SALTS)).cast("int")
+    )
+    return salted_orders.hint("shuffle_hash").join(
+        salted_cust,
+        (salted_orders.o_custkey == salted_cust.c_custkey)
+        & (salted_orders.salt == salted_cust.salt),
     )
 
 

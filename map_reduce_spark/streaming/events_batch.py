@@ -249,3 +249,70 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "streaming_error_click_join",
+    oracle_sql="""
+    SELECT e.event_id AS error_id,
+           e.user_id AS e_user,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE
+     AND c.ts <= e.ts
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    ORDER BY error_id, click_id
+    """,
+)
+def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors x same-user clicks in the
+    preceding 30 min), drained through a real two-sided-watermark
+    streaming join and checked against the BATCH join oracle.
+
+    Complements ``streaming_tumbling_type_counts`` on the gate: that
+    covers source/state-store/watermark/sink through an *aggregate*;
+    this covers the hardest streaming operator — the two-sided
+    stream-stream join, where each side buffers rows until the other
+    side's watermark passes the interval bound
+    (``streams.stream_stream_error_click_join``). The replay's single
+    file arrives in one microbatch, so no row is watermark-dropped and
+    the drained append-mode result equals the static interval join the
+    DuckDB oracle computes; the batch-parity pytest pins the same
+    equality. Timestamps are formatted to whole seconds on both sides
+    so the comparison is dtype-stable across fixture generations.
+
+    Builder-contract note: EAGER by necessity, like every streaming
+    entry (sanctioned exception documented on QuerySpec).
+
+    Scale: state is O(events per 30-min-plus-watermark horizon) per
+    side regardless of stream length; the join itself shuffles both
+    sides on user_id — the same uniform key the batch plan uses.
+    """
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_error_click_join,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        drained = run_available_now(
+            stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
+            "streaming_error_click_join",
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return drained.select(
+        "error_id",
+        "e_user",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("error_id", "click_id")

@@ -120,6 +120,24 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_ntile(r, n, k: int):
+    """SQL-standard ``ntile(k)`` as a closed-form expression of the
+    1-based global position ``r`` and total count ``n``: the first
+    ``n % k`` tiles get ``floor(n/k) + 1`` rows. Lets a distributed
+    two-level rank derive ntile without any global window; q == 0
+    (n < k) only reaches the when-branch, so the /q in the
+    otherwise-branch never divides by zero for emitted rows.
+    Property-pinned against ``F.ntile`` in tests/test_relational.py.
+    """
+    q = F.floor(n / k)
+    m = n % k
+    big = q + 1
+    r0 = r - 1
+    return F.when(r <= m * big, F.floor(r0 / big) + 1).otherwise(
+        m + F.floor((r0 - m * big) / q) + 1
+    )
+
+
 @register(
     "window_rank_dense_ntile",
     oracle_sql="""
@@ -135,23 +153,92 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over per-supplier revenue.
+    """rank / dense_rank / ntile over per-supplier revenue — computed
+    as a DISTRIBUTED two-level rank, never a single-partition window.
 
-    Scale: the global (unpartitioned) window runs on the *aggregated*
-    supplier table (|suppliers| rows), never on raw lineitem.
+    A naive global ``rank() OVER (ORDER BY ...)`` moves every row to
+    one partition (Spark logs exactly that warning) — fine for dims,
+    fatal for a scale-linear table like TPC-H suppliers (10^9 rows at
+    the 100 TB design point). Instead, the same trick as the exact-
+    percentile plan, generalized: value-bucket the order key into B
+    range buckets off a broadcast (min, max, n); per-bucket counts +
+    a cumulative window over the B-row bucket table give each bucket
+    its global rank offset; ``row_number`` partitioned BY BUCKET plus
+    the offset is the global position. The only unpartitioned windows
+    run on the B-row bucket table — bounded by construction. Raise B
+    with n to keep per-bucket sorts small; ties on the order key would
+    hot-spot a bucket, but the order (supp_rev DESC, l_suppkey ASC) is
+    total over doubles, so buckets stay balanced.
+
+    With a total order, rank == dense_rank == global position, and
+    ntile(4) is a closed-form function of (position, n) — the SQL-
+    standard "first n mod k tiles get one extra row" split — so all
+    three come from the one distributed position at zero extra cost.
+
+    The aggregated supplier table feeds both the bucket counts and the
+    rank pass; a lazy persist shares that aggregation (it is the table
+    being ranked — if it is too big to cache, pay the second agg; the
+    plan shape is unchanged).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    B = 64
+    K = 4  # quartiles
     li = load_table(spark, sf_dir, "lineitem")
-    supp_rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("supp_rev")
+    supp_rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "supp_rev"
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    w = W.orderBy(F.desc("supp_rev"), F.asc("l_suppkey"))
+    stats = supp_rev.agg(
+        F.min("supp_rev").alias("_mn"),
+        F.max("supp_rev").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sr = supp_rev.crossJoin(F.broadcast(stats))
+    width = F.col("_mx") - F.col("_mn")
+    # bucket 0 holds the HIGHEST revenues so bucket order equals rank
+    # order (supp_rev DESC).
+    bucket = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("_mx") - F.col("supp_rev")) / width * B).cast("int"),
+        )
+    )
+    withb = sr.withColumn("_b", bucket)
+    offsets = (
+        withb.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_c").over(
+                    W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_base")
+    )
+    pos = (
+        F.row_number().over(
+            W.partitionBy("_b").orderBy(F.desc("supp_rev"), F.asc("l_suppkey"))
+        )
+        + F.col("_base")
+    )
+    ranked = withb.join(F.broadcast(offsets), "_b").withColumn("_r", pos)
+    ntile = global_ntile(F.col("_r"), F.col("_n"), K)
     return (
-        supp_rev.select(
+        ranked.select(
             "l_suppkey",
             F.round("supp_rev", 2).alias("supp_rev"),
-            F.rank().over(w).alias("rev_rank"),
-            F.dense_rank().over(w).alias("rev_dense_rank"),
-            F.ntile(4).over(w).alias("rev_quartile"),
+            F.col("_r").alias("rev_rank"),
+            F.col("_r").alias("rev_dense_rank"),
+            ntile.cast("int").alias("rev_quartile"),
         )
         .orderBy("rev_rank")
     )

@@ -87,6 +87,7 @@ _CHECK_FIRST = [
     "doc_repetition_stats",  # rewritten: Arrow mapInPandas per-doc mode
     "dedup_cluster_keep_best",  # new: keep-best-member dedup manifest
     "streaming_error_click_join",  # new: stream-stream join on the gate
+    "window_rank_dense_ntile",  # rewritten: distributed two-level rank
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
@@ -94,7 +95,7 @@ _CHECK_FIRST = [
     # (c) r4-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
     "sql_cte_top_customers", "sql_correlated_exists", "sql_unpivot_metrics",
-    "setop_nation_coverage", "scalar_date_functions",
+    "setop_nation_coverage",
     "agg_rollup_returnflag",
     "q2ish_cheapest_supplier_per_part",
     "regexp_part_type_extract", "join_outer_order_fill",
@@ -119,9 +120,12 @@ _CHECK_FIRST = [
 # pivot/array surface overlaps sql_unpivot_metrics),
 # agg_mode_and_stddev (holistic-agg surface overlaps the two udaf_*
 # entries and agg_exact_percentiles, all in-window),
+# scalar_date_functions (date surface covered in-window by
+# events_sliding_1h_30m, window_lag_order_gap_days, and
+# events_retention_cohorts),
 # window_topn_orders_per_customer,
 # window_running_customer_spend, window_lag_order_gap_days,
-# window_rank_dense_ntile, q3_shipping_priority,
+# q3_shipping_priority,
 # q5_local_supplier_volume, q10_returned_items, q14_promo_effect.
 # Still in the tail from r4 (r3-driver-green, unchanged):
 # doc_wordcount, doc_inverted_index, doc_bigram_topk, doc_profile,

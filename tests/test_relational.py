@@ -85,3 +85,26 @@ def test_knn_corpus_not_shuffled(spark, sf_dir):
     df = load_all()["sim_knn_bruteforce"].builder(spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_global_ntile_matches_builtin(spark):
+    """The closed-form ntile used by the distributed two-level rank
+    must equal F.ntile for every (n, k) shape: exercises n<k, n%k==0,
+    and every remainder class."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from map_reduce_spark.operators.windows import global_ntile
+
+    for k in (3, 4, 7):
+        for n in range(1, 26):
+            df = spark.range(1, n + 1).withColumn("_n", F.lit(n))
+            got = df.select(
+                "id", global_ntile(F.col("id"), F.col("_n"), k).alias("t")
+            )
+            want = df.select(
+                "id", F.ntile(k).over(W.orderBy("id")).alias("t")
+            )
+            g = {r.id: r.t for r in got.collect()}
+            w = {r.id: r.t for r in want.collect()}
+            assert g == w, f"n={n} k={k}: {g} != {w}"

@@ -85,17 +85,21 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors the reference exactly: per-document distinct words
     (indexer.go:21-25's set-dedup), then per-word sorted document
-    list with a count prefix (indexer.go:36-38) — here as
-    dropDuplicates → collect_set → sort_array.
+    list with a count prefix (indexer.go:36-38).
 
-    Scale: the only non-decomposable state is the per-word doc list,
-    which is bounded by document frequency; for 100 TB you'd cap it
-    (slice) or bucket by (word, doc_id range).
+    Scale: the per-doc set-dedup is ``array_distinct`` INSIDE the row
+    (the reference's in-mapper set, exactly) — zero shuffle — so the
+    only exchange is the word-keyed aggregation; the earlier
+    ``dropDuplicates(doc_id, word)`` shuffled every corpus token a
+    second time for state the mapper already had locally. Post-explode
+    pairs are unique by construction, so ``collect_list`` suffices.
+    The only non-decomposable state is the per-word doc list, bounded
+    by document frequency; for 100 TB you'd cap it (slice) or bucket
+    by (word, doc_id range).
     """
     docs = load_spread(spark, sf_dir, "documents")
-    pairs = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
-        .dropDuplicates(["doc_id", "word"])
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("word")
     )
     return (
         pairs.groupBy("word")
@@ -104,7 +108,7 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.sort_array(F.collect_set("doc_id")), lambda d: d.cast("string")
+                    F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")
                 ),
             ).alias("doc_list"),
         )

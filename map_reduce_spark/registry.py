@@ -88,6 +88,7 @@ _CHECK_FIRST = [
     "dedup_cluster_keep_best",  # new: keep-best-member dedup manifest
     "streaming_error_click_join",  # new: stream-stream join on the gate
     "window_rank_dense_ntile",  # rewritten: distributed two-level rank
+    "doc_inverted_index",  # rewritten: in-row set-dedup, one exchange
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
@@ -109,7 +110,7 @@ _CHECK_FIRST = [
     "udaf_mad_quantity", "udaf_supplier_quantity_stats",
     "join_salted_customer_orders",
     "q1_pricing_summary", "q6_forecast_revenue",
-    "q4ish_priority_order_counts", "q12ish_shipmode_buckets",
+    "q4ish_priority_order_counts",
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     "null_handling_acctbal",
 ]
@@ -122,13 +123,14 @@ _CHECK_FIRST = [
 # entries and agg_exact_percentiles, all in-window),
 # scalar_date_functions (date surface covered in-window by
 # events_sliding_1h_30m, window_lag_order_gap_days, and
-# events_retention_cohorts),
+# events_retention_cohorts), q12ish_shipmode_buckets (filter/pushdown
+# surface covered in-window by q6 and q4ish),
 # window_topn_orders_per_customer,
 # window_running_customer_spend, window_lag_order_gap_days,
 # q3_shipping_priority,
 # q5_local_supplier_volume, q10_returned_items, q14_promo_effect.
 # Still in the tail from r4 (r3-driver-green, unchanged):
-# doc_wordcount, doc_inverted_index, doc_bigram_topk, doc_profile,
+# doc_wordcount, doc_bigram_topk, doc_profile,
 # doc_fingerprint, doc_stats_by_lang_source, doc_split_assign,
 # doc_repetition_stats, doc_scrub_blocklist, doc_decontaminate,
 # doc_pack_sequences, dedup_exact, dedup_ngram_jaccard_pairs,

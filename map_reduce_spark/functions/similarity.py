@@ -601,3 +601,247 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained centroids are engine-side state; pytest pins the
     n_probe=N_CELLS ≡ brute-force invariant and recall@k bounds)."""
     return knn_ivf(spark, sf_dir, N_PROBE)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (memory-compressed scale path)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 subvectors of 8)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_SUB = 8  # dims per subspace
+PQ_ITERS = 2
+PQ_RERANK = 8 * TOP_K  # ADC candidates exact-reranked per probe
+
+# Trained codebooks keyed by corpus dir — model-sized driver state
+# (PQ_M x PQ_K x PQ_SUB doubles = 8 KiB), cached like the IVF
+# centroids: a PQ index is trained once and queried many times.
+_PQ_CACHE: dict[str, object] = {}
+
+
+def _np_subs(pdf_dv) -> "object":
+    """Stack a pandas Series of 64-float lists into (n, PQ_M, PQ_SUB)."""
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf_dv]).reshape(
+        len(pdf_dv), PQ_M, PQ_SUB
+    )
+
+
+def _np_codes(subs, books):
+    """argmin-over-K squared L2 per subspace: (n, PQ_M) int codes.
+    Ties break to the lowest centroid id (np.argmin), matching the
+    deterministic struct-min convention used by the IVF path."""
+    d = ((subs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=-1)
+    return d.argmin(axis=-1)
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train per-subspace codebooks: K-means in each of the PQ_M
+    8-dim subspaces (Jegou et al.'s product quantizer).
+
+    All per-vector math runs executor-side in Arrow-batched numpy
+    (``mapInPandas`` — the repo's pattern for dense vector kernels,
+    cf. the blocked-GEMM dedup): each batch emits per-(subspace, code)
+    partial sums, a decomposable aggregate combines them, and the
+    driver fetches exactly PQ_M x PQ_K rows per iteration — the
+    codebook itself, constant in corpus size. Init = the first PQ_K
+    vectors' subvectors by vec_id order (deterministic).
+    """
+    import numpy as np
+
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    emb = load_spread(spark, sf_dir, "embeddings").withColumn("dv", _dvec("embedding"))
+    init = emb.select("vec_id", "dv").orderBy("vec_id").limit(PQ_K).collect()
+    if len(init) < PQ_K:
+        raise ValueError(f"corpus has only {len(init)} vectors; need >= {PQ_K} for PQ")
+    books = np.stack(
+        [np.asarray(r.dv, dtype=np.float64) for r in init]
+    ).reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)  # (M, K, SUB)
+
+    for _ in range(PQ_ITERS):
+        b = books  # bind the current iteration's codebooks into the closure
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                subs = _np_subs(pdf["dv"])
+                codes = _np_codes(subs, b)
+                out = []
+                for m in range(PQ_M):
+                    for k in range(PQ_K):
+                        mask = codes[:, m] == k
+                        c = int(mask.sum())
+                        if c:
+                            s = subs[mask, m, :].sum(axis=0)
+                            out.append((m, k, c, s.tolist()))
+                yield pd.DataFrame(out, columns=["m", "k", "c", "s"])
+
+        rows = (
+            emb.select("dv")
+            .mapInPandas(partials, "m int, k int, c long, s array<double>")
+            .groupBy("m", "k")
+            .agg(
+                F.sum("c").alias("c"),
+                F.array(
+                    *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(PQ_SUB)]
+                ).alias("s"),
+            )
+            .collect()
+        )  # <= PQ_M x PQ_K rows at ANY corpus size
+        new = books.copy()
+        for r in rows:
+            if r.c:
+                new[r.m, r.k, :] = np.asarray(r.s) / r.c
+        books = new
+    _PQ_CACHE[sf_dir] = books
+    return books
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> (vec_id, codes array<int>[PQ_M], norm). The codes are
+    the stored index: PQ_M 4-bit codes plus one float norm per vector,
+    vs 64 raw floats — the ~30x memory cut that lets a 100 TB corpus's
+    index fit a cluster's RAM. Encoding is a map-only Arrow batch pass;
+    the codebook rides the closure (8 KiB, broadcast with the task)."""
+    books = pq_codebooks(spark, sf_dir)
+    emb = load_spread(spark, sf_dir, "embeddings").withColumn("dv", _dvec("embedding"))
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            subs = _np_subs(pdf["dv"])
+            codes = _np_codes(subs, books)
+            norms = np.sqrt((subs.reshape(len(pdf), -1) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes.astype("int32")),
+                    "norm": norms,
+                }
+            )
+
+    return emb.select("vec_id", "dv").mapInPandas(
+        encode, "vec_id long, codes array<int>, norm double"
+    )
+
+
+def _pq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe set with per-probe ADC lookup tables: luts[m][k] =
+    <probe_sub_m, centroid_mk>, flattened to array<double>[M*K].
+    Computed once per probe (probe cost, not pair cost) in one numpy
+    einsum per Arrow batch."""
+    books = pq_codebooks(spark, sf_dir)
+    emb = load_spread(spark, sf_dir, "embeddings").withColumn("dv", _dvec("embedding"))
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select("vec_id", "dv")
+
+    def luts(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            subs = _np_subs(pdf["dv"])  # (n, M, SUB)
+            t = np.einsum("nms,mks->nmk", subs, books)  # (n, M, K)
+            norms = np.sqrt((subs.reshape(len(pdf), -1) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["vec_id"].values,
+                    "luts": list(t.reshape(len(pdf), PQ_M * PQ_K)),
+                    "probe_norm": norms,
+                }
+            )
+
+    return probes.mapInPandas(
+        luts, "probe_id long, luts array<double>, probe_norm double"
+    )
+
+
+def knn_pq(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFrame:
+    """PQ ADC top-k: score every corpus vector against each probe via
+    per-subspace lookup tables over the codes, keep the top ``rerank``
+    ADC candidates per probe, then exact-rerank only those.
+
+    Asymmetric distance computation: a pair's approximate dot is PQ_M
+    array lookups + adds (a tiny JVM-side expression over the
+    broadcast-joined codes and LUTs) instead of 64 multiplies, over an
+    index ~30x smaller than the raw vectors — the classic IVF-PQ
+    memory/bandwidth shape (this operator is the PQ half; compose with
+    the IVF cell filter for the full billion-scale layout). Setting
+    ``rerank`` >= |corpus| degrades to exact brute force — the
+    invariant the tests pin. The exact pass re-fetches raw vectors by
+    equi-join on vec_id, so only probes x rerank rows ever touch a
+    full vector after the ADC scan, with the same float-op order as
+    sim_knn_bruteforce — final scores are bit-identical to it.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = pq_encode(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "codes", F.col("norm").alias("c_norm")
+    )
+    probes = _pq_probes(spark, sf_dir)
+    # lut index for (m, code_m) in the flattened table is m*K + code.
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            "codes",
+            lambda m, c: F.element_at("luts", (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("adc", adc_dot / (F.col("probe_norm") * F.col("c_norm")))
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    wa = W.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = adc.withColumn("_ar", F.row_number().over(wa)).filter(F.col("_ar") <= rerank)
+    emb = with_norm(load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm")
+    exact = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm"),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("dv").alias("probe_dv"),
+                    F.col("norm").alias("probe_norm"),
+                )
+            ),
+            "probe_id",
+        )
+        .withColumn(
+            "score_raw",
+            dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
+        )
+    )
+    we = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+@register("sim_knn_pq", oracle_sql=None)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered PQ ADC ANN at the default rerank depth (no SQL
+    oracle — the trained codebooks are engine-side state; pytest pins
+    the rerank=|corpus| ≡ brute-force invariant, recall@k bounds, and
+    the code-table compression invariants)."""
+    return knn_pq(spark, sf_dir, PQ_RERANK)

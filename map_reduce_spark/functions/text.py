@@ -451,3 +451,111 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@session_cached
+def doc_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, bg, tf) bigram-frequency table, persisted per
+    (session, corpus) via ``session_cached``.
+
+    ``w1`` (the left token) rides along so the conditional-probability
+    denominator c(w1, *) is a plain re-aggregation of this table — no
+    string re-splitting downstream. Bigrams are built array-side with
+    zip(tokens, tokens[1:]) exactly like ``doc_bigram_topk`` — one
+    explode + map-side combined count; shuffle volume is distinct
+    (doc, bigram) pairs, not the raw token stream.
+    """
+    from map_reduce_spark.operators.text_rel import tokens_col
+
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("doc_id", "p.w1", "p.bg")
+        .groupBy("doc_id", "w1", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle_sql=_sql_tokens_cte()
+    + """
+    , btf AS MATERIALIZED (
+        SELECT doc_id, split_part(bg, ' ', 1) AS w1, bg, count(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM toks_t)
+        GROUP BY doc_id, bg),
+    cbg AS MATERIALIZED (SELECT bg, sum(tf) AS cbg FROM btf GROUP BY bg),
+    cleft AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cleft
+        FROM cbg GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(sum_ll / n_bigrams, 6) AS mean_logprob,
+           round(exp(-sum_ll / n_bigrams), 4) AS ppl
+    FROM (
+        SELECT btf.doc_id, sum(btf.tf) AS n_bigrams,
+               sum(btf.tf * ln(cbg.cbg * 1.0 / cleft.cleft)) AS sum_ll
+        FROM btf JOIN cbg USING (bg) JOIN cleft USING (w1)
+        GROUP BY btf.doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability and perplexity under
+    the corpus's own bigram language model — the second-order
+    companion to ``doc_unigram_logprob``. A doc full of common words
+    in *uncommon orders* (shuffled/templated/generated text) scores
+    normal under the unigram LM but far below corpus-typical here,
+    which is why production curation stacks score both.
+
+    Model: P(w2 | w1) = c(w1 w2) / c(w1, *), both counts from the
+    corpus itself, so every bigram in a doc is in the model (no
+    smoothing term needed) and probabilities normalize per left token
+    by construction. Docs with < 2 tokens have no bigrams and drop out
+    naturally.
+
+    Plan shape: one explode + hash agg builds the (doc, bigram) TF
+    table (session-cached — the model tables below are re-aggregations
+    of it); corpus bigram counts and left-token totals are decomposable
+    sums of THAT table, so shuffle volume is bounded by distinct
+    (doc, bigram) pairs + |bigram vocabulary| — never the raw token
+    stream. Per-doc scoring is two hash equi-joins against the
+    vocabulary-sized model tables, then one map-side-combined
+    reduction. At 100 TB the model tables stay vocabulary-sized;
+    nothing but the ingest scan grows with raw tokens.
+    """
+    btf = doc_bigram_freq(spark, sf_dir)
+    cbg = btf.groupBy("bg").agg(F.sum("tf").alias("cbg"))
+    cleft = btf.groupBy("w1").agg(F.sum("tf").alias("cleft"))
+    mean_ll = F.col("sum_ll") / F.col("n_bigrams")
+    return (
+        btf.join(cbg, "bg")
+        .join(cleft, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(
+                F.col("tf") * F.log(F.col("cbg") * F.lit(1.0) / F.col("cleft"))
+            ).alias("sum_ll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(mean_ll, 6).alias("mean_logprob"),
+            F.round(F.exp(-mean_ll), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -32,10 +32,14 @@ class QuerySpec:
     returns a DataFrame plan without running Spark jobs (parquet
     schema-inference metadata reads aside), so plan audits and schema
     checks stay cheap. Heavy work happens at the caller's action.
-    The one sanctioned exception: streaming entries drain a bounded
+    Two sanctioned exceptions: streaming entries drain a bounded
     Trigger.AvailableNow replay at build time because a streaming
-    query has no lazily-returnable batch result; their doc says so.
-    (Laziness for the percentile plan is pinned by
+    query has no lazily-returnable batch result; and trained-index ANN
+    entries (sim_knn_ivf / sim_knn_pq) run their one-time bounded
+    model-training jobs (centroids / codebooks — KiB-sized driver
+    state, session-cached per corpus) at build, because the trained
+    model is folded into the query plan as literals. Their docs say
+    so. (Laziness for the percentile plan is pinned by
     tests/test_percentiles.py::test_builder_is_lazy.)
     """
 
@@ -89,6 +93,8 @@ _CHECK_FIRST = [
     "streaming_error_click_join",  # new: stream-stream join on the gate
     "window_rank_dense_ntile",  # rewritten: distributed two-level rank
     "doc_inverted_index",  # rewritten: in-row set-dedup, one exchange
+    "doc_bigram_logprob",  # new: second-order LM fluency scorer
+    "sim_knn_pq",  # new: product-quantization ADC ANN (rows-only)
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
@@ -104,10 +110,10 @@ _CHECK_FIRST = [
     "dedup_duplicate_clusters",
     "sim_knn_bruteforce", "sim_centroids_by_label",
     "sim_pairwise_label_affinity",
-    "events_sliding_1h_30m", "events_type_funnel", "events_props_from_json",
+    "events_sliding_1h_30m", "events_props_from_json",
     "latest_event_per_user", "sessionize_user_events",
     "asof_error_after_signup", "range_join_value_buckets",
-    "udaf_mad_quantity", "udaf_supplier_quantity_stats",
+    "udaf_supplier_quantity_stats",
     "join_salted_customer_orders",
     "q1_pricing_summary", "q6_forecast_revenue",
     "q4ish_priority_order_counts",
@@ -116,7 +122,12 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): topk_orders_by_price (its TakeOrderedAndProject surface
+# round): events_type_funnel (events-table surface covered in-window
+# by events_sliding_1h_30m, events_props_from_json,
+# latest_event_per_user, sessionize_user_events, and
+# events_retention_cohorts), udaf_mad_quantity (holistic-agg surface
+# covered in-window by udaf_supplier_quantity_stats and
+# agg_exact_percentiles), topk_orders_by_price (its TakeOrderedAndProject surface
 # overlaps q18ish's HAVING+limit sentinel), pivot_native_qty (its
 # pivot/array surface overlaps sql_unpivot_metrics),
 # agg_mode_and_stddev (holistic-agg surface overlaps the two udaf_*

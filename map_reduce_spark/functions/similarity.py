@@ -845,3 +845,104 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank=|corpus| ≡ brute-force invariant, recall@k bounds, and
     the code-table compression invariants)."""
     return knn_pq(spark, sf_dir, PQ_RERANK)
+
+
+def knn_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF-PQ: the two trained structures composed — the billion-scale
+    vector-index layout (coarse cells bound *which* vectors a probe
+    touches; PQ codes bound *how many bytes* each touch costs).
+
+    Corpus rows carry (cell, codes, norm): one IVF cell id + PQ_M
+    4-bit codes + a norm — the entire per-vector index state. Probes
+    carry their n_probe nearest cells and a PQ lookup table. The
+    candidate generator is a hash EQUI-join on cell (partitionable —
+    at 10^9 vectors the corpus shuffles once on cell and each probe
+    touches only its cells' partitions; contrast the PQ-only path,
+    whose ADC scan still reads every code). ADC scoring, shortlist,
+    and exact rerank are shared with ``knn_pq``.
+
+    Recall factors multiply: cells miss what banding misses and PQ's
+    shortlist misses what quantization blurs, so r(ivfpq) ~ r(ivf) x
+    r(pq) — the standard trade for touching ~n_probe/N_CELLS of a
+    30x-smaller index. n_probe=N_CELLS and rerank>=|corpus| degrades
+    to exact brute force (pinned by the tests).
+    """
+    from pyspark.sql import Window as W
+
+    centroids = ivf_centroids(spark, sf_dir)
+    emb = with_norm(load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm")
+    corpus = (
+        _with_nearest_cells(emb.select("vec_id", "dv", "norm"), "dv", "norm", centroids, 1, "cells")
+        .select(F.col("vec_id").alias("v_id"), F.col("cells")[0].alias("cell"))
+        .join(pq_encode(spark, sf_dir).withColumnRenamed("vec_id", "v_id"), "v_id")
+        .select(F.col("v_id").alias("neighbor_id"), "cell", "codes", F.col("norm").alias("c_norm"))
+    )
+    probe_cells = _with_nearest_cells(
+        emb.filter(F.col("vec_id") % PROBE_MOD == 0),
+        "dv",
+        "norm",
+        centroids,
+        n_probe,
+        "cells",
+    ).select(F.col("vec_id").alias("probe_id"), F.explode("cells").alias("cell"))
+    probes = _pq_probes(spark, sf_dir).join(probe_cells, "probe_id")
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            "codes",
+            lambda m, c: F.element_at("luts", (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    adc = (
+        corpus.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("adc", adc_dot / (F.col("probe_norm") * F.col("c_norm")))
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    wa = W.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = adc.withColumn("_ar", F.row_number().over(wa)).filter(F.col("_ar") <= rerank)
+    exact = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm"),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("dv").alias("probe_dv"),
+                    F.col("norm").alias("probe_norm"),
+                )
+            ),
+            "probe_id",
+        )
+        .withColumn(
+            "score_raw",
+            dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
+        )
+    )
+    we = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+@register("sim_knn_ivfpq", oracle_sql=None)
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVF-PQ ANN at the default (n_probe, rerank) (no SQL
+    oracle — both trained structures are engine-side state; pytest
+    pins the full-probe+full-rerank ≡ brute-force invariant and the
+    composed recall bound)."""
+    return knn_ivfpq(spark, sf_dir, N_PROBE, PQ_RERANK)

@@ -35,7 +35,7 @@ class QuerySpec:
     Two sanctioned exceptions: streaming entries drain a bounded
     Trigger.AvailableNow replay at build time because a streaming
     query has no lazily-returnable batch result; and trained-index ANN
-    entries (sim_knn_ivf / sim_knn_pq) run their one-time bounded
+    entries (sim_knn_ivf / sim_knn_pq / sim_knn_ivfpq) run their one-time bounded
     model-training jobs (centroids / codebooks — KiB-sized driver
     state, session-cached per corpus) at build, because the trained
     model is folded into the query plan as literals. Their docs say
@@ -97,7 +97,7 @@ _CHECK_FIRST = [
     "sim_knn_pq",  # new: product-quantization ADC ANN (rows-only)
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
-    "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf",
+    "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
     "agg_approx_distinct", "approx_quantiles_value",
     # (c) r4-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
@@ -108,7 +108,7 @@ _CHECK_FIRST = [
     "regexp_part_type_extract", "join_outer_order_fill",
     "agg_distinct_parts_per_supplier", "mr_concat_sorted_values",
     "dedup_duplicate_clusters",
-    "sim_knn_bruteforce", "sim_centroids_by_label",
+    "sim_centroids_by_label",
     "sim_pairwise_label_affinity",
     "events_sliding_1h_30m", "events_props_from_json",
     "latest_event_per_user", "sessionize_user_events",
@@ -122,7 +122,9 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): events_type_funnel (events-table surface covered in-window
+# round): sim_knn_bruteforce (oracle-backed exact-kNN twin of the
+# in-window no-oracle ANN entries, which pytest pins against it),
+# events_type_funnel (events-table surface covered in-window
 # by events_sliding_1h_30m, events_props_from_json,
 # latest_event_per_user, sessionize_user_events, and
 # events_retention_cohorts), udaf_mad_quantity (holistic-agg surface
@@ -143,7 +145,7 @@ _CHECK_FIRST = [
 # Still in the tail from r4 (r3-driver-green, unchanged):
 # doc_wordcount, doc_bigram_topk, doc_profile,
 # doc_fingerprint, doc_stats_by_lang_source, doc_split_assign,
-# doc_repetition_stats, doc_scrub_blocklist, doc_decontaminate,
+# doc_scrub_blocklist, doc_decontaminate,
 # doc_pack_sequences, dedup_exact, dedup_ngram_jaccard_pairs,
 # dedup_minhash_lsh, dedup_embedding_lsh_hi.
 

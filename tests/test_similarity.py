@@ -112,3 +112,26 @@ def test_pq_code_table_compression_invariants(spark, sf_dir):
     assert sorted((r.vec_id, tuple(r.codes)) for r in rows) == sorted(
         (r.vec_id, tuple(r.codes)) for r in again
     )
+
+
+def test_ivfpq_full_settings_equal_bruteforce(spark, sf_dir):
+    """n_probe=N_CELLS + rerank>=|corpus| searches every cell and
+    exact-reranks every candidate — IVF-PQ must then return the exact
+    brute-force top-k, scores included."""
+    from map_reduce_spark.functions.similarity import N_CELLS, knn_ivfpq
+
+    exact = sim_knn_bruteforce(spark, sf_dir).collect()
+    full = knn_ivfpq(spark, sf_dir, n_probe=N_CELLS, rerank=10**9).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
+
+def test_ivfpq_recall_at_k(spark, sf_dir):
+    """Composed recall ~ r(ivf) x r(pq); on random 64-d vectors the
+    floor is well above chance — pin a conservative 0.25."""
+    from map_reduce_spark.functions.similarity import knn_ivfpq
+
+    exact = _by_probe(sim_knn_bruteforce(spark, sf_dir).collect())
+    approx = _by_probe(knn_ivfpq(spark, sf_dir).collect())
+    assert set(exact) == set(approx)
+    recalls = [len(exact[p] & approx[p]) / TOP_K for p in exact]
+    assert sum(recalls) / len(recalls) >= 0.25, f"mean recall@{TOP_K}: {recalls}"

@@ -95,6 +95,7 @@ _CHECK_FIRST = [
     "doc_inverted_index",  # rewritten: in-row set-dedup, one exchange
     "doc_bigram_logprob",  # new: second-order LM fluency scorer
     "sim_knn_pq",  # new: product-quantization ADC ANN (rows-only)
+    "streaming_stateful_user_totals",  # new: applyInPandasWithState on the gate
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
@@ -106,7 +107,7 @@ _CHECK_FIRST = [
     "agg_rollup_returnflag",
     "q2ish_cheapest_supplier_per_part",
     "regexp_part_type_extract", "join_outer_order_fill",
-    "agg_distinct_parts_per_supplier", "mr_concat_sorted_values",
+    "mr_concat_sorted_values",
     "dedup_duplicate_clusters",
     "sim_centroids_by_label",
     "sim_pairwise_label_affinity",
@@ -122,7 +123,10 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): sim_knn_bruteforce (oracle-backed exact-kNN twin of the
+# round): agg_distinct_parts_per_supplier (distinct-agg surface
+# covered in-window by events_retention_cohorts' countDistinct and
+# the tail's locally-gated dedup_exact),
+# sim_knn_bruteforce (oracle-backed exact-kNN twin of the
 # in-window no-oracle ANN entries, which pytest pins against it),
 # events_type_funnel (events-table surface covered in-window
 # by events_sliding_1h_30m, events_props_from_json,

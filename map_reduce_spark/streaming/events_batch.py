@@ -316,3 +316,60 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     ).orderBy("error_id", "click_id")
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle_sql="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming reducer (``applyInPandasWithState``)
+    drained through a real streaming query and checked against the
+    batch aggregate oracle.
+
+    Completes the driver-gated streaming triptych: tumbling aggregate
+    (built-in windowed state), stream-stream interval join (two-sided
+    buffered state), and now the ARBITRARY-Python per-key state
+    surface — the reference engine's "reduce sees the full value
+    stream for a key" semantics generalized to unbounded streams
+    (``stateful.user_running_totals``). The replay's single fixture
+    file arrives in one microbatch, so each user's sole update-mode
+    emission is its final running total, which equals the batch
+    GROUP BY the oracle computes; cross-microbatch accumulation
+    (the part a single-batch replay cannot see) is pinned by the
+    multi-batch parity test in tests/test_stateful.py.
+
+    Builder-contract note: EAGER by necessity, like every streaming
+    entry (sanctioned exception documented on QuerySpec).
+
+    Scale: state is two scalars per user — O(distinct users) total
+    regardless of stream length; each microbatch shuffles only its own
+    rows on user_id (the state store is partitioned by the same key).
+    """
+    from map_reduce_spark.streaming.stateful import user_running_totals
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        drained = run_available_now(
+            user_running_totals(read_events_stream(spark, sf_dir)),
+            "streaming_stateful_user_totals",
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return drained.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    ).orderBy("user_id")

@@ -218,3 +218,69 @@ def test_repetition_stats_pandas_equals_fold(spark) -> None:
     a = doc_repetition_stats(spark, sf).toPandas()
     b = doc_repetition_stats_fold(spark, sf).toPandas()
     assert len(a) and a.equals(b)
+
+
+def _bigram_lm_reference(texts):
+    """Pure-Python bigram LM: P(w2|w1) = c(w1 w2)/c(w1,*) from the
+    corpus itself; per-doc mean log-prob over its bigram stream."""
+    import math
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+
+    doc_bgs = {i: list(zip(toks(t), toks(t)[1:])) for i, t in enumerate(texts)}
+    cbg = Counter(bg for bgs in doc_bgs.values() for bg in bgs)
+    cleft = Counter()
+    for (w1, _), c in cbg.items():
+        cleft[w1] += c
+    out = {}
+    for i, bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        ll = sum(math.log(cbg[bg] / cleft[bg[0]]) for bg in bgs)
+        out[i] = (len(bgs), ll / len(bgs))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_logprob_matches_reference(spark, tmp_path_factory, idx_lists):
+    """doc_bigram_logprob must agree with a pure-Python sequential
+    bigram LM on randomized corpora (same differential pattern as the
+    compat-layer oracle): per-doc bigram counts exactly, mean log-prob
+    to float tolerance."""
+    import pandas as pd
+
+    from map_reduce_spark.functions.text import doc_bigram_logprob
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts = [" ".join(words[i] for i in idxs) for idxs in idx_lists]
+    d = tmp_path_factory.mktemp("hyp_bigram")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["hyp"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(d) + "/documents.parquet", index=False)
+
+    got = {r.doc_id: r for r in doc_bigram_logprob(spark, str(d)).collect()}
+    want = _bigram_lm_reference(texts)
+    assert set(got) == set(want)
+    for i, (n_bg, mean_ll) in want.items():
+        assert got[i].n_bigrams == n_bg
+        assert abs(got[i].mean_logprob - round(mean_ll, 6)) <= 1e-6

@@ -653,29 +653,28 @@ def _cc_oracle_sql() -> str:
     )
 
 
-@session_cached
-def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lbl) connected-component labels of the exact-Jaccard
-    near-dup pair graph via min-label propagation, session-cached —
-    the cluster-resolution and keep-best queries both consume it, so
-    the fixpoint loop runs once per (session, corpus).
+def _min_label_propagation(
+    spark: SparkSession, pairs: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """(doc_id, lbl) connected-component labels of an undirected pair
+    graph via min-label propagation — the shared fixpoint kernel
+    behind the text CC (``cc_labels``) and the semantic CC
+    (``dedup_semantic_clusters``).
 
-    Only documents that appear in at least one near-dup pair carry a
-    row; singletons are implicitly their own component (consumers
-    coalesce the label onto doc_id). Label propagation is rounds of
-    "label = min(label, neighbors' labels)": each round is one shuffle
-    on doc_id with a decomposable min aggregate, so a round costs
-    O(|edges|) regardless of cluster count. The loop stops at FIXPOINT
-    (labels stop changing — detected by the monotone label-sum
-    invariant: labels only ever decrease, so an unchanged sum means an
-    unchanged labeling) with a hard CC_MAX_ITERS cap; see the cap's
-    comment for why the oracle's fixed unrolling still matches
-    exactly. Parallelism for the round loop is derived from the edge
-    count, not hardcoded — the pair graph is orders of magnitude
-    smaller than the corpus, and wide empty tasks per round cost more
-    than the data.
+    Only ids that appear in at least one pair carry a row; singletons
+    are implicitly their own component (consumers coalesce the label
+    onto the id). Label propagation is rounds of "label = min(label,
+    neighbors' labels)": each round is one shuffle on the id with a
+    decomposable min aggregate, so a round costs O(|edges|) regardless
+    of cluster count. The loop stops at FIXPOINT (labels stop changing
+    — detected by the monotone label-sum invariant: labels only ever
+    decrease, so an unchanged sum means an unchanged labeling) with a
+    hard CC_MAX_ITERS cap; see the cap's comment for why the oracles'
+    fixed unrolling still matches exactly. Parallelism for the round
+    loop is derived from the edge count, not hardcoded — the pair
+    graph is orders of magnitude smaller than the corpus, and wide
+    empty tasks per round cost more than the data.
     """
-    pairs = jaccard_pair_index(spark, sf_dir)
     # Iterative algorithms MUST truncate lineage per round, not just
     # persist: each round's logical plan embeds the previous round
     # TWICE (join + fallback), so after k rounds Catalyst re-analyzes
@@ -688,8 +687,8 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative to the corpus, and repartitioned DOWN so each round
     # schedules a handful of tasks, not cluster-width empties.
     edges_raw = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
+        .unionAll(pairs.select(F.col(col_b).alias("u"), F.col(col_a).alias("v")))
         .persist()
     )
     # Size the edge partitioning from the edge count: ceil(edges /
@@ -747,6 +746,18 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+@session_cached
+def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lbl) component labels of the exact-Jaccard near-dup
+    pair graph, session-cached — the cluster-resolution and keep-best
+    queries both consume it, so the fixpoint loop runs once per
+    (session, corpus). The loop itself (and its scale notes) lives in
+    ``_min_label_propagation``."""
+    return _min_label_propagation(
+        spark, jaccard_pair_index(spark, sf_dir), "doc_a", "doc_b"
+    )
 
 
 @register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())
@@ -880,6 +891,53 @@ def _augmented_sketched_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@session_cached
+def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ia, ib, cos) verified near-dup pairs of the augmented corpus at
+    the design-regime threshold tau={HI_TAU} — banded sketch equi-join
+    + radius-1 multi-probe candidate generation, exact cosine verify.
+    Session-cached: the pairwise dedup query and the semantic
+    connected-components query both consume it, so the band join runs
+    once per (session, corpus). Plan-shape notes on
+    ``dedup_embedding_lsh_hi``."""
+    from map_reduce_spark.functions.similarity import _sketch_bands, dot
+
+    aug = _augmented_sketched_embeddings(spark, sf_dir)
+    index_bands = aug.select(
+        F.col("vec_id").alias("ib"),
+        F.explode(
+            _sketch_bands(F.col("sketch"), 0, _HI_N_BANDS, _HI_BAND_BITS)
+        ).alias("bs"),
+    ).select("ib", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    probe_bands = aug.select(
+        F.col("vec_id").alias("ia"),
+        F.explode(
+            _sketch_bands(F.col("sketch"), 1, _HI_N_BANDS, _HI_BAND_BITS)
+        ).alias("bs"),
+    ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    cand = (
+        probe_bands.join(index_bands, ["band", "val"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    a = aug.select(
+        F.col("vec_id").alias("ia"), F.col("dv").alias("dva"), F.col("norm").alias("na")
+    )
+    b = aug.select(
+        F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(a, "ia")
+        .join(b, "ib")
+        .withColumn(
+            "cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= HI_TAU)
+        .select("ia", "ib", "cos")
+    )
+
+
 _EMBEDDING_HI_SQL = f"""
     WITH aug AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
@@ -920,41 +978,7 @@ def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape (sketch -> band equi-join -> verify -> keeper
     reduction) is identical and 10^9-vector-partitionable.
     """
-    from map_reduce_spark.functions.similarity import _sketch_bands, dot
-
-    aug = _augmented_sketched_embeddings(spark, sf_dir)
-    index_bands = aug.select(
-        F.col("vec_id").alias("ib"),
-        F.explode(
-            _sketch_bands(F.col("sketch"), 0, _HI_N_BANDS, _HI_BAND_BITS)
-        ).alias("bs"),
-    ).select("ib", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
-    probe_bands = aug.select(
-        F.col("vec_id").alias("ia"),
-        F.explode(
-            _sketch_bands(F.col("sketch"), 1, _HI_N_BANDS, _HI_BAND_BITS)
-        ).alias("bs"),
-    ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
-    cand = (
-        probe_bands.join(index_bands, ["band", "val"])
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
-    )
-    a = aug.select(
-        F.col("vec_id").alias("ia"), F.col("dv").alias("dva"), F.col("norm").alias("na")
-    )
-    b = aug.select(
-        F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
-    )
-    pairs = (
-        cand.join(a, "ia")
-        .join(b, "ib")
-        .withColumn(
-            "cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cos") >= HI_TAU)
-    )
+    pairs = embedding_hi_pairs(spark, sf_dir)
     return (
         pairs.groupBy(F.col("ib").alias("dup_id"))
         .agg(
@@ -963,6 +987,84 @@ def dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_near_dups"),
         )
         .orderBy("dup_id")
+    )
+
+
+def _semantic_cc_oracle_sql() -> str:
+    """Unrolled min-label CTE over the exact all-pairs embedding graph
+    at tau={HI_TAU} — same chained-CTE device as ``_cc_labels_cte``
+    (DuckDB's recursive arm can't aggregate), over vec ids."""
+    sql = f"""
+    WITH aug AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_PLANT_OFFSET},
+               list_transform(embedding::DOUBLE[], x -> x + {_PLANT_EPS})
+        FROM embeddings WHERE vec_id % 10 = 0),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.dv, b.dv) >= {HI_TAU}),
+    edges AS MATERIALIZED (
+        SELECT va AS u, vb AS v FROM pairs
+        UNION ALL
+        SELECT vb AS u, va AS v FROM pairs),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS vec_id, u AS lbl FROM edges)
+"""
+    prev = "l0"
+    for i in range(1, CC_MAX_ITERS + 1):
+        sql += f""",
+    l{i} AS MATERIALIZED (
+        SELECT n.vec_id,
+               least(n.lbl, coalesce(min(l.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN edges e ON e.u = n.vec_id
+        LEFT JOIN {prev} l ON l.vec_id = e.v
+        GROUP BY n.vec_id, n.lbl)
+"""
+        prev = f"l{i}"
+    return (
+        sql
+        + f"""
+    SELECT lbl AS component_id,
+           count(*) AS n_members,
+           min(vec_id) AS keeper_vec,
+           max(vec_id) AS max_vec
+    FROM {prev}
+    GROUP BY lbl
+    ORDER BY component_id
+    """
+    )
+
+
+@register("dedup_semantic_clusters", oracle_sql=_semantic_cc_oracle_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC duplicate-cluster resolution: connected components of
+    the embedding near-dup pair graph at tau={HI_TAU}, one keeper
+    (min vec_id) per component — lexical CC's embedding-space twin.
+
+    Lexical dedup (shingles/MinHash) misses paraphrases and
+    translations that embed near-identically; production curation runs
+    BOTH closures. This composes the two session-cached structures the
+    engine already maintains: the banded-sketch verified pair index
+    (``embedding_hi_pairs`` — the join that touches ~0.1% of the pair
+    space) feeds the same min-label-propagation fixpoint as the text
+    path (``_min_label_propagation`` — per-round O(|edges|) shuffles,
+    lineage checkpoints, decimal-sum fixpoint detection). The oracle
+    is the exact all-pairs graph, so a hash match certifies both the
+    banding's zero-miss property AND the closure.
+    """
+    labels = _min_label_propagation(
+        spark, embedding_hi_pairs(spark, sf_dir), "ia", "ib"
+    )
+    return (
+        labels.groupBy(F.col("lbl").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("keeper_vec"),
+            F.max("doc_id").alias("max_vec"),
+        )
+        .orderBy("component_id")
     )
 
 

@@ -96,6 +96,8 @@ _CHECK_FIRST = [
     "doc_bigram_logprob",  # new: second-order LM fluency scorer
     "sim_knn_pq",  # new: product-quantization ADC ANN (rows-only)
     "streaming_stateful_user_totals",  # new: applyInPandasWithState on the gate
+    "dedup_semantic_clusters",  # new: embedding-space CC closure
+    "dedup_embedding_lsh_hi",  # refactored: shared hi-regime pair index
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
@@ -112,18 +114,23 @@ _CHECK_FIRST = [
     "sim_centroids_by_label",
     "sim_pairwise_label_affinity",
     "events_sliding_1h_30m", "events_props_from_json",
-    "latest_event_per_user", "sessionize_user_events",
+    "sessionize_user_events",
     "asof_error_after_signup", "range_join_value_buckets",
     "udaf_supplier_quantity_stats",
     "join_salted_customer_orders",
-    "q1_pricing_summary", "q6_forecast_revenue",
+    "q1_pricing_summary",
     "q4ish_priority_order_counts",
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     "null_handling_acctbal",
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): agg_distinct_parts_per_supplier (distinct-agg surface
+# round): q6_forecast_revenue (its pushdown surface is pinned by
+# tests/test_plans.py and covered in-window by q4ish's o_orderdate
+# pushdown + q1's lineitem scan), latest_event_per_user (max_by
+# holistic surface covered by the in-window udaf/percentile entries;
+# events surface by four other in-window events queries),
+# agg_distinct_parts_per_supplier (distinct-agg surface
 # covered in-window by events_retention_cohorts' countDistinct and
 # the tail's locally-gated dedup_exact),
 # sim_knn_bruteforce (oracle-backed exact-kNN twin of the
@@ -151,7 +158,7 @@ _CHECK_FIRST = [
 # doc_fingerprint, doc_stats_by_lang_source, doc_split_assign,
 # doc_scrub_blocklist, doc_decontaminate,
 # doc_pack_sequences, dedup_exact, dedup_ngram_jaccard_pairs,
-# dedup_minhash_lsh, dedup_embedding_lsh_hi.
+# dedup_minhash_lsh.
 
 
 def load_all() -> dict[str, QuerySpec]:

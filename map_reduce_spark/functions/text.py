@@ -559,3 +559,92 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Integer-compare bucket edges (powers of four): exact cross-engine
+# semantics, no float log in the bucketing.
+LEN_BUCKETS = [(0, 15), (16, 63), (64, 255), (256, 1023), (1024, None)]
+
+
+def _len_bucket_case_sql() -> str:
+    arms = []
+    for lo, hi in LEN_BUCKETS:
+        label = f"{lo}-{hi}" if hi is not None else f"{lo}+"
+        cond = f"n_tokens >= {lo}" + (f" AND n_tokens <= {hi}" if hi is not None else "")
+        arms.append(f"WHEN {cond} THEN '{label}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+@register(
+    "doc_length_buckets",
+    oracle_sql=_sql_tokens_cte()
+    + f"""
+    , lens AS (SELECT len(toks) AS n_tokens FROM toks_t),
+    b AS (
+        SELECT {_len_bucket_case_sql()} AS bucket,
+               min(CASE {" ".join(f"WHEN n_tokens >= {lo}" + (f" AND n_tokens <= {hi}" if hi is not None else "") + f" THEN {lo}" for lo, hi in LEN_BUCKETS)} END) AS lo,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM lens GROUP BY 1)
+    SELECT bucket, n_docs, total_tokens,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS doc_share,
+           round(sum(n_docs) OVER (ORDER BY lo) * 1.0 / sum(n_docs) OVER (), 6)
+               AS cum_doc_share
+    FROM b
+    ORDER BY lo
+    """,
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution report: documents histogrammed into
+    power-of-four token-length buckets with doc shares and the
+    cumulative share — the numbers that size a packing config
+    (``doc_pack_sequences``'s token budget), batch shapes, and
+    truncation losses before a training run.
+
+    Plan shape: one tokenize scan reduced immediately to a counted
+    histogram keyed by the (constant, ~5-row) bucket space — the whole
+    post-scan dataflow is O(buckets), so the cumulative-share window
+    over the bucket table is bounded by construction at any corpus
+    size. Bucket edges are integer comparisons, exact in both engines.
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    n_tokens = F.size("toks")
+    label = None
+    lo_col = None
+    for lo, hi in reversed(LEN_BUCKETS):
+        name = f"{lo}-{hi}" if hi is not None else f"{lo}+"
+        cond = (n_tokens >= lo) if hi is None else ((n_tokens >= lo) & (n_tokens <= hi))
+        label = F.lit(name) if label is None else F.when(cond, name).otherwise(label)
+        lo_col = F.lit(lo) if lo_col is None else F.when(cond, F.lit(lo)).otherwise(lo_col)
+    b = (
+        docs.select(label.alias("bucket"), lo_col.alias("lo"), n_tokens.alias("n_tokens"))
+        .groupBy("bucket", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # Windows over the <=5-row bucket table only (bounded by
+    # construction — the "no partition" warning case does not apply).
+    wall = W.partitionBy()
+    return (
+        b.select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(wall), 6).alias(
+                "doc_share"
+            ),
+            F.round(
+                F.sum("n_docs").over(W.partitionBy().orderBy("lo"))
+                * F.lit(1.0)
+                / F.sum("n_docs").over(wall),
+                6,
+            ).alias("cum_doc_share"),
+            "lo",
+        )
+        .orderBy("lo")
+        .drop("lo")
+    )

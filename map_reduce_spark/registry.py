@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "streaming_stateful_user_totals",  # new: applyInPandasWithState on the gate
     "dedup_semantic_clusters",  # new: embedding-space CC closure
     "dedup_embedding_lsh_hi",  # refactored: shared hi-regime pair index
+    "doc_length_buckets",  # new: sequence-length planning histogram
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
@@ -108,7 +109,7 @@ _CHECK_FIRST = [
     "setop_nation_coverage",
     "agg_rollup_returnflag",
     "q2ish_cheapest_supplier_per_part",
-    "regexp_part_type_extract", "join_outer_order_fill",
+    "join_outer_order_fill",
     "mr_concat_sorted_values",
     "dedup_duplicate_clusters",
     "sim_centroids_by_label",
@@ -125,7 +126,9 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): q6_forecast_revenue (its pushdown surface is pinned by
+# round): regexp_part_type_extract (regexp surface exercised
+# in-window by the doc-family tokenizer oracles),
+# q6_forecast_revenue (its pushdown surface is pinned by
 # tests/test_plans.py and covered in-window by q4ish's o_orderdate
 # pushdown + q1's lineitem scan), latest_event_per_user (max_by
 # holistic surface covered by the in-window udaf/percentile entries;

@@ -39,8 +39,11 @@ class QuerySpec:
     model-training jobs (centroids / codebooks — KiB-sized driver
     state, session-cached per corpus) at build, because the trained
     model is folded into the query plan as literals. Their docs say
-    so. (Laziness for the percentile plan is pinned by
-    tests/test_percentiles.py::test_builder_is_lazy.)
+    so. Iterative-fixpoint builders (the connected-components family)
+    likewise run their bounded label-propagation rounds at build —
+    each round is lineage-checkpointed, so the loop cannot be
+    represented as one lazy plan. (Laziness for the percentile plan
+    is pinned by tests/test_percentiles.py::test_builder_is_lazy.)
     """
 
     name: str

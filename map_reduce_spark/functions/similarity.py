@@ -766,31 +766,11 @@ def _pq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_pq(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFrame:
-    """PQ ADC top-k: score every corpus vector against each probe via
-    per-subspace lookup tables over the codes, keep the top ``rerank``
-    ADC candidates per probe, then exact-rerank only those.
-
-    Asymmetric distance computation: a pair's approximate dot is PQ_M
-    array lookups + adds (a tiny JVM-side expression over the
-    broadcast-joined codes and LUTs) instead of 64 multiplies, over an
-    index ~30x smaller than the raw vectors — the classic IVF-PQ
-    memory/bandwidth shape (this operator is the PQ half; compose with
-    the IVF cell filter for the full billion-scale layout). Setting
-    ``rerank`` >= |corpus| degrades to exact brute force — the
-    invariant the tests pin. The exact pass re-fetches raw vectors by
-    equi-join on vec_id, so only probes x rerank rows ever touch a
-    full vector after the ADC scan, with the same float-op order as
-    sim_knn_bruteforce — final scores are bit-identical to it.
-    """
-    from pyspark.sql import Window as W
-
-    corpus = pq_encode(spark, sf_dir).select(
-        F.col("vec_id").alias("neighbor_id"), "codes", F.col("norm").alias("c_norm")
-    )
-    probes = _pq_probes(spark, sf_dir)
-    # lut index for (m, code_m) in the flattened table is m*K + code.
-    adc_dot = F.aggregate(
+def _adc_dot() -> Column:
+    """Approximate dot via per-subspace LUT lookups: lut index for
+    (m, code_m) in the flattened table is m*PQ_K + code (element_at is
+    1-indexed). Shared by the PQ and IVF-PQ paths."""
+    return F.aggregate(
         F.zip_with(
             F.sequence(F.lit(0), F.lit(PQ_M - 1)),
             "codes",
@@ -799,14 +779,23 @@ def knn_pq(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFra
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    adc = (
-        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("adc", adc_dot / (F.col("probe_norm") * F.col("c_norm")))
-        .select("probe_id", "neighbor_id", "adc")
-    )
+
+
+def _adc_shortlist_exact_rerank(
+    spark: SparkSession, sf_dir: str, adc: DataFrame, rerank: int
+) -> DataFrame:
+    """Shared tail of the PQ family: keep the top ``rerank`` ADC
+    candidates per probe, re-fetch their raw vectors by equi-join on
+    vec_id (only probes x rerank rows ever touch a full vector), exact
+    cosine with brute-force's float-op order, final top-k.
+
+    ``adc`` must carry (probe_id, neighbor_id, adc).
+    """
+    from pyspark.sql import Window as W
+
+    emb = with_norm(load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm")
     wa = W.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = adc.withColumn("_ar", F.row_number().over(wa)).filter(F.col("_ar") <= rerank)
-    emb = with_norm(load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm")
     exact = (
         cand.join(
             emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm"),
@@ -836,6 +825,35 @@ def knn_pq(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFra
         )
         .orderBy("probe_id", "rank")
     )
+
+
+def knn_pq(spark: SparkSession, sf_dir: str, rerank: int = PQ_RERANK) -> DataFrame:
+    """PQ ADC top-k: score every corpus vector against each probe via
+    per-subspace lookup tables over the codes, keep the top ``rerank``
+    ADC candidates per probe, then exact-rerank only those.
+
+    Asymmetric distance computation: a pair's approximate dot is PQ_M
+    array lookups + adds (a tiny JVM-side expression over the
+    broadcast-joined codes and LUTs) instead of 64 multiplies, over an
+    index ~30x smaller than the raw vectors — the classic IVF-PQ
+    memory/bandwidth shape (this operator is the PQ half; compose with
+    the IVF cell filter for the full billion-scale layout). Setting
+    ``rerank`` >= |corpus| degrades to exact brute force — the
+    invariant the tests pin. The exact pass re-fetches raw vectors by
+    equi-join on vec_id, so only probes x rerank rows ever touch a
+    full vector after the ADC scan, with the same float-op order as
+    sim_knn_bruteforce — final scores are bit-identical to it.
+    """
+    corpus = pq_encode(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "codes", F.col("norm").alias("c_norm")
+    )
+    probes = _pq_probes(spark, sf_dir)
+    adc = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("adc", _adc_dot() / (F.col("probe_norm") * F.col("c_norm")))
+        .select("probe_id", "neighbor_id", "adc")
+    )
+    return _adc_shortlist_exact_rerank(spark, sf_dir, adc, rerank)
 
 
 @register("sim_knn_pq", oracle_sql=None)
@@ -872,8 +890,6 @@ def knn_ivfpq(
     30x-smaller index. n_probe=N_CELLS and rerank>=|corpus| degrades
     to exact brute force (pinned by the tests).
     """
-    from pyspark.sql import Window as W
-
     centroids = ivf_centroids(spark, sf_dir)
     emb = with_norm(load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm")
     corpus = (
@@ -891,52 +907,13 @@ def knn_ivfpq(
         "cells",
     ).select(F.col("vec_id").alias("probe_id"), F.explode("cells").alias("cell"))
     probes = _pq_probes(spark, sf_dir).join(probe_cells, "probe_id")
-    adc_dot = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            "codes",
-            lambda m, c: F.element_at("luts", (m * PQ_K + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     adc = (
         corpus.join(F.broadcast(probes), ["cell"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("adc", adc_dot / (F.col("probe_norm") * F.col("c_norm")))
+        .withColumn("adc", _adc_dot() / (F.col("probe_norm") * F.col("c_norm")))
         .select("probe_id", "neighbor_id", "adc")
     )
-    wa = W.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    cand = adc.withColumn("_ar", F.row_number().over(wa)).filter(F.col("_ar") <= rerank)
-    exact = (
-        cand.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm"),
-            "neighbor_id",
-        )
-        .join(
-            F.broadcast(
-                emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-                    F.col("vec_id").alias("probe_id"),
-                    F.col("dv").alias("probe_dv"),
-                    F.col("norm").alias("probe_norm"),
-                )
-            ),
-            "probe_id",
-        )
-        .withColumn(
-            "score_raw",
-            dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
-        )
-    )
-    we = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
-        )
-        .orderBy("probe_id", "rank")
-    )
+    return _adc_shortlist_exact_rerank(spark, sf_dir, adc, rerank)
 
 
 @register("sim_knn_ivfpq", oracle_sql=None)

@@ -465,16 +465,17 @@ def doc_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + map-side combined count; shuffle volume is distinct
     (doc, bigram) pairs, not the raw token stream.
     """
-    from map_reduce_spark.operators.text_rel import tokens_col
+    from map_reduce_spark.operators.text_rel import bigram_zip, tokens_col
 
     docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
     pairs = docs.select(
         "doc_id",
         F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            bigram_zip(
+                F.col("toks"),
+                lambda a, b: F.struct(
+                    a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")
+                ),
             )
         ).alias("p"),
     )

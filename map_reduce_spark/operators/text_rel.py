@@ -147,6 +147,18 @@ def mr_concat_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_zip(toks, combine):
+    """Array-side positional bigrams: zip(tokens, tokens[1:]) with a
+    caller-supplied (a, b) -> Column combiner — no self-join, no extra
+    shuffle. The greatest(size-1, 0) guard keeps the slice length legal
+    for 0/1-token docs. Shared by doc_bigram_topk (plain "a b"
+    strings) and the bigram-LM TF index (structs carrying the left
+    token; functions/text.doc_bigram_freq).
+    """
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(F.slice(toks, 1, n), F.slice(toks, 2, n), combine)
+
+
 @register(
     "doc_bigram_topk",
     oracle_sql="""
@@ -168,18 +180,14 @@ def mr_concat_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 word bigrams: positional n-gram construction + top-k.
 
-    Built array-side with zip(tokens, tokens[1:]) — no self-join, no
-    extra shuffle; the oracle uses the equivalent positional self-join.
+    Built array-side via ``bigram_zip``; the oracle uses the
+    equivalent positional self-join.
     """
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(tokens_col().alias("toks"))
     bigrams = toks.select(
         F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
+            bigram_zip(F.col("toks"), lambda a, b: F.concat_ws(" ", a, b))
         ).alias("bigram")
     )
     return (

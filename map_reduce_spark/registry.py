@@ -102,13 +102,14 @@ _CHECK_FIRST = [
     "dedup_semantic_clusters",  # new: embedding-space CC closure
     "dedup_embedding_lsh_hi",  # refactored: shared hi-regime pair index
     "doc_length_buckets",  # new: sequence-length planning histogram
+    "doc_bigram_topk",  # refactored: shared bigram_zip construction
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
     "agg_approx_distinct", "approx_quantiles_value",
     # (c) r4-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
-    "sql_cte_top_customers", "sql_correlated_exists", "sql_unpivot_metrics",
+    "sql_cte_top_customers", "sql_unpivot_metrics",
     "setop_nation_coverage",
     "agg_rollup_returnflag",
     "q2ish_cheapest_supplier_per_part",
@@ -129,7 +130,9 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): regexp_part_type_extract (regexp surface exercised
+# round): sql_correlated_exists (correlated-EXISTS/semi surface
+# covered in-window by q22ish's anti join and q4ish's
+# EXISTS-collapsed aggregate), regexp_part_type_extract (regexp surface exercised
 # in-window by the doc-family tokenizer oracles),
 # q6_forecast_revenue (its pushdown surface is pinned by
 # tests/test_plans.py and covered in-window by q4ish's o_orderdate
@@ -143,8 +146,8 @@ _CHECK_FIRST = [
 # in-window no-oracle ANN entries, which pytest pins against it),
 # events_type_funnel (events-table surface covered in-window
 # by events_sliding_1h_30m, events_props_from_json,
-# latest_event_per_user, sessionize_user_events, and
-# events_retention_cohorts), udaf_mad_quantity (holistic-agg surface
+# sessionize_user_events, events_retention_cohorts, and the three
+# streaming replays), udaf_mad_quantity (holistic-agg surface
 # covered in-window by udaf_supplier_quantity_stats and
 # agg_exact_percentiles), topk_orders_by_price (its TakeOrderedAndProject surface
 # overlaps q18ish's HAVING+limit sentinel), pivot_native_qty (its
@@ -160,7 +163,7 @@ _CHECK_FIRST = [
 # q3_shipping_priority,
 # q5_local_supplier_volume, q10_returned_items, q14_promo_effect.
 # Still in the tail from r4 (r3-driver-green, unchanged):
-# doc_wordcount, doc_bigram_topk, doc_profile,
+# doc_wordcount, doc_profile,
 # doc_fingerprint, doc_stats_by_lang_source, doc_split_assign,
 # doc_scrub_blocklist, doc_decontaminate,
 # doc_pack_sequences, dedup_exact, dedup_ngram_jaccard_pairs,

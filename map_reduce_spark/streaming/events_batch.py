@@ -188,23 +188,13 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
         tumbling_counts,
     )
 
-    # State-store parallelism is fixed at stream START from
-    # spark.sql.shuffle.partitions; the replay's state (open windows x
-    # types) is tiny, so 32 state tasks are pure scheduling overhead
-    # (~2x the query's runtime). Pin 8 for the bounded replay and
-    # restore — a real deployment sizes this to cluster width once,
-    # at stream start, because it is frozen into the checkpoint.
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        drained = run_available_now(
-            tumbling_counts(read_events_stream(spark, sf_dir)),
-            "streaming_tumbling_type_counts",
-            output_mode="complete",
-        )
-    finally:
-        spark.conf.set(key, prev)
+    # run_available_now pins state-store parallelism to 8 around the
+    # stream start (see its doc) — the replay's state is tiny.
+    drained = run_available_now(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        "streaming_tumbling_type_counts",
+        output_mode="complete",
+    )
     return drained.orderBy("window_start", "event_type")
 
 
@@ -298,17 +288,11 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_error_click_join,
     )
 
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        drained = run_available_now(
-            stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
-            "streaming_error_click_join",
-            output_mode="append",
-        )
-    finally:
-        spark.conf.set(key, prev)
+    drained = run_available_now(
+        stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
+        "streaming_error_click_join",
+        output_mode="append",
+    )
     return drained.select(
         "error_id",
         "e_user",
@@ -352,6 +336,15 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: state is two scalars per user — O(distinct users) total
     regardless of stream length; each microbatch shuffles only its own
     rows on user_id (the state store is partitioned by the same key).
+
+    FP-boundary note (same class as sim_pairwise_label_affinity's):
+    the UDF accumulates total_value via pandas' pairwise summation
+    while the oracle sums sequentially in DuckDB — the two doubles can
+    differ by ~1e-13, so a user total landing within that distance of
+    a 0.005 half-boundary could flip round(...,2) and the hash match.
+    A per-user sum of ~100 O(100) values keeps totals far from that
+    knife-edge today; if a future fixture trips it, accumulate in the
+    UDF with math.fsum (exact) or compare on cents-as-integers.
     """
     from map_reduce_spark.streaming.stateful import user_running_totals
     from map_reduce_spark.streaming.streams import (
@@ -359,17 +352,11 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         run_available_now,
     )
 
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        drained = run_available_now(
-            user_running_totals(read_events_stream(spark, sf_dir)),
-            "streaming_stateful_user_totals",
-            output_mode="update",
-        )
-    finally:
-        spark.conf.set(key, prev)
+    drained = run_available_now(
+        user_running_totals(read_events_stream(spark, sf_dir)),
+        "streaming_stateful_user_totals",
+        output_mode="update",
+    )
     return drained.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     ).orderBy("user_id")

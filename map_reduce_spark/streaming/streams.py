@@ -139,19 +139,39 @@ def stream_stream_error_click_join(events: DataFrame) -> DataFrame:
     ).select("error_id", "e_user", "error_ts", "click_id", "click_ts")
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    state_partitions: int = 8,
+) -> DataFrame:
     """Drive a streaming query to completion over all available input
     (Trigger.AvailableNow) and return the materialized result.
 
-    Deterministic replay used by tests and by batch-parity checks.
+    Deterministic replay used by tests, batch-parity checks, and the
+    registered driver-gate entries.
+
+    State-store parallelism is fixed at stream START from
+    spark.sql.shuffle.partitions; a bounded replay's state is tiny, so
+    cluster-width state tasks are pure scheduling overhead (~2x the
+    query's runtime measured at 32). The pin is applied around
+    ``start()`` here — once, for every replay — and restored after the
+    drain; a real deployment sizes this to cluster width once, at
+    stream start, because it is frozen into the checkpoint.
     """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(query_name)

@@ -664,8 +664,12 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("l_extendedprice") - F.col("_mn")) / w * B).cast("int"),
         )
     )
+    # One bucketed frame feeds both the count pass and the rank pass —
+    # the bucket expression (and priced's join subtree) is analyzed
+    # once instead of twice.
+    withb = priced.withColumn("_b", bucket)
     bc = (
-        priced.groupBy("l_returnflag", bucket.alias("_b"))
+        withb.groupBy("l_returnflag", "_b")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.first("_mn").alias("_mn"),
@@ -689,9 +693,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.alias("_kc"),
         ph.alias("_ph"),
     )
-    ranked = priced.withColumn("_b", bucket).join(
-        F.broadcast(needed), ["l_returnflag", "_b"]
-    )
+    ranked = withb.join(F.broadcast(needed), ["l_returnflag", "_b"])
     grank = (
         F.row_number().over(
             W.partitionBy("l_returnflag", "_b").orderBy("l_extendedprice")

@@ -666,3 +666,82 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+WSAMPLE_SALT = "ws1"
+
+
+@register(
+    "doc_weighted_sample",
+    oracle_sql=f"""
+    SELECT doc_id, lang, n_chars, round(skey, 6) AS skey, sample_rank
+    FROM (
+        SELECT doc_id, lang, n_chars, skey,
+               CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+                   AS sample_rank
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   ln((('0x' || substr(md5(doc_id || '/{WSAMPLE_SALT}'), 1, 8))::BIGINT + 1)
+                      / 4294967297.0) / n_chars AS skey
+            FROM documents))
+    WHERE sample_rank <= {WSAMPLE_K}
+    ORDER BY sample_rank
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample of {WSAMPLE_K} docs —
+    Efraimidis-Spirakis top-k reservoir sampling with the engine-stable
+    md5 deal standing in for the random draw. Weight here is n_chars
+    (in a curation stack: a quality score), so longer/better docs are
+    proportionally likelier while every doc keeps a nonzero chance —
+    the standard shape for quality-weighted training-data selection.
+
+    Mechanics: each doc draws u = (md5_32(doc_id+salt)+1)/(2^32+1) in
+    (0,1); the E-S key ln(u)/w makes P(doc in top-k) proportional to
+    its weight, exactly as u^(1/w) would, with better float behavior.
+    Determinism is the whole point: the same doc draws the same u on
+    any engine, any run, any corpus shard layout — so the sample is
+    reproducible AND stable under corpus growth (a new doc displaces
+    at most one old member, it never reshuffles the deal; same
+    property the split/stratified-sample ops build on, salt-versioned
+    the same way).
+
+    Scale: one narrow projection computes keys, then top-k by key is a
+    TakeOrderedAndProject (per-partition heads + merge of k rows — no
+    global sort, nothing driver-side beyond the k-row result).
+    FP note: key selection compares raw doubles and ln() is a libm
+    call; two engines could in principle disagree on a member whose
+    key ties another within ~1 ulp — with k << n and continuous-ish
+    weights the probability is negligible, and the emitted key is
+    rounded to 6 for the hash compare.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(WSAMPLE_SALT))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(2**32 + 1))
+    skey = F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window as W
+
+    keyed = docs.select("doc_id", "lang", "n_chars", skey.alias("skey")).orderBy(
+        F.desc("skey"), F.asc("doc_id")
+    ).limit(WSAMPLE_K)
+    return (
+        keyed.withColumn(
+            "sample_rank",
+            F.row_number().over(W.orderBy(F.desc("skey"), F.asc("doc_id"))).cast("long"),
+        )
+        .select("doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey"), "sample_rank")
+        .orderBy("sample_rank")
+    )

@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "dedup_embedding_lsh_hi",  # refactored: shared hi-regime pair index
     "doc_length_buckets",  # new: sequence-length planning histogram
     "doc_bigram_topk",  # refactored: shared bigram_zip construction
+    "doc_weighted_sample",  # new: deterministic E-S weighted sampling
     # (b) no-oracle rows-only entries — driver rows are their only
     # external check
     "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
@@ -112,7 +113,6 @@ _CHECK_FIRST = [
     "sql_cte_top_customers", "sql_unpivot_metrics",
     "setop_nation_coverage",
     "agg_rollup_returnflag",
-    "q2ish_cheapest_supplier_per_part",
     "join_outer_order_fill",
     "mr_concat_sorted_values",
     "dedup_duplicate_clusters",
@@ -130,7 +130,9 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r5 (all r4-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): sql_correlated_exists (correlated-EXISTS/semi surface
+# round): q2ish_cheapest_supplier_per_part (min-per-group + dim-join
+# surface covered in-window by window_rank_dense_ntile and the
+# q-suite sentinels), sql_correlated_exists (correlated-EXISTS/semi surface
 # covered in-window by q22ish's anti join and q4ish's
 # EXISTS-collapsed aggregate), regexp_part_type_extract (regexp surface exercised
 # in-window by the doc-family tokenizer oracles),

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_spread, load_table, session_cached
+from map_reduce_spark.sources import load_spread, session_cached
 
 TOP_K = 10
 PROBE_MOD = 100  # probes = vec_id % PROBE_MOD == 0 → 1% of the corpus

@@ -284,3 +284,53 @@ def test_bigram_logprob_matches_reference(spark, tmp_path_factory, idx_lists):
     for i, (n_bg, mean_ll) in want.items():
         assert got[i].n_bigrams == n_bg
         assert abs(got[i].mean_logprob - round(mean_ll, 6)) <= 1e-6
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=30),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_sample_matches_reference(spark, tmp_path_factory, weights):
+    """doc_weighted_sample must pick exactly the docs a pure-Python
+    Efraimidis-Spirakis selection picks from the same md5 deal (same
+    u, same ln(u)/w keys, same (key desc, doc_id) order)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from map_reduce_spark.functions.prep import (
+        WSAMPLE_K,
+        WSAMPLE_SALT,
+        doc_weighted_sample,
+    )
+
+    d = tmp_path_factory.mktemp("hyp_wsample")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(weights)),
+            "text": ["x" * w for w in weights],
+            "lang": ["en"] * len(weights),
+            "source": ["hyp"] * len(weights),
+            "n_chars": weights,
+        }
+    ).to_parquet(str(d) + "/documents.parquet", index=False)
+
+    def key(doc_id, w):
+        h = hashlib.md5(f"{doc_id}/{WSAMPLE_SALT}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / (2**32 + 1)
+        return math.log(u) / w
+
+    want = sorted(
+        ((key(i, w), i) for i, w in enumerate(weights)),
+        key=lambda t: (-t[0], t[1]),
+    )[:WSAMPLE_K]
+    got = doc_weighted_sample(spark, str(d)).collect()
+    assert [r.doc_id for r in got] == [i for _, i in want]
+    for r, (k, _) in zip(got, want):
+        assert abs(r.skey - round(k, 6)) <= 1e-6
+        assert r.sample_rank == got.index(r) + 1

@@ -694,7 +694,7 @@ WSAMPLE_SALT = "ws1"
     """,
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weight-proportional sample of {WSAMPLE_K} docs —
+    """Deterministic weight-proportional sample of WSAMPLE_K docs —
     Efraimidis-Spirakis top-k reservoir sampling with the engine-stable
     md5 deal standing in for the random draw. Weight here is n_chars
     (in a curation stack: a quality score), so longer/better docs are
@@ -732,8 +732,6 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     ) / F.lit(float(2**32 + 1))
     skey = F.log(u) / F.col("n_chars")
-    from pyspark.sql import Window as W
-
     keyed = docs.select("doc_id", "lang", "n_chars", skey.alias("skey")).orderBy(
         F.desc("skey"), F.asc("doc_id")
     ).limit(WSAMPLE_K)

@@ -287,7 +287,9 @@ def test_bigram_logprob_matches_reference(spark, tmp_path_factory, idx_lists):
 
 
 @given(
-    st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    # max_size 80 > WSAMPLE_K=50 so the top-k truncation boundary is
+    # exercised, not just the everyone-selected regime.
+    st.lists(st.integers(1, 500), min_size=1, max_size=80),
 )
 @settings(
     max_examples=5,

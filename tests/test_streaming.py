@@ -88,3 +88,96 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     ).select("error_id", "e_user", "error_ts", "click_id", "click_ts").toPandas()
     assert len(got), "fixture should produce interval-join matches"
     pd.testing.assert_frame_equal(canon(got), canon(want))
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path_factory):
+    """Late-data eviction OBSERVED, not just configured: a row arriving
+    after the watermark passed its window is excluded from the
+    append-mode tumbling aggregate.
+
+    Three files replayed as three microbatches (maxFilesPerTrigger=1,
+    order pinned via mtimes). Spark's late-event filter uses the
+    PREVIOUS batch's watermark (watermarkForLateEvents lags
+    watermarkForEviction by one batch since 3.4), so the schedule is:
+    batch 0 (events 10:05, 10:20, 12:30) advances the 1 h watermark to
+    11:30; batch 1 (on-time 11:45) runs with eviction watermark 11:30,
+    finalizing + emitting the [10:00, 11:00) window; batch 2 then
+    delivers a LATE 10:15 row — its window end (11:00) is behind the
+    late-event watermark (11:30), so the row is dropped (the run's
+    numRowsDroppedByWatermark shows exactly 1). The drained result
+    counts only batch 0's two rows in the 10:00 window, while a plain
+    batch GROUP BY over the same files counts 3 — that difference is
+    the eviction that makes streaming state bounded at scale.
+    """
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("late_events")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": pd.to_datetime([f"2024-01-01 {t}" for t, _ in rows]),
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [v for _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        path = str(d / name)
+        # microsecond timestamps: the vanilla reader must see a plain
+        # TIMESTAMP column (the fixture's nanos handling is elsewhere)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(
+            table, path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (mtime, mtime))
+
+    base = time.time() - 1000
+    write("a.parquet", [("10:05", 1.0), ("10:20", 2.0), ("12:30", 3.0)], base)
+    write("b.parquet", [("11:45", 5.0)], base + 100)
+    write("c.parquet", [("10:15", 100.0), ("13:00", 4.0)], base + 200)
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n", "total")
+    )
+    got = {
+        r.h: (r.n, r.total)
+        for r in run_available_now(
+            agg, "late_drop_test", output_mode="append"
+        ).collect()
+    }
+    # The late 10:15 row (value 100) must NOT be in the 10:00 window.
+    assert got["10:00"] == (2, 3.0), got
+    # The on-time 11:45 row was finalized and emitted normally.
+    assert got["11:00"] == (1, 5.0), got
+    # Control: a plain batch aggregate over the same files DOES count
+    # the late row — the difference is the eviction under test.
+    batch = {
+        r.h: (r.n, r.total)
+        for r in spark.read.parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.date_format("w.start", "HH:mm").alias("h"), "n", "total")
+        .collect()
+    }
+    assert batch["10:00"] == (3, 103.0), batch

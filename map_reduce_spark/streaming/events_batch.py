@@ -171,10 +171,11 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     store, watermark, sink — on the driver's correctness gate rather
     than trusting pytest alone.
 
-    Builder-contract note: this builder is EAGER by necessity (a
-    streaming query has no lazily-returnable batch result) — it runs
-    the bounded AvailableNow replay at build time; the sanctioned
-    exception documented on QuerySpec.
+    Builder-contract note: DEFERRED as of r6 — building returns a
+    schema-carrying proxy instantly and the bounded AvailableNow
+    replay (a streaming query has no lazily-returnable batch result)
+    drains on FIRST ACTION, restoring the lazy-builder contract for
+    plan audits and schema walks (``plans/deferred.py``).
 
     Scale: in production this plan runs incrementally — per-microbatch
     work is O(new events), state is O(open windows x types) bounded by
@@ -182,20 +183,108 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     deterministic replay check (a real 100 TB stream would use append
     mode on a durable sink).
     """
+    from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.streams import (
         read_events_stream,
         run_available_now,
         tumbling_counts,
     )
 
-    # run_available_now pins state-store parallelism to 8 around the
-    # stream start (see its doc) — the replay's state is tiny.
-    drained = run_available_now(
-        tumbling_counts(read_events_stream(spark, sf_dir)),
-        "streaming_tumbling_type_counts",
-        output_mode="complete",
+    def drain() -> DataFrame:
+        # run_available_now pins state-store parallelism to 8 around the
+        # stream start (see its doc) — the replay's state is tiny.
+        drained = run_available_now(
+            tumbling_counts(read_events_stream(spark, sf_dir)),
+            "streaming_tumbling_type_counts",
+            output_mode="complete",
+        )
+        return drained.orderBy("window_start", "event_type")
+
+    return deferred(
+        spark,
+        "window_start string, event_type string, n_events bigint, total_value double",
+        drain,
     )
-    return drained.orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_session_windows",
+    oracle_sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-min inactivity gap) drained
+    through a real streaming query and checked against a batch
+    gaps-and-islands oracle.
+
+    Closes the last streaming feature family off the driver gate
+    (SURVEY §2.3 streaming row): ``F.session_window`` grows/merges
+    per-key session state incrementally — the one window type whose
+    STATE SHAPE (variable-length, merge-on-update) differs from
+    tumbling/sliding — and until r6 it was pytest-only. The oracle is
+    the classic lag()+running-sum sessionizer with the boundary rule
+    Spark implements (verified empirically): an event exactly ``gap``
+    after its predecessor MERGES (windows are closed at the boundary),
+    so the oracle breaks sessions strictly-greater-than 30 min apart,
+    comparing full-precision timestamps (the fixture has microsecond
+    parts; a seconds-truncating date_diff would misclassify a
+    1800.5 s gap). ``session_end`` is last-event-time + gap on both
+    sides.
+
+    Builder-contract note: DEFERRED (r6) — the bounded replay drains
+    on first action, not at build (see streaming_tumbling_type_counts).
+    Complete mode keeps every session for the deterministic replay
+    check; a live deployment would use append/update with watermark
+    eviction (the eviction behavior is pinned by
+    tests/test_streaming.py).
+
+    Scale: session state is O(open sessions per user horizon) under a
+    watermark; merges happen only within a user's shuffle partition —
+    one key-partitioned exchange, same as the batch sessionizer.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        session_window_stats,
+    )
+
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            session_window_stats(read_events_stream(spark, sf_dir)),
+            "streaming_session_windows",
+            output_mode="complete",
+        )
+        return drained.orderBy("user_id", "session_start")
+
+    return deferred(
+        spark,
+        "user_id bigint, session_start string, session_end string, "
+        "n_events bigint, total_value double",
+        drain,
+    )
 
 
 @register(
@@ -275,31 +364,40 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality. Timestamps are formatted to whole seconds on both sides
     so the comparison is dtype-stable across fixture generations.
 
-    Builder-contract note: EAGER by necessity, like every streaming
-    entry (sanctioned exception documented on QuerySpec).
+    Builder-contract note: DEFERRED (r6) — the bounded replay drains
+    on first action, not at build (see streaming_tumbling_type_counts).
 
     Scale: state is O(events per 30-min-plus-watermark horizon) per
     side regardless of stream length; the join itself shuffles both
     sides on user_id — the same uniform key the batch plan uses.
     """
+    from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.streams import (
         read_events_stream,
         run_available_now,
         stream_stream_error_click_join,
     )
 
-    drained = run_available_now(
-        stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
-        "streaming_error_click_join",
-        output_mode="append",
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
+            "streaming_error_click_join",
+            output_mode="append",
+        )
+        return drained.select(
+            "error_id",
+            "e_user",
+            F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        ).orderBy("error_id", "click_id")
+
+    return deferred(
+        spark,
+        "error_id bigint, e_user bigint, error_ts string, "
+        "click_id bigint, click_ts string",
+        drain,
     )
-    return drained.select(
-        "error_id",
-        "e_user",
-        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
-        "click_id",
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-    ).orderBy("error_id", "click_id")
 
 
 @register(
@@ -330,8 +428,8 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     (the part a single-batch replay cannot see) is pinned by the
     multi-batch parity test in tests/test_stateful.py.
 
-    Builder-contract note: EAGER by necessity, like every streaming
-    entry (sanctioned exception documented on QuerySpec).
+    Builder-contract note: DEFERRED (r6) — the bounded replay drains
+    on first action, not at build (see streaming_tumbling_type_counts).
 
     Scale: state is two scalars per user — O(distinct users) total
     regardless of stream length; each microbatch shuffles only its own
@@ -346,17 +444,23 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     knife-edge today; if a future fixture trips it, accumulate in the
     UDF with math.fsum (exact) or compare on cents-as-integers.
     """
+    from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.stateful import user_running_totals
     from map_reduce_spark.streaming.streams import (
         read_events_stream,
         run_available_now,
     )
 
-    drained = run_available_now(
-        user_running_totals(read_events_stream(spark, sf_dir)),
-        "streaming_stateful_user_totals",
-        output_mode="update",
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            user_running_totals(read_events_stream(spark, sf_dir)),
+            "streaming_stateful_user_totals",
+            output_mode="update",
+        )
+        return drained.select(
+            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        ).orderBy("user_id")
+
+    return deferred(
+        spark, "user_id bigint, n_events bigint, total_value double", drain
     )
-    return drained.select(
-        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
-    ).orderBy("user_id")

@@ -158,6 +158,14 @@ def run_available_now(
     ``start()`` here — once, for every replay — and restored after the
     drain; a real deployment sizes this to cluster width once, at
     stream start, because it is frozen into the checkpoint.
+
+    Concurrency hazard (r5 ADVICE): the pin mutates the PROCESS-GLOBAL
+    ``spark.sql.shuffle.partitions`` for the duration of the drain, so
+    a batch query planned concurrently on the same session would
+    silently get ``state_partitions`` shuffle partitions. Fine for the
+    single-threaded driver gate and tests that call this; do NOT call
+    it from a thread racing other planning on the session (scope the
+    pin per-query once Spark exposes query-level shuffle config).
     """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"

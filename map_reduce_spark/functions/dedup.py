@@ -772,16 +772,29 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id pair rule keeps A and C. Training pipelines resolve the
     TRANSITIVE closure — each component keeps exactly one doc. The
     propagation loop and its scale notes live on ``cc_labels``.
+
+    DEFERRED (r6): the fixpoint loop (lineage-checkpointed rounds,
+    session-cached labels) runs on first action, not at build —
+    restoring the lazy-builder contract for plan audits/schema walks.
     """
-    return (
-        cc_labels(spark, sf_dir)
-        .groupBy(F.col("lbl").alias("component_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("doc_id").alias("keeper_doc"),
-            F.max("doc_id").alias("max_doc"),
+    from map_reduce_spark.plans.deferred import deferred
+
+    def build() -> DataFrame:
+        return (
+            cc_labels(spark, sf_dir)
+            .groupBy(F.col("lbl").alias("component_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.min("doc_id").alias("keeper_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("component_id")
         )
-        .orderBy("component_id")
+
+    return deferred(
+        spark,
+        "component_id bigint, n_members bigint, keeper_doc bigint, max_doc bigint",
+        build,
     )
 
 
@@ -831,33 +844,45 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are small by construction (bounded near-dup radius), so
     partitions are tiny and skew-free, and both window functions share
     one exchange. Nothing driver-side scales with the corpus.
+
+    DEFERRED (r6): the session-cached ``cc_labels`` fixpoint runs on
+    first action, not at build (see dedup_duplicate_clusters).
     """
     from pyspark.sql import Window as W
 
-    labels = cc_labels(spark, sf_dir)
-    docs = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
-    )
-    joined = docs.join(labels, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("lbl", "doc_id").alias("cluster_id"),
-        "n_tokens",
-    )
-    w = W.partitionBy("cluster_id")
-    return (
-        joined.select(
-            "doc_id",
-            "cluster_id",
-            F.count(F.lit(1)).over(w).alias("n_members"),
-            "n_tokens",
-            (
-                F.row_number().over(
-                    w.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-                )
-                == 1
-            ).alias("keep"),
+    from map_reduce_spark.plans.deferred import deferred
+
+    def build() -> DataFrame:
+        labels = cc_labels(spark, sf_dir)
+        docs = load_spread(spark, sf_dir, "documents").select(
+            "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
         )
-        .orderBy("doc_id")
+        joined = docs.join(labels, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("lbl", "doc_id").alias("cluster_id"),
+            "n_tokens",
+        )
+        w = W.partitionBy("cluster_id")
+        return (
+            joined.select(
+                "doc_id",
+                "cluster_id",
+                F.count(F.lit(1)).over(w).alias("n_members"),
+                "n_tokens",
+                (
+                    F.row_number().over(
+                        w.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+                    )
+                    == 1
+                ).alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+
+    return deferred(
+        spark,
+        "doc_id bigint, cluster_id bigint, n_members bigint, n_tokens bigint, keep boolean",
+        build,
     )
 
 
@@ -1066,16 +1091,29 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage checkpoints, decimal-sum fixpoint detection). The oracle
     is the exact all-pairs graph, so a hash match certifies both the
     banding's zero-miss property AND the closure.
+
+    DEFERRED (r6): the banded pair join + fixpoint (both
+    session-cached) run on first action, not at build (see
+    dedup_duplicate_clusters).
     """
-    labels = semantic_cc_labels(spark, sf_dir)
-    return (
-        labels.groupBy(F.col("lbl").alias("component_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("doc_id").alias("keeper_vec"),
-            F.max("doc_id").alias("max_vec"),
+    from map_reduce_spark.plans.deferred import deferred
+
+    def build() -> DataFrame:
+        labels = semantic_cc_labels(spark, sf_dir)
+        return (
+            labels.groupBy(F.col("lbl").alias("component_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.min("doc_id").alias("keeper_vec"),
+                F.max("doc_id").alias("max_vec"),
+            )
+            .orderBy("component_id")
         )
-        .orderBy("component_id")
+
+    return deferred(
+        spark,
+        "component_id bigint, n_members bigint, keeper_vec bigint, max_vec bigint",
+        build,
     )
 
 

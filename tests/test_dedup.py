@@ -207,3 +207,46 @@ def test_keep_best_manifest_invariants(spark, sf_dir):
             dedup_duplicate_clusters(spark, sf_dir).collect()}
     multi = {cid: len(m) for cid, m in by_cluster.items() if len(m) > 1}
     assert multi == comp
+
+
+def test_embedding_hi_pairs_exactly_match_bruteforce_graph(spark, sf_dir):
+    """Pair-level parity pin (r5 ADVICE): the banded-LSH verified pair
+    index ``embedding_hi_pairs`` must equal the EXACT all-pairs
+    cos >= HI_TAU join on the augmented corpus, pair by pair.
+
+    The semantic-CC oracle match rests on the banding's zero-miss
+    property; without this pin, a future fixture/tau change that
+    breaks it would surface as an opaque component-level hash
+    mismatch. Here a banding miss fails with the missing (ia, ib)
+    identified.
+    """
+    import numpy as np
+
+    from map_reduce_spark.functions.dedup import (
+        HI_TAU,
+        _augmented_sketched_embeddings,
+        embedding_hi_pairs,
+    )
+
+    got = {
+        (r.ia, r.ib)
+        for r in embedding_hi_pairs(spark, sf_dir).collect()
+    }
+
+    rows = _augmented_sketched_embeddings(spark, sf_dir).select(
+        "vec_id", "dv"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.stack([np.asarray(r.dv, dtype=np.float64) for r in rows])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= HI_TAU:
+                want.add((int(ids[i]), int(ids[j])))
+
+    missing = want - got
+    spurious = got - want
+    assert not missing, f"banding MISSED pairs: {sorted(missing)[:10]}"
+    assert not spurious, f"verify let through non-pairs: {sorted(spurious)[:10]}"

@@ -77,6 +77,66 @@ def test_bmp_top_down_rows():
     assert np.array_equal(MediaDecoder.decode_bmp(bytes(buf)), px)
 
 
+def test_ppm_pgm_roundtrip_exact():
+    """encode->decode recovers exact pixels for binary PPM (P6) and
+    PGM (P5, grayscale replicated to RGB) — the r6 decode-matrix
+    widening (struct-only Netpbm, no new deps)."""
+    from map_reduce_spark.functions.multimodal import encode_pgm, encode_ppm
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (9, 13), (16, 16), (5, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = MediaDecoder.decode_pnm(encode_ppm(px))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, px)
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got_g = MediaDecoder.decode_pnm(encode_pgm(gray))
+        assert got_g.shape == (h, w, 3)
+        assert np.array_equal(got_g, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_pnm_header_comments_and_whitespace():
+    """Netpbm headers legally carry '#' comments and arbitrary
+    whitespace between tokens; the parser must handle both, and pixel
+    data must start exactly one byte after maxval (a pixel value of
+    0x0A right at the start must NOT be eaten as whitespace)."""
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    px[0, 0, 0] = 0x0A  # newline-valued first sample
+    body = px.tobytes()
+    payload = b"P6 # comment\n  2\t2 # sizes\n255\n" + body
+    assert np.array_equal(MediaDecoder.decode_pnm(payload), px)
+
+
+def test_pnm_16bit_is_still_a_stub():
+    """maxval > 255 (2-byte samples) stays a documented
+    NotImplementedError slot."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="maxval"):
+        MediaDecoder.decode_pnm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_features_from_decoded_pnm_content():
+    """Same decoded-content property as the BMP test: two PPM payloads
+    with identical byte LENGTHS but different pixels must produce
+    different features, and a PGM of a constant image must yield zero
+    channel std."""
+    from map_reduce_spark.functions.multimodal import encode_pgm, encode_ppm
+
+    rng = np.random.default_rng(14)
+    a = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0] = (b[0, 0] + 128) % 256
+    fa = MediaDecoder.features(encode_ppm(a), "image")
+    fb = MediaDecoder.features(encode_ppm(b), "image")
+    assert len(encode_ppm(a)) == len(encode_ppm(b))
+    assert not np.array_equal(fa, fb)
+    const = np.full((8, 8), 77, dtype=np.uint8)
+    fc = MediaDecoder.features(encode_pgm(const), "image")
+    # layout: [log1p(w), log1p(h), aspect, mean(3), std(3), hist(7)]
+    assert np.allclose(fc[6:9], 0.0)
+
+
 def test_wav_roundtrip_exact():
     rng = np.random.default_rng(13)
     s = (rng.standard_normal(500) * 10000).astype(np.int16)
@@ -147,7 +207,9 @@ def test_resize_resamples_real_pixels(spark):
     media = synthetic_media(spark, n=9)
     originals = {r.media_id: bytes(r.payload) for r in media.filter("kind = 'image'").collect()}
     for r in resize_images(media, max_side=16).collect():
-        px = MediaDecoder.decode_bmp(originals[r.media_id])
+        # originals rotate through BMP/PPM/PGM containers; the output
+        # container is always BMP
+        px = MediaDecoder.decode_image(originals[r.media_id])
         h, w = px.shape[:2]
         yi = (np.arange(r.height) * h // r.height).clip(max=h - 1)
         xi = (np.arange(r.width) * w // r.width).clip(max=w - 1)

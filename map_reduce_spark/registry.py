@@ -29,21 +29,22 @@ class QuerySpec:
     """A registered query.
 
     Builder contract: builders are LAZY — calling one constructs and
-    returns a DataFrame plan without running Spark jobs (parquet
+    returns a DataFrame without running Spark jobs (parquet
     schema-inference metadata reads aside), so plan audits and schema
     checks stay cheap. Heavy work happens at the caller's action.
-    Two sanctioned exceptions: streaming entries drain a bounded
-    Trigger.AvailableNow replay at build time because a streaming
-    query has no lazily-returnable batch result; and trained-index ANN
-    entries (sim_knn_ivf / sim_knn_pq / sim_knn_ivfpq) run their one-time bounded
-    model-training jobs (centroids / codebooks — KiB-sized driver
-    state, session-cached per corpus) at build, because the trained
-    model is folded into the query plan as literals. Their docs say
-    so. Iterative-fixpoint builders (the connected-components family)
-    likewise run their bounded label-propagation rounds at build —
-    each round is lineage-checkpointed, so the loop cannot be
-    represented as one lazy plan. (Laziness for the percentile plan
-    is pinned by tests/test_percentiles.py::test_builder_is_lazy.)
+    UNIFORM as of r6: the three families whose result cannot be one
+    lazy Catalyst plan — streaming replays (a drained AvailableNow
+    query has no lazily-returnable batch result), trained-index ANN
+    (sim_knn_ivf / sim_knn_pq / sim_knn_ivfpq: bounded centroid/
+    codebook training folded into the plan as literals), and
+    iterative connected-components fixpoints (lineage-checkpointed
+    rounds) — return a ``plans.deferred.DeferredDataFrame`` proxy:
+    build is instant, ``schema``/``columns``/``dtypes`` serve the
+    declared schema without running anything, and the bounded jobs
+    fire exactly once on the first real-plan access. Laziness is
+    pinned by tests/test_percentiles.py::test_builder_is_lazy (plan
+    family) and tests/test_deferred.py (deferred family, including
+    declared-schema == materialized-schema).
     """
 
     name: str
@@ -81,43 +82,42 @@ def register(name: str, oracle_sql: str | None = None):
 # strictly checked by the local sf0.01 oracle gate
 # (tools/check_oracle.py) every round.
 _CHECK_FIRST = [
-    # (a) never driver-checked — added in r4 after the window was pinned
-    "doc_unigram_logprob", "doc_stratified_sample",
-    "doc_curation_manifest", "events_retention_cohorts",
-    # (a) builder rewritten in r4 after its last driver verdict (the
-    # r4 rotation wrongly left these in the tail — ADVICE item)
-    "doc_tfidf_top_terms", "dedup_embedding_lsh", "dedup_jaccard_df_capped",
-    # (a) new or changed in r5
-    "streaming_tumbling_type_counts",  # new: streaming engine on the gate
-    "agg_exact_percentiles",  # rewritten: lazy distributed rank-pick
-    "media_feature_stats",  # BMP/WAV decode de-stubbed
-    "doc_repetition_stats",  # rewritten: Arrow mapInPandas per-doc mode
-    "dedup_cluster_keep_best",  # new: keep-best-member dedup manifest
-    "streaming_error_click_join",  # new: stream-stream join on the gate
-    "window_rank_dense_ntile",  # rewritten: distributed two-level rank
-    "doc_inverted_index",  # rewritten: in-row set-dedup, one exchange
-    "doc_bigram_logprob",  # new: second-order LM fluency scorer
-    "sim_knn_pq",  # new: product-quantization ADC ANN (rows-only)
-    "streaming_stateful_user_totals",  # new: applyInPandasWithState on the gate
-    "dedup_semantic_clusters",  # new: embedding-space CC closure
-    "dedup_embedding_lsh_hi",  # refactored: shared hi-regime pair index
-    "doc_length_buckets",  # new: sequence-length planning histogram
-    "doc_bigram_topk",  # refactored: shared bigram_zip construction
-    "doc_weighted_sample",  # new: deterministic E-S weighted sampling
+    # (a) new or builder-changed in r6
+    "streaming_session_windows",  # NEW: session-window replay on the gate
+    "media_resize_images",  # NEW: rows-only resize transform entry
+    "media_sample_frames",  # NEW: rows-only frame-sampler entry
+    "sim_pairwise_label_affinity",  # rewritten: Kahan/longdouble comp. sums
+    "streaming_tumbling_type_counts",  # deferred-builder wrapper (r6)
+    "streaming_error_click_join",  # deferred-builder wrapper (r6)
+    "streaming_stateful_user_totals",  # deferred-builder wrapper (r6)
+    "dedup_duplicate_clusters",  # deferred-builder wrapper (r6)
+    "dedup_cluster_keep_best",  # deferred-builder wrapper (r6)
+    "dedup_semantic_clusters",  # deferred-builder wrapper (r6)
+    # (a) rotation refresh (r5 verdict item 1): last DRIVER-checked in
+    # round 3, two rounds of evidence decay on byte-unchanged code —
+    # locally oracle-green every round, now due fresh driver rows
+    "doc_wordcount", "doc_profile", "doc_fingerprint",
+    "doc_stats_by_lang_source", "doc_split_assign", "doc_scrub_blocklist",
+    "doc_decontaminate", "doc_pack_sequences",
+    "dedup_exact", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh",
     # (b) no-oracle rows-only entries — driver rows are their only
-    # external check
-    "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_ivfpq",
+    # external check (media_feature_stats also changed in r6: the
+    # synthetic corpus now rotates BMP/PPM/PGM containers; the three
+    # deferred ANN entries also carry r6 builder wrappers)
+    "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
+    "sim_knn_ivfpq",
     "agg_approx_distinct", "approx_quantiles_value",
-    # (c) r4-green sentinels spanning every fixture table + dtype
+    "media_feature_stats",
+    # (c) driver-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
+    # (dedup_embedding_lsh_hi: hi-regime banding family;
+    # doc_weighted_sample: newest differential-tested sampler)
     "sql_cte_top_customers", "sql_unpivot_metrics",
     "setop_nation_coverage",
     "agg_rollup_returnflag",
     "join_outer_order_fill",
     "mr_concat_sorted_values",
-    "dedup_duplicate_clusters",
     "sim_centroids_by_label",
-    "sim_pairwise_label_affinity",
     "events_sliding_1h_30m", "events_props_from_json",
     "sessionize_user_events",
     "asof_error_after_signup", "range_join_value_buckets",
@@ -127,49 +127,44 @@ _CHECK_FIRST = [
     "q4ish_priority_order_counts",
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     "null_handling_acctbal",
+    "dedup_embedding_lsh_hi",
+    "doc_weighted_sample",
 ]
-# Demoted to the unchecked tail in r5 (all r4-driver-green on code
+# Demoted to the unchecked tail in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round): q2ish_cheapest_supplier_per_part (min-per-group + dim-join
-# surface covered in-window by window_rank_dense_ntile and the
-# q-suite sentinels), sql_correlated_exists (correlated-EXISTS/semi surface
-# covered in-window by q22ish's anti join and q4ish's
-# EXISTS-collapsed aggregate), regexp_part_type_extract (regexp surface exercised
-# in-window by the doc-family tokenizer oracles),
-# q6_forecast_revenue (its pushdown surface is pinned by
-# tests/test_plans.py and covered in-window by q4ish's o_orderdate
-# pushdown + q1's lineitem scan), latest_event_per_user (max_by
-# holistic surface covered by the in-window udaf/percentile entries;
-# events surface by four other in-window events queries),
-# agg_distinct_parts_per_supplier (distinct-agg surface
-# covered in-window by events_retention_cohorts' countDistinct and
-# the tail's locally-gated dedup_exact),
-# sim_knn_bruteforce (oracle-backed exact-kNN twin of the
-# in-window no-oracle ANN entries, which pytest pins against it),
-# events_type_funnel (events-table surface covered in-window
-# by events_sliding_1h_30m, events_props_from_json,
-# sessionize_user_events, events_retention_cohorts, and the three
-# streaming replays), udaf_mad_quantity (holistic-agg surface
-# covered in-window by udaf_supplier_quantity_stats and
-# agg_exact_percentiles), topk_orders_by_price (its TakeOrderedAndProject surface
-# overlaps q18ish's HAVING+limit sentinel), pivot_native_qty (its
-# pivot/array surface overlaps sql_unpivot_metrics),
-# agg_mode_and_stddev (holistic-agg surface overlaps the two udaf_*
-# entries and agg_exact_percentiles, all in-window),
-# scalar_date_functions (date surface covered in-window by
-# events_sliding_1h_30m, window_lag_order_gap_days, and
-# events_retention_cohorts), q12ish_shipmode_buckets (filter/pushdown
-# surface covered in-window by q6 and q4ish),
-# window_topn_orders_per_customer,
-# window_running_customer_spend, window_lag_order_gap_days,
-# q3_shipping_priority,
-# q5_local_supplier_volume, q10_returned_items, q14_promo_effect.
-# Still in the tail from r4 (r3-driver-green, unchanged):
-# doc_wordcount, doc_profile,
-# doc_fingerprint, doc_stats_by_lang_source, doc_split_assign,
-# doc_scrub_blocklist, doc_decontaminate,
-# doc_pack_sequences, dedup_exact, dedup_ngram_jaccard_pairs,
-# dedup_minhash_lsh.
+# round — these 14 slots fund the r3-era rotation refresh and the
+# three new r6 entries): doc_unigram_logprob, doc_bigram_logprob
+# (LM-scoring surface; differential-tested, oracle-gated),
+# doc_stratified_sample (hash-deal surface covered in-window by the
+# rotated-in doc_split_assign), doc_curation_manifest
+# (property-tested against its components, which the rotated-in
+# dedup_exact / doc_decontaminate / doc_split_assign / doc_profile
+# cover in-window), events_retention_cohorts (events surface covered
+# by four in-window events queries + four streaming replays),
+# doc_tfidf_top_terms, doc_inverted_index (token-index surface
+# covered in-window by the rotated-in doc_wordcount +
+# dedup_ngram_jaccard_pairs' shingle index), dedup_embedding_lsh,
+# dedup_jaccard_df_capped (pair-join surface covered in-window by
+# dedup_minhash_lsh + dedup_embedding_lsh_hi + the CC family),
+# agg_exact_percentiles (laziness + distribution pinned by
+# tests/test_percentiles.py; holistic surface covered in-window by
+# udaf_supplier_quantity_stats), doc_repetition_stats (Arrow
+# mapInPandas surface covered in-window by media_feature_stats and
+# the two new media entries), window_rank_dense_ntile (rank surface
+# covered in-window by sessionize_user_events + q18ish),
+# doc_length_buckets, doc_bigram_topk (bucketing/topk surfaces
+# covered in-window by q18ish and the doc-family rotation).
+# Demoted in r5, still tail (r4-driver-green, unchanged):
+# q2ish_cheapest_supplier_per_part, sql_correlated_exists,
+# regexp_part_type_extract, q6_forecast_revenue,
+# latest_event_per_user, agg_distinct_parts_per_supplier,
+# sim_knn_bruteforce, events_type_funnel, udaf_mad_quantity,
+# topk_orders_by_price, pivot_native_qty, agg_mode_and_stddev,
+# scalar_date_functions, q12ish_shipmode_buckets,
+# window_topn_orders_per_customer, window_running_customer_spend,
+# window_lag_order_gap_days, q3_shipping_priority,
+# q5_local_supplier_volume, q10_returned_items, q14_promo_effect
+# (justifications in the r5 revision of this comment, unchanged).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -241,3 +241,83 @@ def test_parallelism_probe(spark, corpus, tmp_path):
     """mtiming/rtiming analogue: the job actually runs with >1
     concurrent task slot (SURVEY.md §5.3.4)."""
     assert spark.sparkContext.defaultParallelism >= 2
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized differential fuzz (r5 verdict stretch item):
+# E1-E8's byte-parity claim was proven only on the reference's eight
+# fixed apps; this drives RANDOM jobs from a combinator pool through
+# the distributed path vs the pure-Python sequential oracle.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _make_map(kind: str):
+    """Map combinators. All emit (key, value) pairs whose keys/values
+    are space-free (the text sink's "k v" framing)."""
+    return {
+        "words": lambda fn, c: [(w, "1") for w in c.split()],
+        "first_char": lambda fn, c: [(w[0], w) for w in c.split()],
+        "length_class": lambda fn, c: [(str(len(w)), w) for w in c.split()],
+        "prefix2": lambda fn, c: [(w[:2], str(len(w))) for w in c.split()],
+        "per_file": lambda fn, c: [(fn, str(len(c.split())))],
+    }[kind]
+
+
+def _make_reduce(kind: str):
+    """Reduce combinators. All are multiset functions of the value
+    list (order-insensitive), the same contract the reference's apps
+    satisfy — the engine guarantees WHICH values arrive, not their
+    relative order across map tasks."""
+    return {
+        "count": lambda k, vs: str(len(vs)),
+        "concat_sorted": lambda k, vs: "-".join(sorted(vs)),
+        "max": lambda k, vs: max(vs),
+        "uniq": lambda k, vs: str(len(set(vs))),
+        "sumlen": lambda k, vs: str(sum(len(v) for v in vs)),
+    }[kind]
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefg \n", min_size=0, max_size=120),
+        min_size=1,
+        max_size=4,
+    ),
+    map_kind=st.sampled_from(
+        ["words", "first_char", "length_class", "prefix2", "per_file"]
+    ),
+    reduce_kind=st.sampled_from(
+        ["count", "concat_sorted", "max", "uniq", "sumlen"]
+    ),
+    n_reduce=st.integers(1, 7),
+)
+def test_random_jobs_distributed_equals_sequential(
+    spark, tmp_path_factory, texts, map_kind, reduce_kind, n_reduce
+):
+    """>= 50 random (corpus, map_fn, reduce_fn, n_reduce) jobs: the
+    distributed path's sorted output multiset must equal the
+    sequential oracle's, exactly (test-mr.sh:103 semantics)."""
+    d = tmp_path_factory.mktemp("fuzz_in")
+    inputs = []
+    for i, text in enumerate(texts):
+        p = d / f"f{i}.txt"
+        p.write_text(text, encoding="utf-8")
+        inputs.append(str(p))
+    job = MapReduceJob(
+        inputs, _make_map(map_kind), _make_reduce(reduce_kind), n_reduce=n_reduce
+    )
+    out_dir = tmp_path_factory.mktemp("fuzz_out")
+    got = sorted_output(job.run(spark, str(out_dir)))
+    want = sorted_output(job.run_sequential())
+    assert got == want

@@ -346,23 +346,42 @@ def sim_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unit_sums_compensated(emb: DataFrame) -> DataFrame:
-    """Per-(label, pos) sums of unit-vector components M_L = Σ v_i/|v_i|,
-    compensated end-to-end.
+def _affinity_sums_compensated(emb: DataFrame) -> DataFrame:
+    """(la, lb, n_pairs, sum_cos) for every unordered label pair, with
+    the per-label unit-vector sums M_L = Σ v_i/|v_i| compensated
+    end-to-end — the numeric core of ``sim_pairwise_label_affinity``.
 
-    Stage 1 (``mapInPandas``, zero shuffle): each partition folds its
-    vectors into ``np.longdouble`` accumulators — one length-d array
-    per label — then emits the partial per (label, pos) as a hi/lo
-    double-double split (hi = double(x), lo = double(x - hi); the pair
-    represents the 80-bit partial exactly, since the remainder after
-    the first rounding fits a double). Stage 2 (``applyInPandas`` over
-    label × d groups — a shuffle of n_partitions × labels × d tiny
-    rows): ``math.fsum`` over the interleaved hi/lo values gives the
-    correctly-rounded exact sum of all partials. Total error vs the
-    ideal sum: the longdouble in-partition fold (≤ n·2⁻⁶³ relative,
-    below double resolution) plus ONE final rounding — independent of
-    how rows are partitioned, so results are also deterministic across
-    partitionings at double precision.
+    Stage 1 (``mapInPandas``, zero shuffle, the ONLY pass over the
+    data): each partition folds its vectors into ``np.longdouble``
+    (80-bit extended) accumulators — one length-d array per label —
+    and emits the partial per (label, pos) as a hi/lo double-double
+    split (hi = double(x), lo = double(x - hi); the pair represents
+    the extended-precision partial exactly, since the remainder after
+    the first rounding fits a double). Per-label row counts ride the
+    same rows (cnt on pos 0), so there is no second scan for n_L.
+
+    Stage 2 (single-group ``applyInPandas``): ONE task receives all
+    n_partitions × L × d partial rows — KBs at any corpus size —
+    ``math.fsum``s the interleaved hi/lo splits per (label, pos)
+    (exactly rounded), then forms the L × L Gram matrix of the M_L
+    vectors in longdouble and applies the pair identities:
+
+        sum_cos(A,B) = M_A · M_B            (A ≠ B)
+        sum_cos(A,A) = (M_A·M_A − n_A) / 2  (each u·u = 1)
+
+    Net error vs the ideal algebraic value: the longdouble in-
+    partition fold (≤ n·2⁻⁶³ relative, below double resolution) plus
+    one rounding per output — independent of how rows are
+    partitioned, so results are deterministic across partitionings at
+    double precision. The final round(·, 6) stays in Spark SQL so its
+    half-way semantics match the oracle's, not Python's banker
+    rounding.
+
+    Plan shape (the r6 rewrite): the first compensated version joined
+    a per-(label,pos) sum table with itself on pos — which re-ran the
+    mapInPandas pass once per join side and paid three shuffles; this
+    single-combine form scans once and shuffles only the partial rows
+    to one task (measured 3.5 s → sub-second at sf0.1).
     """
     import math as _math
 
@@ -371,15 +390,18 @@ def _unit_sums_compensated(emb: DataFrame) -> DataFrame:
 
     def _partials(batches):
         acc: dict = {}
+        cnt: dict = {}
         for pdf in batches:
             norms = pdf["norm"].to_numpy(dtype="float64")
             for label, dv, norm in zip(pdf["label"], pdf["dv"], norms):
                 u = np.asarray(dv, dtype=np.longdouble) / np.longdouble(norm)
                 if label in acc:
                     acc[label] += u
+                    cnt[label] += 1
                 else:
                     acc[label] = u
-        labels, poss, his, los = [], [], [], []
+                    cnt[label] = 1
+        labels, poss, his, los, cnts = [], [], [], [], []
         for label, vec in acc.items():
             for pos, x in enumerate(vec):
                 hi = float(x)
@@ -387,26 +409,60 @@ def _unit_sums_compensated(emb: DataFrame) -> DataFrame:
                 poss.append(pos)
                 his.append(hi)
                 los.append(float(x - np.longdouble(hi)))
+                cnts.append(cnt[label] if pos == 0 else 0)
         if labels:
             yield pd.DataFrame(
-                {"label": labels, "pos": poss, "m_hi": his, "m_lo": los}
+                {
+                    "label": labels,
+                    "pos": poss,
+                    "m_hi": his,
+                    "m_lo": los,
+                    "cnt": pd.Series(cnts, dtype="int64"),
+                }
             )
 
     def _combine(pdf):
-        m = _math.fsum(list(pdf["m_hi"]) + list(pdf["m_lo"]))
+        labels = sorted(pdf["label"].unique())
+        dims = int(pdf["pos"].max()) + 1
+        m = {}
+        n = {}
+        for label in labels:
+            sub = pdf[pdf["label"] == label]
+            vec = np.empty(dims, dtype=np.longdouble)
+            for pos, grp in sub.groupby("pos"):
+                vec[int(pos)] = _math.fsum(
+                    list(grp["m_hi"]) + list(grp["m_lo"])
+                )
+            m[label] = vec
+            n[label] = int(sub["cnt"].sum())
+        la_out, lb_out, np_out, sc_out = [], [], [], []
+        for i, la in enumerate(labels):
+            for lb in labels[i:]:
+                if la == lb:
+                    n_pairs = n[la] * (n[la] - 1) // 2
+                    sum_cos = (float((m[la] * m[la]).sum()) - n[la]) / 2.0
+                else:
+                    n_pairs = n[la] * n[lb]
+                    sum_cos = float((m[la] * m[lb]).sum())
+                if n_pairs > 0:
+                    la_out.append(la)
+                    lb_out.append(lb)
+                    np_out.append(n_pairs)
+                    sc_out.append(sum_cos)
         return pd.DataFrame(
             {
-                "label": [pdf["label"].iloc[0]],
-                "pos": [pdf["pos"].iloc[0]],
-                "m": [m],
+                "la": la_out,
+                "lb": lb_out,
+                "n_pairs": pd.Series(np_out, dtype="int64"),
+                "sum_cos": sc_out,
             }
         )
 
     partials = emb.select("label", "dv", "norm").mapInPandas(
-        _partials, "label int, pos int, m_hi double, m_lo double"
+        _partials, "label int, pos int, m_hi double, m_lo double, cnt long"
     )
-    return partials.groupBy("label", "pos").applyInPandas(
-        _combine, "label int, pos int, m double"
+    return partials.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        _combine, "la int, lb int, n_pairs long, sum_cos double"
     )
 
 
@@ -447,19 +503,15 @@ def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.sum`` could drift ~1e-12 ulps from the ideal value — enough to
     flip the final ``round(avg_cos, 6)`` if a value sat within that
     distance of a 0.5e-6 half-way boundary, with the risk growing with
-    group size. The M_L = Σ u_i accumulation is therefore compensated:
-    an Arrow-batched ``mapInPandas`` pass folds each partition's unit
-    vectors into ``np.longdouble`` (80-bit extended) accumulators and
-    emits the per-partition partial as an EXACT hi/lo double-double
-    split; the per-(label, pos) combine is ``math.fsum`` over those
-    splits (exactly rounded), and the cross-dimension dot M_A · M_B is
-    a longdouble fold over the 64 per-dim products. Net error vs the
-    ideal algebraic value: one final rounding, independent of corpus
-    size. Norms stay plain double through ``with_norm`` on purpose —
-    that matches the oracle's own double-precision normalisation, so
-    the only divergence left is the oracle's per-pair rounding noise.
-    Pinned by tests/test_affinity_fp.py (hypothesis drives group sums
-    toward 0.5e-6 half-way boundaries).
+    group size. The accumulation is therefore compensated end-to-end
+    in ``_affinity_sums_compensated`` (longdouble per-partition
+    partials → exact hi/lo splits → fsum + longdouble Gram in one
+    tiny single-group combine; numeric analysis and plan shape on the
+    helper). Norms stay plain double through ``with_norm`` on purpose
+    — that matches the oracle's own double-precision normalisation,
+    so the only divergence left is the oracle's per-pair rounding
+    noise. Pinned by tests/test_affinity_fp.py (hypothesis drives
+    group sums toward 0.5e-6 half-way boundaries).
     """
     emb = with_norm(
         load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0),
@@ -467,55 +519,13 @@ def sim_pairwise_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dv",
         "norm",
     )
-    msum = _unit_sums_compensated(emb)
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    a = msum.select(F.col("label").alias("la"), "pos", F.col("m").alias("ma"))
-    b = msum.select(F.col("label").alias("lb"), "pos", F.col("m").alias("mb"))
-
-    def _dot_groups(pdf):
-        import numpy as np
-        import pandas as pd
-
-        mm = float(
-            (
-                pdf["ma"].to_numpy(dtype="float64").astype(np.longdouble)
-                * pdf["mb"].to_numpy(dtype="float64").astype(np.longdouble)
-            ).sum()
-        )
-        return pd.DataFrame(
-            {"la": [pdf["la"].iloc[0]], "lb": [pdf["lb"].iloc[0]], "mm": [mm]}
-        )
-
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("la") <= F.col("lb"))
-        .groupBy("la", "lb")
-        .applyInPandas(_dot_groups, "la int, lb int, mm double")
-    )
-    na = counts.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
-    nb = counts.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
-    same = F.col("la") == F.col("lb")
     return (
-        dots.join(na, "la")
-        .join(nb, "lb")
-        # DIV keeps n_pairs in long arithmetic, matching count(*).
-        .withColumn(
-            "n_pairs",
-            F.when(same, F.expr("n_a * (n_a - 1) DIV 2")).otherwise(
-                F.col("n_a") * F.col("n_b")
-            ),
-        )
-        .withColumn(
-            "sum_cos",
-            F.when(same, (F.col("mm") - F.col("n_a")) / F.lit(2.0)).otherwise(
-                F.col("mm")
-            ),
-        )
-        .filter(F.col("n_pairs") > 0)
+        _affinity_sums_compensated(emb)
         .select(
             "la",
             "lb",
             "n_pairs",
+            # rounding stays Spark-side: HALF_UP, same as the oracle
             F.round(F.col("sum_cos") / F.col("n_pairs"), 6).alias("avg_cos"),
         )
         .orderBy("la", "lb")

@@ -31,7 +31,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from map_reduce_spark.functions.similarity import (
-    _unit_sums_compensated,
+    _affinity_sums_compensated,
     with_norm,
 )
 
@@ -46,49 +46,14 @@ def _spark_affinity(spark, rows):
 
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     emb = with_norm(df, "embedding", "dv", "norm")
-    msum = _unit_sums_compensated(emb)
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    a = msum.select(F.col("label").alias("la"), "pos", F.col("m").alias("ma"))
-    b = msum.select(F.col("label").alias("lb"), "pos", F.col("m").alias("mb"))
-    import pandas as pd
-
-    def _dot_groups(pdf):
-        mm = float(
-            (
-                pdf["ma"].to_numpy(dtype="float64").astype(np.longdouble)
-                * pdf["mb"].to_numpy(dtype="float64").astype(np.longdouble)
-            ).sum()
-        )
-        return pd.DataFrame(
-            {"la": [pdf["la"].iloc[0]], "lb": [pdf["lb"].iloc[0]], "mm": [mm]}
-        )
-
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("la") <= F.col("lb"))
-        .groupBy("la", "lb")
-        .applyInPandas(_dot_groups, "la int, lb int, mm double")
-    )
-    na = counts.select(F.col("label").alias("la"), F.col("n").alias("n_a"))
-    nb = counts.select(F.col("label").alias("lb"), F.col("n").alias("n_b"))
-    same = F.col("la") == F.col("lb")
     out = (
-        dots.join(na, "la")
-        .join(nb, "lb")
-        .withColumn(
+        _affinity_sums_compensated(emb)
+        .select(
+            "la",
+            "lb",
             "n_pairs",
-            F.when(same, F.expr("n_a * (n_a - 1) DIV 2")).otherwise(
-                F.col("n_a") * F.col("n_b")
-            ),
+            F.round(F.col("sum_cos") / F.col("n_pairs"), 6).alias("avg_cos"),
         )
-        .withColumn(
-            "sum_cos",
-            F.when(same, (F.col("mm") - F.col("n_a")) / F.lit(2.0)).otherwise(
-                F.col("mm")
-            ),
-        )
-        .filter(F.col("n_pairs") > 0)
-        .select("la", "lb", "n_pairs", F.round(F.col("sum_cos") / F.col("n_pairs"), 6).alias("avg_cos"))
         .collect()
     )
     return {(r.la, r.lb): (r.n_pairs, r.avg_cos) for r in out}

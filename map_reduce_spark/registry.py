@@ -84,6 +84,7 @@ def register(name: str, oracle_sql: str | None = None):
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
     "streaming_session_windows",  # NEW: session-window replay on the gate
+    "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
     "media_resize_images",  # NEW: rows-only resize transform entry
     "media_sample_frames",  # NEW: rows-only frame-sampler entry
     "sim_pairwise_label_affinity",  # rewritten: Kahan/longdouble comp. sums
@@ -110,8 +111,7 @@ _CHECK_FIRST = [
     "media_feature_stats",
     # (c) driver-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
-    # (dedup_embedding_lsh_hi: hi-regime banding family;
-    # doc_weighted_sample: newest differential-tested sampler)
+    # (dedup_embedding_lsh_hi: hi-regime banding family)
     "sql_cte_top_customers", "sql_unpivot_metrics",
     "setop_nation_coverage",
     "agg_rollup_returnflag",
@@ -128,7 +128,6 @@ _CHECK_FIRST = [
     "q18ish_large_volume_customers", "q22ish_idle_customers",
     "null_handling_acctbal",
     "dedup_embedding_lsh_hi",
-    "doc_weighted_sample",
 ]
 # Demoted to the unchecked tail in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
@@ -153,7 +152,10 @@ _CHECK_FIRST = [
 # the two new media entries), window_rank_dense_ntile (rank surface
 # covered in-window by sessionize_user_events + q18ish),
 # doc_length_buckets, doc_bigram_topk (bucketing/topk surfaces
-# covered in-window by q18ish and the doc-family rotation).
+# covered in-window by q18ish and the doc-family rotation),
+# doc_weighted_sample (r5-green differential-tested sampler; its
+# hash-deal surface is covered in-window by the rotated-in
+# doc_split_assign).
 # Demoted in r5, still tail (r4-driver-green, unchanged):
 # q2ish_cheapest_supplier_per_part, sql_correlated_exists,
 # regexp_part_type_extract, q6_forecast_revenue,

@@ -288,6 +288,71 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_exactly_once",
+    oracle_sql="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once delivery (``dropDuplicatesWithinWatermark``)
+    drained through a real replay with duplicates ARRANGED by
+    construction and checked against the batch DISTINCT oracle.
+
+    Completes the last streaming operator family
+    (``streams.streaming_dedup``) that had batch-parity pytest but no
+    driver-visible row. The fixture's event_ids are unique, so a
+    single-source replay would make dedup a no-op; instead the replay
+    unions the file stream WITH ITSELF — every event arrives twice in
+    the microbatch — and the dedup state must collapse each pair to
+    exactly one emitted row. The drained result therefore equals the
+    plain events table (one row per event_id), which is what the
+    oracle selects; an off-by-one in the state lookup would emit 2x
+    rows and fail the row-count, a dropped key would fail the hash.
+
+    Builder-contract note: DEFERRED, like every streaming entry
+    (see streaming_tumbling_type_counts).
+
+    Scale: dedup state is one entry per event_id within the watermark
+    horizon — O(events per horizon), evicted as the watermark passes
+    (eviction pinned by tests/test_streaming.py); the state store is
+    hash-partitioned on event_id, a uniform key.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    def drain() -> DataFrame:
+        ev = read_events_stream(spark, sf_dir)
+        doubled = ev.unionAll(read_events_stream(spark, sf_dir))
+        drained = run_available_now(
+            streaming_dedup(doubled),
+            "streaming_dedup_exactly_once",
+            output_mode="append",
+        )
+        return drained.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        ).orderBy("event_id")
+
+    return deferred(
+        spark,
+        "event_id bigint, ts_s string, user_id bigint, event_type string, "
+        "value double",
+        drain,
+    )
+
+
+@register(
     "events_retention_cohorts",
     oracle_sql="""
     WITH user_week AS MATERIALIZED (

@@ -28,6 +28,7 @@ DEFERRED_ENTRIES = [
     "streaming_error_click_join",
     "streaming_stateful_user_totals",
     "streaming_session_windows",
+    "streaming_dedup_exactly_once",
     "sim_knn_ivf",
     "sim_knn_pq",
     "sim_knn_ivfpq",

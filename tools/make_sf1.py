@@ -88,7 +88,13 @@ def mutate_text(text: str, replica: int) -> str:
     """
     if replica == 0:
         return text
+    # Replicas 1..25 keep the historical one-letter suffix (sf1 outputs
+    # unchanged); >=26 get a second letter so suffixes never collide —
+    # a wrap at 26 would plant exact cross-replica duplicate pairs and
+    # quadratically inflate dedup pair counts at sf>=2.6.
     suffix = "q" + chr(ord("a") + (replica % 26))
+    if replica >= 26:
+        suffix += chr(ord("a") + (replica // 26))
 
     def mutate(w: str) -> str:
         # crc32, not hash(): stable across processes (PYTHONHASHSEED).

@@ -1235,3 +1235,137 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_id")
     )
+
+
+# Exact-substring dedup window length, in tokens. Real pipelines use
+# ~50 BPE tokens (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"); the fixture's planted near-dups are
+# ~30-60-token docs, so K=8 makes the operator's output non-trivial
+# at every sf while keeping the identical plan shape.
+SUBSTR_K = 8
+
+
+def _substring_oracle_sql() -> str:
+    return f"""
+    WITH toks_t AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents),
+    eligible AS MATERIALIZED (
+        SELECT doc_id, toks, len(toks) - {SUBSTR_K} + 1 AS n_windows
+        FROM toks_t WHERE len(toks) >= {SUBSTR_K}),
+    wins AS MATERIALIZED (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(toks, i, i + {SUBSTR_K} - 1), ' ')) AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, n_windows)) AS i
+              FROM eligible)),
+    shared AS (
+        SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    isl AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM wins JOIN shared USING (h)),
+    runs AS (
+        SELECT doc_id, count(*) AS rl FROM isl GROUP BY doc_id, g),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(rl) AS BIGINT) AS n_dup_windows,
+               CAST(max(rl) AS BIGINT) AS max_dup_run
+        FROM runs GROUP BY doc_id)
+    SELECT e.doc_id,
+           CAST(e.n_windows AS BIGINT) AS n_windows,
+           coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(a.max_dup_run, 0) AS max_dup_run,
+           round(coalesce(a.n_dup_windows, 0) * 1.0 / e.n_windows, 6)
+               AS dup_ratio
+    FROM eligible e LEFT JOIN agg a USING (doc_id)
+    ORDER BY e.doc_id
+    """
+
+
+@register("dedup_exact_substring", oracle_sql=_substring_oracle_sql())
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication manifest: for every
+    document, how many of its K-token windows also occur verbatim in
+    at least one OTHER document, and the longest consecutive run of
+    such windows (a run of r windows = a duplicated span of r+K-1
+    tokens).
+
+    This is the span-level member of the dedup suite (Lee et al. 2022
+    exact-substring dedup): MinHash/Jaccard/SimHash score whole
+    documents, embedding dedup scores meaning, but none of them can
+    find a boilerplate paragraph pasted into otherwise-distinct
+    documents. A curation pipeline cuts the flagged spans (or drops
+    docs above a dup_ratio gate); this operator emits the per-doc
+    evidence for either policy.
+
+    Plan (all built-in expressions, zero Python UDFs):
+    1. tokenize + rolling window hash — ``transform(sequence(...))``
+       over the token array with ``slice``/``array_join``/``md5``,
+       codegen'd, zero shuffle. md5 because both engines define it
+       identically; at 100 TB you'd swap in ``xxhash64`` (the hash
+       never reaches the output, so any within-engine-consistent
+       128-bit hash gives the same result, collision-negligible).
+    2. shared-window index — ONE uniform shuffle on the window hash
+       (md5 keys are uniform by construction, no salt needed);
+       ``count(distinct doc_id) >= 2`` is the partial-deduped
+       two-phase aggregate, and internal repetition within one doc
+       deliberately does NOT count as duplication.
+    3. join back + per-doc gaps-and-islands — ``shared`` is one row
+       per hash so the equi-join has no fan-out; run detection is
+       ``pos - row_number()`` partitioned BY DOC, so the window
+       shuffle key is doc_id — never global.
+    Every stage is hash-partitionable on a uniform key; nothing is
+    driver-side; the whole plan survives a 1000-executor corpus.
+    """
+    k = SUBSTR_K
+    docs = load_spread(spark, sf_dir, "documents")
+    eligible = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            (F.size("toks") - k + 1).cast("long").alias("n_windows"),
+        )
+    )
+    wins = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> md5(array_join(slice(toks, i, {k}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    ).select("doc_id", (F.col("pos") + 1).alias("i"), "h")
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window as W
+
+    dup_pos = wins.join(shared, "h").select("doc_id", "i")
+    isl = dup_pos.withColumn(
+        "g", F.col("i") - F.row_number().over(W.partitionBy("doc_id").orderBy("i"))
+    )
+    runs = isl.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("rl"))
+    agg = runs.groupBy("doc_id").agg(
+        F.sum("rl").alias("n_dup_windows"), F.max("rl").alias("max_dup_run")
+    )
+    return (
+        eligible.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -83,6 +83,7 @@ def register(name: str, oracle_sql: str | None = None):
 # (tools/check_oracle.py) every round.
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
+    "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
     "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
     "media_resize_images",  # NEW: rows-only resize transform entry
@@ -117,7 +118,6 @@ _CHECK_FIRST = [
     "agg_rollup_returnflag",
     "join_outer_order_fill",
     "mr_concat_sorted_values",
-    "sim_centroids_by_label",
     "events_sliding_1h_30m", "events_props_from_json",
     "sessionize_user_events",
     "asof_error_after_signup", "range_join_value_buckets",
@@ -131,8 +131,11 @@ _CHECK_FIRST = [
 ]
 # Demoted to the unchecked tail in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
-# round — these 14 slots fund the r3-era rotation refresh and the
-# three new r6 entries): doc_unigram_logprob, doc_bigram_logprob
+# round — these 15 slots fund the r3-era rotation refresh and the
+# new r6 entries): sim_centroids_by_label (r5-green sentinel; the sim
+# family keeps five rows-only entries + the rewritten affinity
+# in-window, and its posexplode/avg surface is covered by those),
+# doc_unigram_logprob, doc_bigram_logprob
 # (LM-scoring surface; differential-tested, oracle-gated),
 # doc_stratified_sample (hash-deal surface covered in-window by the
 # rotated-in doc_split_assign), doc_curation_manifest

@@ -250,3 +250,66 @@ def test_embedding_hi_pairs_exactly_match_bruteforce_graph(spark, sf_dir):
     spurious = got - want
     assert not missing, f"banding MISSED pairs: {sorted(missing)[:10]}"
     assert not spurious, f"verify let through non-pairs: {sorted(spurious)[:10]}"
+
+
+def test_exact_substring_differential_vs_python(spark):
+    """dedup_exact_substring against a brute-force pure-Python
+    reference on a corpus with planted span duplication: a shared
+    10-token boilerplate (three overlapping K=8 windows -> a run),
+    an exact duplicate pair, internal-only repetition (must NOT
+    count), and a short doc (excluded)."""
+    from map_reduce_spark.functions.dedup import SUBSTR_K, dedup_exact_substring
+
+    boiler = "terms of service apply to all users of this product"
+    docs = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "intro words here " + boiler + " tail one two three four"),
+        (3, "x y z " + " ".join(["loop"] * 30)),  # internal repetition only
+        (4, "completely different content with no shared spans at all "
+            "padding words continue for a while longer here"),
+        (5, "tiny doc"),  # < K tokens: excluded
+        (6, docs_dup := "exact duplicate document body with enough tokens "
+            "to produce several windows in a row"),
+        (7, docs_dup),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows, r.max_dup_run, r.dup_ratio)
+            for r in dedup_exact_substring(spark, td).collect()
+        }
+
+    # pure-Python reference
+    import re
+    k = SUBSTR_K
+    toks = {d: [t for t in re.split("[^a-z]+", txt.lower()) if t] for d, txt in docs}
+    wins = {
+        d: [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        for d, ts in toks.items()
+        if len(ts) >= k
+    }
+    owners = {}
+    for d, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(d)
+    expect = {}
+    for d, ws in wins.items():
+        dup = [i for i, w in enumerate(ws) if len(owners[w]) >= 2]
+        run, best, prev = 0, 0, None
+        for i in dup:
+            run = run + 1 if prev is not None and i == prev + 1 else 1
+            best = max(best, run)
+            prev = i
+        expect[d] = (
+            len(ws),
+            len(dup),
+            best,
+            round(len(dup) / len(ws), 6),
+        )
+    assert got == expect
+    assert 5 not in got  # short doc excluded
+    assert got[3][1] == 0  # internal repetition is not duplication
+    assert got[6][1] == got[6][0]  # exact dup pair: every window shared
+    assert got[1][2] >= 2  # overlapping boilerplate windows form a run

@@ -83,6 +83,14 @@ def register(name: str, oracle_sql: str | None = None):
 # (tools/check_oracle.py) every round.
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
+    "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)
+    "q8ish_market_share",  # NEW
+    "q9ish_product_profit",  # NEW
+    "q13ish_order_count_distribution",  # NEW
+    "q15ish_top_revenue_supplier",  # NEW
+    "q17ish_small_quantity_revenue",  # NEW
+    "q19ish_disjunctive_revenue",  # NEW
+    "q21ish_sole_return_suppliers",  # NEW
     "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
     "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
@@ -113,23 +121,34 @@ _CHECK_FIRST = [
     # (c) driver-green sentinels spanning every fixture table + dtype
     # surface, kept to catch the next silent fixture drift
     # (dedup_embedding_lsh_hi: hi-regime banding family)
-    "sql_cte_top_customers", "sql_unpivot_metrics",
+    "sql_unpivot_metrics",
     "setop_nation_coverage",
     "agg_rollup_returnflag",
-    "join_outer_order_fill",
-    "mr_concat_sorted_values",
-    "events_sliding_1h_30m", "events_props_from_json",
-    "sessionize_user_events",
+    "events_props_from_json",
     "asof_error_after_signup", "range_join_value_buckets",
     "udaf_supplier_quantity_stats",
     "join_salted_customer_orders",
     "q1_pricing_summary",
-    "q4ish_priority_order_counts",
-    "q18ish_large_volume_customers", "q22ish_idle_customers",
-    "null_handling_acctbal",
+    "q22ish_idle_customers",
     "dedup_embedding_lsh_hi",
 ]
-# Demoted to the unchecked tail in r6 (all r5-driver-green on code
+# Demoted to the unchecked tail late in r6 to fund the eight new
+# TPC-H-batch-2 slots (all r5-driver-green on byte-unchanged code,
+# locally oracle-gated every round; each one's surface stays
+# in-window via the named replacement): q4ish_priority_order_counts
+# (decorrelated-exists semantics via q21ish; anti join stays via
+# q22ish), q18ish_large_volume_customers (top-k via
+# q15ish/q21ish), sql_cte_top_customers (CTE + scalar subquery via
+# q15ish), join_outer_order_fill (left-outer via q13ish),
+# null_handling_acctbal (count-over-null left join via q13ish),
+# sessionize_user_events (session semantics via the in-window
+# streaming_session_windows replay whose oracle IS the sessionize
+# twin), events_sliding_1h_30m (events surface: four streaming
+# replays + events_props_from_json stay in-window),
+# mr_concat_sorted_values (compat surface now fuzz-differential-
+# tested across ≥50 random jobs, tests/test_compat_mr.py).
+#
+# Demoted earlier in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every
 # round — these 15 slots fund the r3-era rotation refresh and the
 # new r6 entries): sim_centroids_by_label (r5-green sentinel; the sim
@@ -183,6 +202,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         relational2,
         relational,
+        relational3,
         windows,
         sql_queries,
     )

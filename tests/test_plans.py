@@ -26,6 +26,9 @@ from map_reduce_spark.registry import load_all
 BROADCAST_JOIN_QUERIES = [
     "q5_local_supplier_volume",  # region→nation→supplier dim collapse
     "q10_returned_items",  # nation broadcast
+    "q7ish_nation_trade_volume",  # supplier⋈nation dim broadcast
+    "q9ish_product_profit",  # supplier⋈nation dim broadcast
+    "q15ish_top_revenue_supplier",  # 1-row max + supplier dim broadcast
 ]
 
 # Queries that must NOT hint a broadcast on a scale-linear table
@@ -35,6 +38,9 @@ NO_FACT_BROADCAST_QUERIES = [
     "q12ish_shipmode_buckets",
     "q18ish_large_volume_customers",
     "q14_promo_effect",
+    "q13ish_order_count_distribution",  # customer/orders both scale-linear
+    "q17ish_small_quantity_revenue",  # part slice + per-part thresholds grow with sf
+    "q19ish_disjunctive_revenue",  # part unhinted; AQE decides
 ]
 
 # Queries that must NOT hint a broadcast on a per-document /
@@ -53,6 +59,12 @@ PUSHDOWN_QUERIES = {
     "q6_forecast_revenue": "l_discount",
     "q4ish_priority_order_counts": "o_orderdate",
     "q12ish_shipmode_buckets": "l_shipdate",
+    "q7ish_nation_trade_volume": "l_shipdate",
+    "q8ish_market_share": "o_orderdate",
+    "q15ish_top_revenue_supplier": "l_shipdate",
+    # Q19's OR-of-ANDs: Catalyst must derive the single-side residual
+    # (the l_quantity envelope) and push it to the lineitem scan
+    "q19ish_disjunctive_revenue": "l_quantity",
 }
 
 # Deliberate nested-loop joins: a 4-row bucket table broadcast against

@@ -743,3 +743,60 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", F.round("skey", 6).alias("skey"), "sample_rank")
         .orderBy("sample_rank")
     )
+
+
+SHUFFLE_SALT = "shuf-v1"  # version the permutation: bump to re-shuffle
+N_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "doc_global_shuffle",
+    oracle_sql=f"""
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+               AS pos
+    FROM (
+        SELECT doc_id,
+               md5(doc_id || '/{SHUFFLE_SALT}') AS skey,
+               ('0x' || substr(md5(doc_id || '/{SHUFFLE_SALT}'), 1, 8))::BIGINT
+                   % {N_SHUFFLE_SHARDS} AS shard
+        FROM documents)
+    ORDER BY shard, pos
+    """,
+)
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, position) in a pseudorandom permutation of the corpus.
+
+    Training pipelines need the corpus in random order, reproducibly
+    (same permutation on every run/engine, stable under re-execution
+    after failures). The permutation key is md5(doc_id + salt) — the
+    same engine-stable deal as doc_split_assign — so the order is a
+    pure function of doc_id; bump SHUFFLE_SALT to re-shuffle.
+
+    Scale: a literal global sort by the key would work but pays a
+    full range-partitioned sort. Instead the hash prefix deals docs into
+    shards (uniform by construction — md5 bits), and position is a
+    row_number windowed PER SHARD: the only sorts are within-shard,
+    fully parallel, and shard count scales with the corpus. Consumers
+    read shard files in order — exactly how sharded training data is
+    laid out. No collect, no global window, one exchange on shard.
+    """
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(SHUFFLE_SALT))).alias("skey"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % N_SHUFFLE_SHARDS,
+    )
+    return (
+        keyed.withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("shard").orderBy("skey", "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

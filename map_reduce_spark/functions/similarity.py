@@ -123,6 +123,65 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.3  # radius for the range (all-neighbors-within) search
+
+
+@register(
+    "sim_range_search",
+    oracle_sql=f"""
+    SELECT probe_id, neighbor_id, score
+    FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings p
+        JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id % {PROBE_MOD} = 0)
+    WHERE score >= {RANGE_TAU}
+    ORDER BY probe_id, neighbor_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine range (radius) search: every corpus vector within
+    cos >= RANGE_TAU of each probe — the all-neighbors companion to
+    top-k.
+
+    kNN answers "the k closest"; range search answers "everything this
+    similar", the primitive behind near-dup candidate pulls and
+    retrieval with a score floor. Plan shape is the bounded-probe
+    radius scan: probes (1% of corpus) broadcast against one corpus
+    scan — no corpus shuffle, no window (unlike top-k there is no
+    per-probe rank, so even that shuffle disappears); the filter is a
+    map-side predicate. For corpus x corpus radius joins at scale the
+    banded-sketch prefilter family (dedup_embedding_lsh_hi) is the
+    scale path; this operator is the exact bounded-probe primitive.
+    The threshold compares the ROUNDED score on both engines, so the
+    tau boundary cannot flip on sub-1e-6 float-order noise.
+    """
+    emb = with_norm(
+        load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
+    )
+    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("dv").alias("probe_dv"),
+        F.col("norm").alias("probe_norm"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm")
+    return (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("probe_dv"), F.col("dv"))
+                / (F.col("probe_norm") * F.col("norm")),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= F.lit(RANGE_TAU))
+        .select("probe_id", "neighbor_id", "score")
+        .orderBy("probe_id", "neighbor_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN (scale path)
 # ---------------------------------------------------------------------------

@@ -214,3 +214,50 @@ def events_props_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+Z_THRESHOLD = 3.0  # flag events whose value is > 3 sigma from the type mean
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle_sql=f"""
+    SELECT event_id, user_id, event_type, value, z
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               round((value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_samp(value) OVER (PARTITION BY event_type),
+                     6) AS z
+        FROM events)
+    WHERE z >= {Z_THRESHOLD}
+    ORDER BY event_type, event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier flagging: events whose value sits
+    more than Z_THRESHOLD standard deviations above their type's mean.
+
+    The monitoring primitive behind alerting/data-quality sweeps.
+    Scale: the naive form is a window over every event partitioned by
+    type (5 partitions → 5 hot reducers at 100 TB). Instead the
+    per-type (mean, stddev) reduce to a |types|-row aggregate — fully
+    map-side combinable — that broadcasts back onto one event scan, so
+    no event row ever shuffles: stats agg + map-side broadcast join +
+    map-side filter. The oracle states it as the window form; the
+    broadcast form is algebraically identical. The threshold compares
+    the ROUNDED z on both engines so the 3-sigma boundary cannot flip
+    on float-order noise. Values are one-sided (value >= 0 with means
+    ~1 sigma), so only the high tail exists to flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.avg("value").alias("t_mean"),
+        F.stddev_samp("value").alias("t_std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("t_type"))
+        .withColumn("z", F.round((F.col("value") - F.col("t_mean")) / F.col("t_std"), 6))
+        .filter(F.col("z") >= F.lit(Z_THRESHOLD))
+        .select("event_id", "user_id", "event_type", "value", "z")
+        .orderBy("event_type", "event_id")
+    )

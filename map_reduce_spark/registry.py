@@ -91,6 +91,9 @@ _CHECK_FIRST = [
     "q17ish_small_quantity_revenue",  # NEW
     "q19ish_disjunctive_revenue",  # NEW
     "q21ish_sole_return_suppliers",  # NEW
+    "sim_range_search",  # NEW: exact cosine radius search
+    "doc_global_shuffle",  # NEW: deterministic training-order manifest
+    "events_anomaly_zscore",  # NEW: 3-sigma outlier flagging
     "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
     "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
@@ -125,8 +128,6 @@ _CHECK_FIRST = [
     "setop_nation_coverage",
     "agg_rollup_returnflag",
     "events_props_from_json",
-    "asof_error_after_signup", "range_join_value_buckets",
-    "udaf_supplier_quantity_stats",
     "join_salted_customer_orders",
     "q1_pricing_summary",
     "q22ish_idle_customers",
@@ -146,7 +147,15 @@ _CHECK_FIRST = [
 # twin), events_sliding_1h_30m (events surface: four streaming
 # replays + events_props_from_json stay in-window),
 # mr_concat_sorted_values (compat surface now fuzz-differential-
-# tested across ≥50 random jobs, tests/test_compat_mr.py).
+# tested across ≥50 random jobs, tests/test_compat_mr.py). Three more
+# sentinel demotions fund the sim_range_search / doc_global_shuffle /
+# events_anomaly_zscore slots: range_join_value_buckets (events
+# surface: four streaming replays + events_props_from_json +
+# events_anomaly_zscore in-window), udaf_supplier_quantity_stats
+# (Arrow grouped-UDF surface via streaming_stateful_user_totals +
+# the media mapInPandas entries in-window), asof_error_after_signup
+# (byte-unchanged since r2, driver-green r3–r5; as-of stays on the
+# local oracle gate like every tail query).
 #
 # Demoted earlier in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every

@@ -1,0 +1,69 @@
+"""Property tests for the round-6 additions: the training-order
+shuffle manifest, the cosine range search, and the z-score flagger.
+
+Value-level correctness is covered by the DuckDB oracle gate
+(tools/check_oracle.py); these pin the structural invariants the
+oracle hash alone doesn't state explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import load_all
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; per-shard positions are the
+    contiguous range 1..n_shard (no gaps, no duplicates)."""
+    out = load_all()["doc_global_shuffle"].builder(spark, sf_dir)
+    n_docs = (
+        load_all()["doc_global_shuffle"]
+        .builder(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_docs
+    per_shard = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("mn"),
+            F.max("pos").alias("mx"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        .collect()
+    )
+    assert per_shard, "no shards produced"
+    for row in per_shard:
+        assert (row.mn, row.mx, row.nd) == (1, row.n, row.n), row
+
+
+def test_global_shuffle_is_deterministic(spark, sf_dir):
+    a = load_all()["doc_global_shuffle"].builder(spark, sf_dir).collect()
+    b = load_all()["doc_global_shuffle"].builder(spark, sf_dir).collect()
+    assert a == b
+
+
+def test_range_search_agrees_with_bruteforce(spark, sf_dir):
+    """Range results respect the floor, and every brute-force top-k
+    neighbor scoring >= tau shows up in the range result (the two
+    operators share probes, so top-k ∩ above-floor ⊆ range)."""
+    from map_reduce_spark.functions.similarity import RANGE_TAU
+
+    rng = load_all()["sim_range_search"].builder(spark, sf_dir)
+    rows = rng.collect()
+    assert all(r.score >= RANGE_TAU for r in rows)
+    got = {(r.probe_id, r.neighbor_id) for r in rows}
+    knn = load_all()["sim_knn_bruteforce"].builder(spark, sf_dir).collect()
+    expected = {(r.probe_id, r.neighbor_id) for r in knn if r.score >= RANGE_TAU}
+    assert expected <= got
+
+
+def test_anomaly_zscore_flags_only_high_tail(spark, sf_dir):
+    from map_reduce_spark.operators.temporal import Z_THRESHOLD
+
+    out = load_all()["events_anomaly_zscore"].builder(spark, sf_dir).collect()
+    assert out, "fixture should contain at least one 3-sigma event"
+    assert all(r.z >= Z_THRESHOLD for r in out)

@@ -94,6 +94,36 @@ AUDIT = {
         "scale); no component triggers a corpus-wide cross join or an "
         "unpartitioned window."
     ),
+    "q19ish_disjunctive_revenue": (
+        "OR-of-ANDs spanning both join sides: Catalyst derives the "
+        "single-side residuals — the brand/size disjunction pushed to the "
+        "part scan, the l_quantity envelope pushed to the lineitem scan — "
+        "before the join; the full disjunction evaluates as the join "
+        "filter."
+    ),
+    "q21ish_sole_return_suppliers": (
+        "EXISTS/NOT-EXISTS decorrelated into aggregation: distinct "
+        "(order, supplier, saw-R) pair reduction with map-side "
+        "partial_max (no Expand from countDistinct), then plain "
+        "count/sum/max per order; top-20 via TakeOrderedAndProject."
+    ),
+    "q13ish_order_count_distribution": (
+        "LEFT OUTER join keeps zero-order customers (predicate in the "
+        "join condition, pushed to the orders scan); custkey agg reuses "
+        "the join partitioning; second agg reduces to O(max orders per "
+        "customer) groups."
+    ),
+    "doc_global_shuffle": (
+        "deterministic training-order permutation without a global sort: "
+        "md5-hash shard deal, positions from row_number windows "
+        "partitioned BY SHARD — every sort is within-shard, parallel, "
+        "and the only exchange is on shard."
+    ),
+    "events_anomaly_zscore": (
+        "per-type (mean, stddev) reduced to a broadcast stats row (5 "
+        "groups, map-side combined) joined back map-side — no event row "
+        "shuffles, vs the naive 5-partition window over every event."
+    ),
 }
 
 HIGHLIGHT = re.compile(

@@ -124,6 +124,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RANGE_TAU = 0.3  # radius for the range (all-neighbors-within) search
+_RANGE_MAX_BLOCK = 8192  # GEMM payload cap: 8192 x 64 float64 ~ 4 MB
 
 
 @register(
@@ -147,39 +148,84 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kNN answers "the k closest"; range search answers "everything this
     similar", the primitive behind near-dup candidate pulls and
-    retrieval with a score floor. Plan shape is the bounded-probe
-    radius scan: probes (1% of corpus) broadcast against one corpus
-    scan — no corpus shuffle, no window (unlike top-k there is no
-    per-probe rank, so even that shuffle disappears); the filter is a
-    map-side predicate. For corpus x corpus radius joins at scale the
-    banded-sketch prefilter family (dedup_embedding_lsh_hi) is the
-    scale path; this operator is the exact bounded-probe primitive.
-    The threshold compares the ROUNDED score on both engines, so the
-    tau boundary cannot flip on sub-1e-6 float-order noise.
+    retrieval with a score floor. Unlike top-k there is no per-probe
+    rank to anchor the plan, and a naive broadcast-join formulation
+    lets Catalyst push the score filter INTO the nested-loop join
+    condition, where the higher-order dot product evaluates
+    interpreted per pair (measured 44 s at sf1 vs ~1 s for this
+    plan). So the plan is the blocked-GEMM tile shape shared with the
+    dense dedup path: probes and corpus deal into bounded blocks
+    (block count sized from parquet footer metadata — no job at build
+    time), the probe-block x corpus-block grid is a tiny keyed frame
+    joined to each side's packed payload, and one float64 BLAS GEMM
+    per tile scores probes x corpus with a fused multiply-add instead
+    of a per-pair expression. Parallelism = tiles; each task's two
+    payloads stay MB-sized at any corpus size; no driver collect, no
+    broadcast of the scale-linear probe set. The threshold compares
+    the ROUNDED score on both engines, so the tau boundary cannot
+    flip on sub-1e-6 float-order noise. For corpus x corpus radius
+    joins at a real dedup threshold, the banded prefilter family
+    (dedup_embedding_lsh_hi) is the scale path; this is the exact
+    probe-set primitive.
     """
-    emb = with_norm(
-        load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
+    import pyarrow.parquet as pq
+
+    # Driver-side sizing from the parquet footer: a metadata read, not
+    # a Spark job, so the builder stays lazy.
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_probes = max(1, n // PROBE_MOD)
+    nb_c = max(1, -(-n // _RANGE_MAX_BLOCK))
+    nb_p = max(1, -(-n_probes // _RANGE_MAX_BLOCK))
+
+    emb = load_spread(spark, sf_dir, "embeddings")
+    corpus_blocks = (
+        emb.select((F.col("vec_id") % nb_c).alias("cb"), "vec_id", "embedding")
+        .groupBy("cb")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items_c"))
     )
-    probes = emb.filter(F.col("vec_id") % PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("dv").alias("probe_dv"),
-        F.col("norm").alias("probe_norm"),
+    probe_blocks = (
+        emb.filter(F.col("vec_id") % PROBE_MOD == 0)
+        .select((F.col("vec_id") % nb_p).alias("pb"), "vec_id", "embedding")
+        .groupBy("pb")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items_p"))
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "dv", "norm")
-    return (
-        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("probe_dv"), F.col("dv"))
-                / (F.col("probe_norm") * F.col("norm")),
-                6,
-            ),
-        )
-        .filter(F.col("score") >= F.lit(RANGE_TAU))
-        .select("probe_id", "neighbor_id", "score")
-        .orderBy("probe_id", "neighbor_id")
+    grid = spark.range(nb_p * nb_c).select(
+        (F.col("id") % nb_p).alias("pb"),
+        F.expr(f"id DIV {nb_p}").alias("cb"),
     )
+    tiles = grid.join(probe_blocks, "pb").join(corpus_blocks, "cb")
+
+    def gemm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_p, out_n, out_s = [], [], []
+            for items_p, items_c in zip(pdf["items_p"], pdf["items_c"]):
+                ids_p = np.array([r["vec_id"] for r in items_p], dtype=np.int64)
+                ids_c = np.array([r["vec_id"] for r in items_c], dtype=np.int64)
+                P = np.stack([r["embedding"] for r in items_p]).astype(np.float64)
+                C = np.stack([r["embedding"] for r in items_c]).astype(np.float64)
+                P /= np.linalg.norm(P, axis=1, keepdims=True)
+                C /= np.linalg.norm(C, axis=1, keepdims=True)
+                S = np.round(P @ C.T, 6)
+                mask = (S >= RANGE_TAU) & (ids_p[:, None] != ids_c[None, :])
+                ii, jj = np.nonzero(mask)
+                out_p.append(ids_p[ii])
+                out_n.append(ids_c[jj])
+                out_s.append(S[ii, jj])
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p) if out_p else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "score": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    return tiles.mapInPandas(
+        gemm, "probe_id long, neighbor_id long, score double"
+    ).orderBy("probe_id", "neighbor_id")
 
 
 # ---------------------------------------------------------------------------

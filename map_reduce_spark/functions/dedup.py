@@ -1154,10 +1154,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    import pyarrow.parquet as pq
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # Driver-side sizing scalar (same pattern as the IVF trainer): one
-    # count decides the block grid; O(1) state, never row data.
-    n = emb.count()
+    # Driver-side sizing scalar from the parquet footer (row count
+    # metadata, not a Spark job) — keeps this builder lazy like the
+    # rest of the plan family; O(1) state, never row data.
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     par = spark.sparkContext.defaultParallelism
     nb_par = math.isqrt(8 * par) + 1  # enough pairs to fill the cluster
     nb_mem = -(-n // _GEMM_MAX_BLOCK)  # payload cap

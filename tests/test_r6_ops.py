@@ -67,3 +67,42 @@ def test_anomaly_zscore_flags_only_high_tail(spark, sf_dir):
     out = load_all()["events_anomaly_zscore"].builder(spark, sf_dir).collect()
     assert out, "fixture should contain at least one 3-sigma event"
     assert all(r.z >= Z_THRESHOLD for r in out)
+
+
+def test_q21ish_decorrelation_matches_literal_joins(spark, sf_dir):
+    """The registered aggregation formulation must equal the literal
+    EXISTS (left-semi) / NOT EXISTS (left-anti) plan the oracle SQL
+    states — proving the decorrelation on the live fixture, not just
+    at the two oracle-checked scales."""
+    from pyspark.sql import functions as F
+    from map_reduce_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    exists = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    not_exists = exists.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    literal = (
+        not_exists.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), "s_name")
+        .limit(20)
+    )
+    registered = load_all()["q21ish_sole_return_suppliers"].builder(spark, sf_dir)
+    assert registered.collect() == literal.collect()

@@ -800,3 +800,110 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+MIX_SALT = "mix-v1"  # version the mixture deal independently of split/shuffle
+MIX_DENOM = 10000  # hash-deal resolution
+# Target language mixture for the training corpus: rebalance the
+# en-heavy fixture (~43% en) to a pinned recipe. Downsample-only
+# mixing: the total budget is the largest T with every per-lang rate
+# <= 1, i.e. T = min(count_l / share_l).
+MIX_SHARES = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def _mix_share_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {share}" for lang, share in sorted(MIX_SHARES.items())
+    )
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+_MIXTURE_SQL = f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS cnt,
+               {_mix_share_case_sql()} AS share
+        FROM documents GROUP BY lang),
+    budget AS (SELECT min(cnt / share) AS t FROM counts WHERE share > 0),
+    rates AS (
+        SELECT lang, least(1.0, t * share / cnt) AS rate
+        FROM counts, budget WHERE share > 0)
+    SELECT doc_id, d.lang, bucket
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id || '/{MIX_SALT}'), 1, 8))::BIGINT
+                   % {MIX_DENOM} AS bucket
+        FROM documents) d
+    JOIN rates ON d.lang = rates.lang
+    WHERE bucket < floor(rate * {MIX_DENOM})
+    ORDER BY doc_id
+    """
+
+
+@register("doc_mixture_sample", oracle_sql=_MIXTURE_SQL)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sampler: downsample each language to hit a pinned
+    target mixture (the Pile/Dolma-style recipe step).
+
+    doc_stratified_sample applies FIXED per-stratum rates; this
+    operator derives the rates FROM the data so the kept corpus hits
+    target proportions exactly: budget T = min_l(count_l / share_l)
+    (the largest downsample-only total), rate_l = T * share_l /
+    count_l, then the same engine-stable md5 deal as the split
+    assigner keeps bucket < floor(rate * denom). Deterministic,
+    reproducible, and stable per doc as the corpus grows only via new
+    docs (a doc's bucket never changes; rates shift with corpus
+    composition by design — that is what "hit the mixture" means).
+
+    Scale: counts reduce to a |langs|-row aggregate (map-side
+    combined); the budget is a 1-row aggregate of that; both join
+    back as broadcasts (bounded by the language inventory, not the
+    corpus), so the corpus itself is one scan + map-side filter —
+    zero corpus shuffles. FP determinism: both engines evaluate the
+    identical double expression tree (min of divisions, then
+    t*share/cnt), so the floor threshold is bit-identical; ties in
+    the bucket comparison are integer-vs-integer.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    share_col = F.lit(None).cast("double")
+    share_expr = None
+    for lang, share in sorted(MIX_SHARES.items()):
+        cond = F.when(F.col("lang") == lang, F.lit(float(share)))
+        share_expr = cond if share_expr is None else share_expr.when(
+            F.col("lang") == lang, F.lit(float(share))
+        )
+    share_expr = share_expr.otherwise(F.lit(0.0))
+
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .withColumn("share", share_expr)
+        .filter(F.col("share") > 0)
+    )
+    budget = counts.agg(F.min(F.col("cnt") / F.col("share")).alias("t"))
+    rates = (
+        counts.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), F.col("t") * F.col("share") / F.col("cnt"))
+        )
+        .select(F.col("lang").alias("r_lang"), "rate")
+    )
+    dealt = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("/", F.col("doc_id"), F.lit(MIX_SALT))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % MIX_DENOM
+        ).alias("bucket"),
+    )
+    return (
+        dealt.join(F.broadcast(rates), dealt.lang == F.col("r_lang"))
+        .filter(F.col("bucket") < F.floor(F.col("rate") * MIX_DENOM))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )

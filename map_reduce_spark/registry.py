@@ -93,6 +93,7 @@ _CHECK_FIRST = [
     "q21ish_sole_return_suppliers",  # NEW
     "sim_range_search",  # NEW: exact cosine radius search
     "doc_global_shuffle",  # NEW: deterministic training-order manifest
+    "doc_mixture_sample",  # NEW: target-mixture rebalancing sampler
     "events_anomaly_zscore",  # NEW: 3-sigma outlier flagging
     "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
@@ -125,7 +126,6 @@ _CHECK_FIRST = [
     # surface, kept to catch the next silent fixture drift
     # (dedup_embedding_lsh_hi: hi-regime banding family)
     "sql_unpivot_metrics",
-    "setop_nation_coverage",
     "agg_rollup_returnflag",
     "events_props_from_json",
     "join_salted_customer_orders",
@@ -155,7 +155,9 @@ _CHECK_FIRST = [
 # (Arrow grouped-UDF surface via streaming_stateful_user_totals +
 # the media mapInPandas entries in-window), asof_error_after_signup
 # (byte-unchanged since r2, driver-green r3–r5; as-of stays on the
-# local oracle gate like every tail query).
+# local oracle gate like every tail query). setop_nation_coverage
+# funds the doc_mixture_sample slot (pure-Catalyst set-op machinery,
+# byte-unchanged since r2, r5-green, locally gated every round).
 #
 # Demoted earlier in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every

@@ -77,6 +77,7 @@ ALLOWED_NESTED_LOOP = {
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-size scalar
     "doc_unigram_logprob",  # broadcast 1-row corpus-token-total scalar
     "window_rank_dense_ntile",  # broadcast 1-row (min,max,n) stats scalar
+    "doc_mixture_sample",  # broadcast 1-row mixture-budget scalar
 }
 
 

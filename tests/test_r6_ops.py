@@ -106,3 +106,22 @@ def test_q21ish_decorrelation_matches_literal_joins(spark, sf_dir):
     )
     registered = load_all()["q21ish_sole_return_suppliers"].builder(spark, sf_dir)
     assert registered.collect() == literal.collect()
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    """The kept corpus's language proportions must track MIX_SHARES
+    to within hash-deal binomial noise, and the minimizing language
+    must be kept (near-)fully — the downsample-only budget contract."""
+    from map_reduce_spark.functions.prep import MIX_SHARES
+
+    docs = load_all()["doc_mixture_sample"].builder(spark, sf_dir).collect()
+    kept = {}
+    for r in docs:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    total = sum(kept.values())
+    assert set(kept) <= set(MIX_SHARES)
+    for lang, share in MIX_SHARES.items():
+        got = kept.get(lang, 0) / total
+        # 4-sigma binomial tolerance at the fixture's corpus size
+        tol = 4 * (share * (1 - share) / total) ** 0.5 + 1 / total
+        assert abs(got - share) <= tol, (lang, got, share, tol)

@@ -97,6 +97,7 @@ _CHECK_FIRST = [
     "events_anomaly_zscore",  # NEW: 3-sigma outlier flagging
     "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
+    "streaming_sliding_counts",  # NEW: sliding replay completes the matrix
     "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
     "media_resize_images",  # NEW: rows-only resize transform entry
     "media_sample_frames",  # NEW: rows-only frame-sampler entry
@@ -128,7 +129,6 @@ _CHECK_FIRST = [
     "sql_unpivot_metrics",
     "agg_rollup_returnflag",
     "events_props_from_json",
-    "join_salted_customer_orders",
     "q1_pricing_summary",
     "q22ish_idle_customers",
     "dedup_embedding_lsh_hi",
@@ -158,6 +158,11 @@ _CHECK_FIRST = [
 # local oracle gate like every tail query). setop_nation_coverage
 # funds the doc_mixture_sample slot (pure-Catalyst set-op machinery,
 # byte-unchanged since r2, r5-green, locally gated every round).
+# join_salted_customer_orders funds the streaming_sliding_counts
+# slot (the salted-join surface is the most heavily pytest-gated in
+# the repo — tests/test_skew.py zipf stress incl. the
+# unsalted-control — while sliding was the one streaming window type
+# without a replay on the gate).
 #
 # Demoted earlier in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every

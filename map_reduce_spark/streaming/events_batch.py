@@ -208,6 +208,66 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle_sql="""
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               value
+        FROM events
+        UNION ALL
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               value
+        FROM events)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SLIDING windows (1 h length, 30 min slide)
+    drained through a real streaming replay — completes the streaming
+    window-type matrix on the driver gate (tumbling, session, sliding).
+
+    Each event lands in two overlapping open windows, so the state
+    store holds twice the open-window rows of the tumbling replay and
+    the watermark closes each window 2 h after its end — the overlap
+    accounting is exactly what this replay puts on the gate. The
+    oracle is the same two-offset-bucketings union as the batch twin
+    ``events_sliding_1h_30m``; Structured Streaming's batch/stream
+    parity makes the drained complete-mode result equal it.
+
+    Builder-contract note: DEFERRED — the bounded AvailableNow replay
+    drains on first action, not at build (see
+    streaming_tumbling_type_counts).
+
+    Scale: incremental production form appends closed windows; state
+    is O(open windows) = 2x tumbling, still bounded by the watermark
+    horizon regardless of stream length.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            sliding_counts(read_events_stream(spark, sf_dir)),
+            "streaming_sliding_counts",
+            output_mode="complete",
+        )
+        return drained.orderBy("window_start")
+
+    return deferred(
+        spark,
+        "window_start string, n_events bigint, total_value double",
+        drain,
+    )
+
+
+@register(
     "streaming_session_windows",
     oracle_sql="""
     WITH marked AS (

@@ -777,10 +777,15 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a literal global sort by the key would work but pays a
     full range-partitioned sort. Instead the hash prefix deals docs into
     shards (uniform by construction — md5 bits), and position is a
-    row_number windowed PER SHARD: the only sorts are within-shard,
-    fully parallel, and shard count scales with the corpus. Consumers
-    read shard files in order — exactly how sharded training data is
-    laid out. No collect, no global window, one exchange on shard.
+    row_number windowed PER SHARD: the only sorts the MANIFEST needs
+    are within-shard, fully parallel, and shard count scales with the
+    corpus. Consumers read shard files in order — exactly how sharded
+    training data is laid out; the scale form writes each shard's
+    rows unordered-across-shards (partitionBy(shard), sortWithin).
+    The trailing global orderBy here is the repo's oracle-gate output
+    convention only — a presentation sort over the manifest rows, not
+    part of the permutation computation. No collect, no global
+    window in the position math, one exchange on shard.
     """
     docs = load_spread(spark, sf_dir, "documents").select("doc_id")
     keyed = docs.select(
@@ -864,7 +869,6 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket comparison are integer-vs-integer.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    share_col = F.lit(None).cast("double")
     share_expr = None
     for lang, share in sorted(MIX_SHARES.items()):
         cond = F.when(F.col("lang") == lang, F.lit(float(share)))

@@ -130,14 +130,14 @@ _RANGE_MAX_BLOCK = 8192  # GEMM payload cap: 8192 x 64 float64 ~ 4 MB
 @register(
     "sim_range_search",
     oracle_sql=f"""
-    SELECT probe_id, neighbor_id, score
+    SELECT probe_id, neighbor_id, round(score_raw, 6) AS score
     FROM (
         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-               round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+               list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score_raw
         FROM embeddings p
         JOIN embeddings c ON c.vec_id <> p.vec_id
         WHERE p.vec_id % {PROBE_MOD} = 0)
-    WHERE score >= {RANGE_TAU}
+    WHERE score_raw >= {RANGE_TAU}
     ORDER BY probe_id, neighbor_id
     """,
 )
@@ -161,9 +161,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per tile scores probes x corpus with a fused multiply-add instead
     of a per-pair expression. Parallelism = tiles; each task's two
     payloads stay MB-sized at any corpus size; no driver collect, no
-    broadcast of the scale-linear probe set. The threshold compares
-    the ROUNDED score on both engines, so the tau boundary cannot
-    flip on sub-1e-6 float-order noise. For corpus x corpus radius
+    broadcast of the scale-linear probe set. Both engines filter on
+    the RAW cosine and round only for output (the dedup-GEMM /
+    brute-force convention — half-up on both sides, no half-even
+    deviation). For corpus x corpus radius
     joins at a real dedup threshold, the banded prefilter family
     (dedup_embedding_lsh_hi) is the scale path; this is the exact
     probe-set primitive.
@@ -185,7 +186,17 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_blocks = (
         emb.filter(F.col("vec_id") % PROBE_MOD == 0)
-        .select((F.col("vec_id") % nb_p).alias("pb"), "vec_id", "embedding")
+        # Deal by the probe INDEX (vec_id DIV PROBE_MOD), not vec_id:
+        # probe ids are all multiples of PROBE_MOD, so `vec_id % nb_p`
+        # only hits multiples of gcd(PROBE_MOD, nb_p) — an even nb_p
+        # would pile every probe into a fraction of the blocks and
+        # break the payload cap. The index is sequential, so its mod
+        # deal is uniform for any nb_p.
+        .select(
+            (F.expr(f"vec_id DIV {PROBE_MOD}") % nb_p).alias("pb"),
+            "vec_id",
+            "embedding",
+        )
         .groupBy("pb")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items_p"))
     )
@@ -207,7 +218,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 C = np.stack([r["embedding"] for r in items_c]).astype(np.float64)
                 P /= np.linalg.norm(P, axis=1, keepdims=True)
                 C /= np.linalg.norm(C, axis=1, keepdims=True)
-                S = np.round(P @ C.T, 6)
+                # Mask on the RAW score and emit it raw; Spark's
+                # F.round (HALF_UP, matching DuckDB round()) happens at
+                # the end — np.round is half-even and would disagree
+                # with the oracle exactly on .5e-6 boundaries. Same
+                # convention as the dedup GEMM and sim_knn_bruteforce.
+                S = P @ C.T
                 mask = (S >= RANGE_TAU) & (ids_p[:, None] != ids_c[None, :])
                 ii, jj = np.nonzero(mask)
                 out_p.append(ids_p[ii])
@@ -223,9 +239,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return tiles.mapInPandas(
-        gemm, "probe_id long, neighbor_id long, score double"
-    ).orderBy("probe_id", "neighbor_id")
+    return (
+        tiles.mapInPandas(gemm, "probe_id long, neighbor_id long, score double")
+        .withColumn("score", F.round("score", 6))
+        .orderBy("probe_id", "neighbor_id")
+    )
 
 
 # ---------------------------------------------------------------------------

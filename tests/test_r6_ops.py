@@ -15,16 +15,15 @@ from map_reduce_spark.registry import load_all
 
 def test_global_shuffle_is_a_permutation(spark, sf_dir):
     """Every doc appears exactly once; per-shard positions are the
-    contiguous range 1..n_shard (no gaps, no duplicates)."""
+    contiguous range 1..n_shard (no gaps, no duplicates). Coverage is
+    checked against the DOCUMENTS table, not the operator's own
+    output, so a silently-dropping builder fails."""
+    from map_reduce_spark.sources import load_table
+
     out = load_all()["doc_global_shuffle"].builder(spark, sf_dir)
-    n_docs = (
-        load_all()["doc_global_shuffle"]
-        .builder(spark, sf_dir)
-        .select("doc_id")
-        .distinct()
-        .count()
-    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
     assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
     per_shard = (
         out.groupBy("shard")
         .agg(
@@ -114,6 +113,8 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
     must be kept (near-)fully — the downsample-only budget contract."""
     from map_reduce_spark.functions.prep import MIX_SHARES
 
+    from map_reduce_spark.sources import load_table
+
     docs = load_all()["doc_mixture_sample"].builder(spark, sf_dir).collect()
     kept = {}
     for r in docs:
@@ -125,3 +126,14 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
         # 4-sigma binomial tolerance at the fixture's corpus size
         tol = 4 * (share * (1 - share) / total) ** 0.5 + 1 / total
         assert abs(got - share) <= tol, (lang, got, share, tol)
+    # Downsample-only contract: the budget-minimizing language (rate
+    # pinned to 1.0) must be kept in full.
+    corpus = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    arg_min = min(MIX_SHARES, key=lambda l: corpus[l] / MIX_SHARES[l])
+    assert kept[arg_min] == corpus[arg_min], (arg_min, kept, corpus)

@@ -114,10 +114,12 @@ AUDIT = {
         "customer) groups."
     ),
     "doc_global_shuffle": (
-        "deterministic training-order permutation without a global sort: "
-        "md5-hash shard deal, positions from row_number windows "
-        "partitioned BY SHARD — every sort is within-shard, parallel, "
-        "and the only exchange is on shard."
+        "deterministic training-order permutation: md5-hash shard deal, "
+        "positions from row_number windows partitioned BY SHARD — the "
+        "permutation math sorts only within-shard (one exchange on "
+        "shard); the trailing global orderBy is the oracle-gate "
+        "presentation sort, dropped by the partitionBy(shard) writer "
+        "at scale."
     ),
     "events_anomaly_zscore": (
         "per-type (mean, stddev) reduced to a broadcast stats row (5 "

@@ -137,3 +137,56 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
     }
     arg_min = min(MIX_SHARES, key=lambda l: corpus[l] / MIX_SHARES[l])
     assert kept[arg_min] == corpus[arg_min], (arg_min, kept, corpus)
+
+
+def test_range_search_probe_blocks_stay_balanced(spark, tmp_path, monkeypatch):
+    """Regression pin for the probe-block deal: probe ids are all
+    multiples of PROBE_MOD, so dealing by ``vec_id % nb_p`` would
+    collapse probes into the blocks divisible by gcd(PROBE_MOD, nb_p).
+    With a shrunken block cap forcing nb_p > 1, every probe block must
+    be non-empty and within 2x of the ideal share, and the result must
+    still match the brute-force range set."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_spark.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    vecs = rng.normal(size=(n, 8)).round(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": ["x"] * n,
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/embeddings.parquet")
+
+    monkeypatch.setattr(S, "_RANGE_MAX_BLOCK", 4)
+    df = S.sim_range_search(spark, sf_dir)
+    rows = df.collect()
+
+    # ground truth: exact numpy range search over the same data
+    probes = np.arange(0, n, S.PROBE_MOD)
+    P = vecs[probes] / np.linalg.norm(vecs[probes], axis=1, keepdims=True)
+    C = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    Sc = P @ C.T
+    expected = {
+        (int(probes[i]), int(j))
+        for i, j in zip(*np.nonzero(Sc >= S.RANGE_TAU))
+        if probes[i] != j
+    }
+    assert {(r.probe_id, r.neighbor_id) for r in rows} == expected
+
+    # block balance under the shrunken cap: nb_p = ceil(10/4) = 3
+    n_probes = len(probes)
+    nb_p = -(-n_probes // 4)
+    assert nb_p > 1
+    per_block = {}
+    for p in probes:
+        per_block[(p // S.PROBE_MOD) % nb_p] = per_block.get((p // S.PROBE_MOD) % nb_p, 0) + 1
+    assert len(per_block) == nb_p, "a probe block is empty"
+    ideal = n_probes / nb_p
+    assert max(per_block.values()) <= 2 * ideal

@@ -911,3 +911,82 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")
     )
+
+
+# RAG-prep chunking: fixed token windows with overlap. Real pipelines
+# chunk at ~256-1024 BPE tokens; the fixture's docs are ~30-60 word
+# tokens, so 32/8 keeps multi-chunk docs in every sf while preserving
+# the identical plan shape.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+    WITH toks_t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents),
+    starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(1, len(toks) - {CHUNK_TOKENS} + 1),
+                                      {CHUNK_STEP})) AS start
+        FROM toks_t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS} - 1), ' ')
+               AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start + 1) AS BIGINT) AS n_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """
+
+
+@register("doc_chunk_for_rag", oracle_sql=_CHUNK_SQL)
+def doc_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split each document into fixed-size token
+    windows with overlap — the retrieval-index unit between "cleaned
+    corpus" and "embedded chunks".
+
+    Chunks are CHUNK_TOKENS tokens with CHUNK_OVERLAP carried across
+    consecutive chunks (stride CHUNK_STEP); a doc shorter than one
+    chunk yields itself whole. Deterministic: chunk boundaries are a
+    pure function of the token sequence.
+
+    Scale: pure built-in expressions — tokenize once, generate the
+    start offsets with ``sequence`` and explode; everything stays in
+    whole-stage codegen with ZERO shuffles (the trailing orderBy is
+    the oracle-gate presentation sort). The per-doc fan-out is
+    len/stride rows, the same row-explosion a downstream embedding
+    pass needs anyway. A Python-UDTF twin (the lateral-join API
+    surface) is pinned row-equal in tests/test_r6_ops.py — built-ins
+    win the hot path (no per-row Python), the UDTF covers the API.
+    """
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    exploded = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size("toks") - CHUNK_TOKENS + 1),
+                F.lit(CHUNK_STEP),
+            )
+        ).alias("start"),
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STEP).cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "sim_range_search",  # NEW: exact cosine radius search
     "doc_global_shuffle",  # NEW: deterministic training-order manifest
     "doc_mixture_sample",  # NEW: target-mixture rebalancing sampler
+    "doc_chunk_for_rag",  # NEW: overlapping token-window chunking
     "events_anomaly_zscore",  # NEW: 3-sigma outlier flagging
     "dedup_exact_substring",  # NEW: span-level exact-substring dedup
     "streaming_session_windows",  # NEW: session-window replay on the gate
@@ -128,7 +129,6 @@ _CHECK_FIRST = [
     # (dedup_embedding_lsh_hi: hi-regime banding family)
     "sql_unpivot_metrics",
     "agg_rollup_returnflag",
-    "events_props_from_json",
     "q1_pricing_summary",
     "q22ish_idle_customers",
     "dedup_embedding_lsh_hi",
@@ -162,7 +162,10 @@ _CHECK_FIRST = [
 # slot (the salted-join surface is the most heavily pytest-gated in
 # the repo — tests/test_skew.py zipf stress incl. the
 # unsalted-control — while sliding was the one streaming window type
-# without a replay on the gate).
+# without a replay on the gate). events_props_from_json funds the
+# doc_chunk_for_rag slot (events fixture drift is watched in-window
+# by four streaming replays + events_anomaly_zscore; the from_json
+# surface stays on the local oracle gate).
 #
 # Demoted earlier in r6 (all r5-driver-green on code
 # byte-unchanged since that verdict, locally oracle-gated every

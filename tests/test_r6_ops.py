@@ -190,3 +190,43 @@ def test_range_search_probe_blocks_stay_balanced(spark, tmp_path, monkeypatch):
     assert len(per_block) == nb_p, "a probe block is empty"
     ideal = n_probes / nb_p
     assert max(per_block.values()) <= 2 * ideal
+
+
+def test_chunking_udtf_twin_matches_builtin_plan(spark, sf_dir):
+    """Python-UDTF lateral-join twin of doc_chunk_for_rag: same chunk
+    boundaries from imperative Python, row-equal with the registered
+    built-in-expression plan. The built-ins own the hot path (no
+    per-row Python); this pins the UDTF API surface end-to-end."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from map_reduce_spark.functions.prep import (
+        CHUNK_STEP,
+        CHUNK_TOKENS,
+    )
+    from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE
+
+    @udtf(returnType="chunk_id bigint, chunk_text string, n_tokens bigint")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+            if not toks:
+                return
+            last_start = max(1, len(toks) - CHUNK_TOKENS + 1)
+            for cid, start in enumerate(range(1, last_start + 1, CHUNK_STEP)):
+                window = toks[start - 1 : start - 1 + CHUNK_TOKENS]
+                yield cid, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_all()  # ensure fixture tables registerable
+    from map_reduce_spark.sources import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    via_udtf = spark.sql(
+        """SELECT doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+           FROM docs_udtf_src, LATERAL chunk_doc(text) AS c
+           ORDER BY doc_id, chunk_id"""
+    ).collect()
+    builtin = load_all()["doc_chunk_for_rag"].builder(spark, sf_dir).collect()
+    assert [tuple(r) for r in via_udtf] == [tuple(r) for r in builtin]

@@ -261,3 +261,65 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "z")
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle_sql="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dt) // 1000000 AS BIGINT) AS span_s,
+           round(sum(value * dt) / sum(dt), 6) AS twa
+    FROM (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dt
+        FROM events)
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dt) > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over irregularly sampled events —
+    the timeseries-engine primitive (TimescaleDB ``time_weight``,
+    last-observation-carried-forward integration).
+
+    A plain avg() over irregular samples over-weights bursts; the TWA
+    weights each observation by how long it was the latest one:
+    sum(value * dt) / sum(dt) with dt from ``lead(ts)`` per user.
+    Ties on ts are ordered by event_id so both engines integrate the
+    same step function.
+
+    Scale: one shuffle on user_id serves both the lead() window and
+    the aggregation (same partitioning, no second exchange); per-user
+    state is the sorted event run — the same layout any sessionize
+    pass needs. Integer-microsecond dt keeps the weights exact; only
+    the final ratio is double.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dt").alias("_sum_dt"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
+        )
+        # all-zero-dt users (every event at one instant) have no step
+        # function to integrate — excluded on both engines (HAVING)
+        .filter(F.col("_sum_dt") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("_sum_dt DIV 1000000").alias("span_s"),
+            "twa",
+        )
+        .orderBy("user_id")
+    )

@@ -81,6 +81,13 @@ def register(name: str, oracle_sql: str | None = None):
 # demoted to the tail is driver-green on unchanged code and still
 # strictly checked by the local sf0.01 oracle gate
 # (tools/check_oracle.py) every round.
+#
+# Capacity amendment (late r6): when the window is full and every
+# remaining sentinel guards a surface nothing else in-window covers,
+# a brand-new entry may wait ONE round in the tail under the local
+# gate and is promoted at the next rotation. Currently waiting:
+# events_time_weighted_avg (added after the last sentinel worth
+# demoting was spent; locally oracle-green at sf0.01 + sf0.001).
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
     "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)

@@ -85,9 +85,10 @@ def register(name: str, oracle_sql: str | None = None):
 # Capacity amendment (late r6): when the window is full and every
 # remaining sentinel guards a surface nothing else in-window covers,
 # a brand-new entry may wait ONE round in the tail under the local
-# gate and is promoted at the next rotation. Currently waiting:
-# events_time_weighted_avg (added after the last sentinel worth
-# demoting was spent; locally oracle-green at sf0.01 + sf0.001).
+# gate and is promoted at the next rotation. Currently waiting (all
+# added after the last sentinel worth demoting was spent; locally
+# oracle-green at sf0.01 + sf0.001): events_time_weighted_avg,
+# fuzzy_join_part_names.
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
     "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)

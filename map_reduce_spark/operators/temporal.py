@@ -267,7 +267,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_weighted_avg",
     oracle_sql="""
     SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_intervals,
            CAST(sum(dt) // 1000000 AS BIGINT) AS span_s,
            round(sum(value * dt) / sum(dt), 6) AS twa
     FROM (
@@ -308,7 +308,10 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stepped.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            # one row per INTEGRATION INTERVAL (the last event has no
+            # successor and is filtered), so the honest name is
+            # n_intervals = user's event count - 1, not n_events
+            F.count(F.lit(1)).alias("n_intervals"),
             F.sum("dt").alias("_sum_dt"),
             F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa"),
         )
@@ -317,7 +320,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sum_dt") > 0)
         .select(
             "user_id",
-            "n_events",
+            "n_intervals",
             F.expr("_sum_dt DIV 1000000").alias("span_s"),
             "twa",
         )

@@ -152,14 +152,17 @@ _CHECK_FIRST = [
 # null_handling_acctbal (count-over-null left join via q13ish),
 # sessionize_user_events (session semantics via the in-window
 # streaming_session_windows replay whose oracle IS the sessionize
-# twin), events_sliding_1h_30m (events surface: four streaming
-# replays + events_props_from_json stay in-window),
+# twin), events_sliding_1h_30m (events surface: the streaming
+# replays — now incl. the sliding replay sharing its exact oracle —
+# + events_anomaly_zscore are in-window; events_props_from_json was
+# later demoted too, see below),
 # mr_concat_sorted_values (compat surface now fuzz-differential-
 # tested across ≥50 random jobs, tests/test_compat_mr.py). Three more
 # sentinel demotions fund the sim_range_search / doc_global_shuffle /
 # events_anomaly_zscore slots: range_join_value_buckets (events
-# surface: four streaming replays + events_props_from_json +
-# events_anomaly_zscore in-window), udaf_supplier_quantity_stats
+# surface: the streaming replays + events_anomaly_zscore in-window;
+# events_props_from_json was later demoted too, see below),
+# udaf_supplier_quantity_stats
 # (Arrow grouped-UDF surface via streaming_stateful_user_totals +
 # the media mapInPandas entries in-window), asof_error_after_signup
 # (byte-unchanged since r2, driver-green r3–r5; as-of stays on the

@@ -214,7 +214,10 @@ def test_chunking_udtf_twin_matches_builtin_plan(spark, sf_dir):
             if not toks:
                 return
             last_start = max(1, len(toks) - CHUNK_TOKENS + 1)
-            for cid, start in enumerate(range(1, last_start + 1, CHUNK_STEP)):
+            starts = list(range(1, last_start + 1, CHUNK_STEP))
+            if starts[-1] != last_start:
+                starts.append(last_start)  # end-anchored final chunk
+            for cid, start in enumerate(starts):
                 window = toks[start - 1 : start - 1 + CHUNK_TOKENS]
                 yield cid, " ".join(window), len(window)
 
@@ -230,3 +233,32 @@ def test_chunking_udtf_twin_matches_builtin_plan(spark, sf_dir):
     ).collect()
     builtin = load_all()["doc_chunk_for_rag"].builder(spark, sf_dir).collect()
     assert [tuple(r) for r in via_udtf] == [tuple(r) for r in builtin]
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Tail-coverage pin: for every doc, the final (end-anchored)
+    chunk must end exactly at the doc's last token — the regression
+    that motivated the anchor dropped up to stride-1 trailing tokens
+    (15% of fixture tokens) from the retrieval index."""
+    import re
+
+    from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE
+    from map_reduce_spark.sources import load_table
+
+    chunks = load_all()["doc_chunk_for_rag"].builder(spark, sf_dir).collect()
+    last_chunk = {}
+    for r in chunks:
+        prev = last_chunk.get(r.doc_id)
+        if prev is None or r.chunk_id > prev.chunk_id:
+            last_chunk[r.doc_id] = r
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    pat = re.compile(TOKEN_SPLIT_RE)
+    checked = 0
+    for d in docs:
+        toks = [t for t in pat.split(d.text.lower()) if t]
+        if not toks:
+            continue
+        lc = last_chunk[d.doc_id]
+        assert lc.chunk_text.split(" ")[-1] == toks[-1], (d.doc_id, lc)
+        checked += 1
+    assert checked > 0

@@ -181,3 +181,84 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path_factory):
         .collect()
     }
     assert batch["10:00"] == (3, 103.0), batch
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path_factory):
+    """Exactly-once across RESTARTS, observed: a stateful stream is
+    drained, STOPPED, new data arrives, and a fresh query restarted
+    from the same checkpoint processes ONLY the new file — the drained
+    union equals one batch pass over all data, with no re-emission or
+    double-count of the first run's input.
+
+    This is the operational property a 100 TB pipeline leans on: the
+    checkpoint (source offsets + state store) is the contract that a
+    crashed/redeployed job resumes where it left off. AvailableNow +
+    file source + update-mode memory sink; the second run's sink
+    receives only groups touched by the new file, and its n reflects
+    first-run state (3, not 1) — proof the state store was restored,
+    not rebuilt."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("ckpt_src")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_state"))
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": pd.to_datetime([f"2024-01-01 {t}" for t, _ in rows]),
+                "user_id": [u for _, u in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        path = str(d / name)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(
+            table, path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (mtime, mtime))
+
+    base = time.time() - 1000
+    write("a.parquet", [("10:05", 1), ("10:20", 1), ("10:40", 2)], base)
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def run_once(qname):
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # recoverable sink (same mechanism a parquet/Delta upsert uses)
+        got: dict[int, int] = {}
+
+        def sink(batch_df, _batch_id):
+            for r in batch_df.collect():
+                got[r.user_id] = r.n
+
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = run_once("ckpt_run1")
+    assert first == {1: 2, 2: 1}
+
+    write("b.parquet", [("11:05", 1)], base + 100)
+    second = run_once("ckpt_run2")
+    # update-mode sink after restart: ONLY the group touched by the new
+    # file appears, and its count includes the RESTORED first-run state
+    assert second == {1: 3}, second

@@ -302,3 +302,73 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_first_last_order_values",
+    oracle_sql="""
+    SELECT o_custkey,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(first_price, 2) AS first_price,
+           round(second_price, 2) AS second_price,
+           round(last_price, 2) AS last_price
+    FROM (
+        SELECT o_custkey,
+               count(*) OVER w AS n_orders,
+               first_value(o_totalprice) OVER w AS first_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING))
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def window_first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value over each customer's order
+    history — the remaining window-function API members the window
+    family didn't yet exercise (topn/running/lag/rank are elsewhere).
+
+    The frame is pinned explicitly to ROWS UNBOUNDED PRECEDING..
+    UNBOUNDED FOLLOWING on BOTH engines: the SQL-default frame for an
+    ordered window stops at CURRENT ROW, which silently turns
+    last_value into "current value" — the classic portability trap
+    this oracle pair locks down. Ties ordered by (date, orderkey) so
+    first/second/last pick identical rows everywhere; customers with
+    one order get NULL second_price on both engines.
+
+    Scale: one custkey shuffle; the unbounded frame is computed in a
+    single pass per partition (no per-row rescan); rn=1 keeps one row
+    per customer without a second aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_rn = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("first_price", 2).alias("first_price"),
+            F.round("second_price", 2).alias("second_price"),
+            F.round("last_price", 2).alias("last_price"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -262,3 +262,65 @@ def test_chunking_covers_every_token(spark, sf_dir):
         assert lc.chunk_text.split(" ")[-1] == toks[-1], (d.doc_id, lc)
         checked += 1
     assert checked > 0
+
+
+def test_fuzzy_qgram_blocking_zero_miss_property(spark, tmp_path):
+    """Property check of the q-gram count-filter certificate beyond
+    the shipped fixture: on a random corpus of short strings (min
+    length 7, tight alphabet so edit-close pairs actually occur), the
+    blocked plan must find EXACTLY the pairs an exact all-pairs
+    levenshtein scan finds."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from map_reduce_spark.operators.relational3 import (
+        FUZZY_MAX_DIST,
+        fuzzy_join_part_names,
+    )
+
+    rng = random.Random(17)
+    names = set()
+    while len(names) < 60:
+        base = "".join(rng.choice("abc") for _ in range(rng.randint(7, 11)))
+        names.add(base)
+        # planted near-misses: one substitution / one deletion
+        mut = list(base)
+        mut[rng.randrange(len(mut))] = rng.choice("abc")
+        if len("".join(mut)) >= 7:
+            names.add("".join(mut))
+    names = sorted(names)
+
+    pd.DataFrame(
+        {
+            "p_partkey": range(len(names)),
+            "p_name": names,
+            "p_brand": ["Brand#1"] * len(names),
+            "p_type": ["SMALL"] * len(names),
+            "p_size": [1] * len(names),
+            "p_retailprice": [1.0] * len(names),
+        }
+    ).to_parquet(f"{tmp_path}/part.parquet")
+
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_join_part_names(spark, str(tmp_path)).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= FUZZY_MAX_DIST
+    }
+    assert expected, "corpus should contain close pairs"
+    assert got == expected

@@ -262,3 +262,129 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path_factory):
     # update-mode sink after restart: ONLY the group touched by the new
     # file appears, and its count includes the RESTORED first-run state
     assert second == {1: 3}, second
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
+    spark, tmp_path_factory
+):
+    """Stream-stream LEFT OUTER join semantics observed: unmatched left
+    rows are emitted with NULL right columns only once the watermark
+    passes their join-condition horizon (until then they sit in state
+    as potential matches). This is the join mode the inner interval
+    join cannot show — the null emission IS the state eviction.
+
+    Two file streams (errors, clicks), errors LEFT OUTER clicks within
+    [error_ts, error_ts + 30 min]. File 1 plants one matched and one
+    unmatched error; file 2 only advances event time by 2 h, pushing
+    the watermark past the unmatched error's horizon. The drained
+    result must hold exactly one matched row and one null-extended
+    row — a plain batch left join over the same data gives the same
+    rows, but streaming got there incrementally with bounded state."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("outer_src")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i for i, *_ in rows],
+                "ts": pd.to_datetime([t for _, t, _ in rows]),
+                "user_id": [u for *_, u in rows],
+                "event_type": ["x"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        path = str(d / name)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(
+            table, path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (mtime, mtime))
+
+    base = time.time() - 1000
+    # errors 1 (user 1, matched) and 2 (user 2, no click ever);
+    # click for user 1 ten minutes after the error
+    write(
+        "a.parquet",
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-01 10:00:00", 2),
+            (100, "2024-01-01 10:10:00", 1),
+        ],
+        base,
+    )
+    # stragglers advancing event time 2 h — on BOTH sides: each
+    # watermark node only sees rows that pass its own side's filter,
+    # and the join's global watermark is the min of the two, so a
+    # one-sided straggler would pin the global watermark at 10:00
+    # forever. The eviction emission then lands in the NEXT batch
+    # (watermarks apply one batch behind, same as the late-drop test
+    # above) — file c exists to BE that next batch.
+    write(
+        "b.parquet",
+        [(3, "2024-01-01 12:30:00", 97), (999, "2024-01-01 12:30:00", 99)],
+        base + 100,
+    )
+    write(
+        "c.parquet",
+        [(4, "2024-01-01 14:00:00", 96), (998, "2024-01-01 14:00:00", 98)],
+        base + 200,
+    )
+
+    schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    errors = (
+        src.filter(F.col("event_id") < 100)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "0 seconds")
+    )
+    clicks = (
+        src.filter(F.col("event_id") >= 100)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts"))
+        & (F.col("click_ts") <= F.col("error_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # errors 3 and 4 are watermark-advancing stragglers whose own
+    # horizons the final watermark never passes — they stay in state
+    got = {
+        (r.error_id, r.click_id)
+        for r in spark.sql("SELECT * FROM t_outer_join").collect()
+        if r.error_id in (1, 2)
+    }
+    assert got == {(1, 100), (2, None)}, got

@@ -295,7 +295,11 @@ CONTAM_RATIO = 0.5
 # test split = bucket >= train% + val% under the same salt/deal as
 # doc_split_assign; interpolated so the oracle can't drift from the
 # Spark constants
-from map_reduce_spark.functions.text import SPLIT_PCT, SPLIT_SALT  # noqa: E402
+from map_reduce_spark.functions.text import (  # noqa: E402
+    SPLIT_PCT,
+    SPLIT_SALT,
+    split_bucket_col,
+)
 
 _TEST_BUCKET = SPLIT_PCT[0] + SPLIT_PCT[1]
 
@@ -1003,4 +1007,89 @@ def doc_chunk_for_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tokens"),
         )
         .orderBy("doc_id", "chunk_id")
+    )
+
+
+PSI_BUCKET_CHARS = 40  # equi-width n_chars buckets for the drift index
+
+
+_SPLIT_DRIFT_SQL = f"""
+    WITH assigned AS (
+        SELECT n_chars // {PSI_BUCKET_CHARS} AS bucket,
+               CASE WHEN ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT
+                         % 100 < {SPLIT_PCT[0]} THEN 'train'
+                    WHEN ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT
+                         % 100 < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    counts AS (
+        SELECT bucket,
+               count(*) FILTER (split = 'train') AS n_train,
+               count(*) FILTER (split = 'val') AS n_val
+        FROM assigned GROUP BY bucket),
+    tot AS (
+        SELECT sum(n_train) AS t_train, sum(n_val) AS t_val FROM counts)
+    SELECT bucket,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           round((n_train * 1.0 / t_train - n_val * 1.0 / t_val)
+                 * ln((n_train * 1.0 / t_train) / (n_val * 1.0 / t_val)), 6)
+               AS psi_term
+    FROM counts, tot
+    WHERE n_train > 0 AND n_val > 0
+    ORDER BY bucket
+    """
+
+
+@register("quality_split_drift", oracle_sql=_SPLIT_DRIFT_SQL)
+def quality_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index (PSI) terms between the train and
+    val splits over the document-length distribution — the
+    data-quality check that a split (or an incoming refresh) is
+    distributionally consistent with what a model trained on.
+
+    Reuses the md5 split deal (``split_bucket_col``) so the drift is
+    measured on exactly the splits the assigner produces. Buckets are
+    equi-width in n_chars; terms (p - q) * ln(p / q) are emitted per
+    bucket (sum = the headline PSI; per-bucket terms localize WHERE
+    the drift is). Buckets empty on either side are excluded — the
+    standard convention shy of smoothing, documented and mirrored in
+    the oracle.
+
+    Scale: one scan + a bucket-grain aggregate (map-side combined to
+    O(buckets) rows), two broadcast-sized totals, zero corpus
+    shuffles beyond the one aggregate exchange. FP determinism: both
+    engines evaluate the identical double expression tree (shares,
+    ln of their ratio), rounded at the end.
+    """
+    docs = load_spread(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / PSI_BUCKET_CHARS).cast("long").alias("bucket"),
+        split_bucket_col().alias("b100"),
+    )
+    assigned = docs.select(
+        "bucket",
+        F.when(F.col("b100") < SPLIT_PCT[0], "train")
+        .when(F.col("b100") < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = assigned.groupBy("bucket").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_val").alias("t_val")
+    )
+    p = F.col("n_train") * 1.0 / F.col("t_train")
+    q = F.col("n_val") * 1.0 / F.col("t_val")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+        .select(
+            "bucket",
+            "n_train",
+            "n_val",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
     )

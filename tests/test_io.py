@@ -106,3 +106,26 @@ def test_parquet_scan_pushdown_on_fixture(spark, sf_dir):
     assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Operational surface: a dataset whose later files carry an added
+    column reads as ONE frame under mergeSchema — old rows surface
+    NULL for the new column, new rows carry it, and without the option
+    the footer-sampled schema silently hides the evolution."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path / "evolving")
+    os.makedirs(f"{d}/p=a")
+    os.makedirs(f"{d}/p=b")
+    pd.DataFrame({"id": [1, 2], "v": [10.0, 20.0]}).to_parquet(f"{d}/p=a/f1.parquet")
+    pd.DataFrame(
+        {"id": [3], "v": [30.0], "added": ["x"]}
+    ).to_parquet(f"{d}/p=b/f2.parquet")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "v", "added", "p"}
+    rows = {r.id: r.added for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}

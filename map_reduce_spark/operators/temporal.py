@@ -326,3 +326,68 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_ordered_funnel",
+    oracle_sql="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t_signup
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED conversion funnel: signup -> first click strictly after
+    it -> first purchase strictly after that click, counted per stage.
+
+    events_type_funnel reports per-type volume shares; this is the
+    product-analytics funnel where ORDER matters — a purchase before
+    the first post-signup click does not convert the user. Each stage
+    anchors on the previous stage's earliest qualifying timestamp
+    (min-ts semantics), so the result is deterministic regardless of
+    event multiplicity.
+
+    Scale: three user-grain aggregates, each decomposable (min/count,
+    map-side combined), all joined on user_id — one partitioning
+    serves every stage, and each stage's frame is at most one row per
+    user (monotonically shrinking down the funnel). No windows over
+    raw events, no per-user event materialization.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+    )

@@ -89,7 +89,7 @@ def register(name: str, oracle_sql: str | None = None):
 # added after the last sentinel worth demoting was spent; locally
 # oracle-green at sf0.01 + sf0.001): events_time_weighted_avg,
 # fuzzy_join_part_names, window_first_last_order_values,
-# quality_split_drift.
+# quality_split_drift, events_ordered_funnel.
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
     "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)

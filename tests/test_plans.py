@@ -78,6 +78,8 @@ ALLOWED_NESTED_LOOP = {
     "doc_unigram_logprob",  # broadcast 1-row corpus-token-total scalar
     "window_rank_dense_ntile",  # broadcast 1-row (min,max,n) stats scalar
     "doc_mixture_sample",  # broadcast 1-row mixture-budget scalar
+    "events_ordered_funnel",  # two broadcast 1-row stage-count scalars
+    "quality_split_drift",  # broadcast 1-row split-totals scalar
 }
 
 

@@ -126,6 +126,19 @@ AUDIT = {
         "groups, map-side combined) joined back map-side — no event row "
         "shuffles, vs the naive 5-partition window over every event."
     ),
+    "doc_chunk_for_rag": (
+        "zero-shuffle chunk explosion: tokenize + start-offset "
+        "sequence/posexplode all inside whole-stage codegen; no Exchange "
+        "before the presentation sort; end-anchored final start is plain "
+        "array arithmetic, not a join."
+    ),
+    "doc_mixture_sample": (
+        "rates derived in-plan: language counts reduce to a "
+        "broadcast-sized inventory, the 1-row budget broadcasts back "
+        "(whitelisted scalar BroadcastNestedLoopJoin), and the corpus "
+        "side is one scan + map-side md5-deal filter — zero corpus "
+        "shuffles."
+    ),
 }
 
 HIGHLIGHT = re.compile(

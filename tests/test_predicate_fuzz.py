@@ -65,3 +65,81 @@ def test_random_disjunctive_predicates_match_duckdb(spark, sf_dir, seed):
             WHERE {sql_disj}"""
     ).fetchone()
     assert (got.n, got.revenue) == want, (clauses, got, want)
+
+
+AGG_KEYS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_quantity > 25"]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_groupby_aggregates_match_duckdb(spark, sf_dir, seed):
+    """Random key subsets + decomposable aggregates, both engines."""
+    rng = random.Random(100 + seed)
+    keys = rng.sample(AGG_KEYS, rng.randint(1, 3))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key_cols = [F.expr(k).alias(f"k{i}") for i, k in enumerate(keys)]
+    got = {
+        tuple(r[f"k{i}"] for i in range(len(keys))): (r.n, r.qty, r.mx)
+        for r in li.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.max("l_extendedprice"), 2).alias("mx"),
+        )
+        .collect()
+    }
+
+    sql_keys = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    con = duckdb.connect()
+    want = {
+        tuple(row[: len(keys)]): row[len(keys):]
+        for row in con.execute(
+            f"""SELECT {sql_keys}, count(*) AS n,
+                       round(sum(l_quantity), 2) AS qty,
+                       round(max(l_extendedprice), 2) AS mx
+                FROM '{sf_dir}/lineitem.parquet'
+                GROUP BY {", ".join(f"k{i}" for i in range(len(keys)))}"""
+        ).fetchall()
+    }
+    assert got == want, (keys, len(got), len(want))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_window_frames_match_duckdb(spark, sf_dir, seed):
+    """Random bounded ROWS frames: running sums over each supplier's
+    orders with a random preceding/following extent, both engines —
+    frame-boundary semantics pinned across the parameter space."""
+    rng = random.Random(200 + seed)
+    prec = rng.randint(0, 5)
+    foll = rng.randint(0, 3)
+
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-prec, foll)
+    )
+    got = {
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): r.s
+        for r in li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (sk, ok, ln): s
+        for sk, ok, ln, s in con.execute(
+            f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+                       round(sum(l_quantity) OVER (
+                           PARTITION BY l_suppkey
+                           ORDER BY l_orderkey, l_linenumber
+                           ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING), 2)
+                FROM '{sf_dir}/lineitem.parquet'"""
+        ).fetchall()
+    }
+    assert got == want, (prec, foll, len(got), len(want))

@@ -143,3 +143,42 @@ def test_random_window_frames_match_duckdb(spark, sf_dir, seed):
         ).fetchall()
     }
     assert got == want, (prec, foll, len(got), len(want))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_outer_join_types_match_duckdb(spark, sf_dir, seed):
+    """Random join type x random one-side filter: row count and
+    null-extension counts must match DuckDB — the outer-join
+    null-semantics check across the parameter space."""
+    rng = random.Random(300 + seed)
+    join_type, sql_type = rng.choice(
+        [("left_outer", "LEFT OUTER"), ("right_outer", "RIGHT OUTER"),
+         ("full_outer", "FULL OUTER"), ("inner", "INNER")]
+    )
+    bal = rng.randint(-500, 5000)
+    pr = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > bal)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != pr
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, join_type)
+    got = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_right"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("null_left"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT count(*),
+                   count(*) FILTER (o_orderkey IS NULL),
+                   count(*) FILTER (c_custkey IS NULL)
+            FROM (SELECT * FROM '{sf_dir}/customer.parquet'
+                  WHERE c_acctbal > {bal}) c
+            {sql_type} JOIN
+                 (SELECT * FROM '{sf_dir}/orders.parquet'
+                  WHERE o_orderpriority <> '{pr}') o
+              ON c.c_custkey = o.o_custkey"""
+    ).fetchone()
+    assert (got.n, got.null_right, got.null_left) == want, (join_type, bal, pr)

@@ -182,3 +182,33 @@ def test_random_outer_join_types_match_duckdb(spark, sf_dir, seed):
               ON c.c_custkey = o.o_custkey"""
     ).fetchone()
     assert (got.n, got.null_right, got.null_left) == want, (join_type, bal, pr)
+
+
+@pytest.mark.parametrize("grain", ["year", "quarter", "month", "week", "day", "hour"])
+def test_date_trunc_grains_match_duckdb(spark, sf_dir, grain):
+    """Every date_trunc grain bucket-counts identically on both
+    engines over the events timeline — week start and quarter
+    boundaries are classic cross-engine divergence points."""
+    ev = load_table(spark, sf_dir, "events")  # loader normalizes ts
+    got = {
+        str(r.b): r.n
+        for r in ev.groupBy(F.date_trunc(grain, "ts").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    typ = con.execute(
+        f"DESCRIBE SELECT ts FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[1]
+    ts_expr = (
+        "make_timestamp(ts // 1000)" if typ == "BIGINT" else "ts"
+    )
+    want = {
+        str(b): n
+        for b, n in con.execute(
+            f"""SELECT CAST(date_trunc('{grain}', {ts_expr}) AS TIMESTAMP) AS b,
+                       count(*)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want, (grain, len(got), len(want))

@@ -1014,14 +1014,19 @@ PSI_BUCKET_CHARS = 40  # equi-width n_chars buckets for the drift index
 
 
 _SPLIT_DRIFT_SQL = f"""
-    WITH assigned AS (
+    WITH dealt AS (
+        -- the md5 split bucket computed ONCE (same expression as the
+        -- doc_split_assign oracle in functions/text.py)
         SELECT n_chars // {PSI_BUCKET_CHARS} AS bucket,
-               CASE WHEN ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT
-                         % 100 < {SPLIT_PCT[0]} THEN 'train'
-                    WHEN ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT
-                         % 100 < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
-                    ELSE 'test' END AS split
+               ('0x' || substr(md5(doc_id || '/{SPLIT_SALT}'), 1, 8))::BIGINT
+                   % 100 AS b100
         FROM documents),
+    assigned AS (
+        SELECT bucket,
+               CASE WHEN b100 < {SPLIT_PCT[0]} THEN 'train'
+                    WHEN b100 < {SPLIT_PCT[0] + SPLIT_PCT[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM dealt),
     counts AS (
         SELECT bucket,
                count(*) FILTER (split = 'train') AS n_train,
@@ -1062,7 +1067,10 @@ def quality_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical double expression tree (shares,
     ln of their ratio), rounded at the end.
     """
-    docs = load_spread(spark, sf_dir, "documents").select(
+    # load_table, not load_spread: the per-row work (one md5 + a
+    # division) doesn't justify a full-corpus repartition Exchange —
+    # the only shuffle is the bucket-grain aggregate, as claimed.
+    docs = load_table(spark, sf_dir, "documents").select(
         (F.col("n_chars") / PSI_BUCKET_CHARS).cast("long").alias("bucket"),
         split_bucket_col().alias("b100"),
     )

@@ -29,7 +29,7 @@ def _random_clause(rng):
 
 
 @pytest.mark.parametrize("seed", range(8))
-def test_random_disjunctive_predicates_match_duckdb(spark, sf_dir, seed):
+def test_random_disjunctive_predicates_match_duckdb(spark, sf_dir, duck, seed):
     rng = random.Random(seed)
     clauses = [_random_clause(rng) for _ in range(rng.randint(1, 4))]
 
@@ -56,12 +56,11 @@ def test_random_disjunctive_predicates_match_duckdb(spark, sf_dir, seed):
         f"AND l_quantity BETWEEN {ql} AND {qh})"
         for b, sl, sh, ql, qh in clauses
     )
-    con = duckdb.connect()
-    want = con.execute(
+    want = duck.execute(
         f"""SELECT count(*) AS n,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM '{sf_dir}/lineitem.parquet' l
-            JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
             WHERE {sql_disj}"""
     ).fetchone()
     assert (got.n, got.revenue) == want, (clauses, got, want)
@@ -71,7 +70,7 @@ AGG_KEYS = ["l_returnflag", "l_linestatus", "l_suppkey % 7", "l_quantity > 25"]
 
 
 @pytest.mark.parametrize("seed", range(6))
-def test_random_groupby_aggregates_match_duckdb(spark, sf_dir, seed):
+def test_random_groupby_aggregates_match_duckdb(spark, sf_dir, duck, seed):
     """Random key subsets + decomposable aggregates, both engines."""
     rng = random.Random(100 + seed)
     keys = rng.sample(AGG_KEYS, rng.randint(1, 3))
@@ -90,14 +89,13 @@ def test_random_groupby_aggregates_match_duckdb(spark, sf_dir, seed):
     }
 
     sql_keys = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
-    con = duckdb.connect()
     want = {
         tuple(row[: len(keys)]): row[len(keys):]
-        for row in con.execute(
+        for row in duck.execute(
             f"""SELECT {sql_keys}, count(*) AS n,
                        round(sum(l_quantity), 2) AS qty,
                        round(max(l_extendedprice), 2) AS mx
-                FROM '{sf_dir}/lineitem.parquet'
+                FROM lineitem
                 GROUP BY {", ".join(f"k{i}" for i in range(len(keys)))}"""
         ).fetchall()
     }
@@ -105,7 +103,7 @@ def test_random_groupby_aggregates_match_duckdb(spark, sf_dir, seed):
 
 
 @pytest.mark.parametrize("seed", range(6))
-def test_random_window_frames_match_duckdb(spark, sf_dir, seed):
+def test_random_window_frames_match_duckdb(spark, sf_dir, duck, seed):
     """Random bounded ROWS frames: running sums over each supplier's
     orders with a random preceding/following extent, both engines —
     frame-boundary semantics pinned across the parameter space."""
@@ -130,23 +128,22 @@ def test_random_window_frames_match_duckdb(spark, sf_dir, seed):
             F.round(F.sum("l_quantity").over(w), 2).alias("s"),
         ).collect()
     }
-    con = duckdb.connect()
     want = {
         (sk, ok, ln): s
-        for sk, ok, ln, s in con.execute(
+        for sk, ok, ln, s in duck.execute(
             f"""SELECT l_suppkey, l_orderkey, l_linenumber,
                        round(sum(l_quantity) OVER (
                            PARTITION BY l_suppkey
                            ORDER BY l_orderkey, l_linenumber
                            ROWS BETWEEN {prec} PRECEDING AND {foll} FOLLOWING), 2)
-                FROM '{sf_dir}/lineitem.parquet'"""
+                FROM lineitem"""
         ).fetchall()
     }
     assert got == want, (prec, foll, len(got), len(want))
 
 
 @pytest.mark.parametrize("seed", range(6))
-def test_random_outer_join_types_match_duckdb(spark, sf_dir, seed):
+def test_random_outer_join_types_match_duckdb(spark, sf_dir, duck, seed):
     """Random join type x random one-side filter: row count and
     null-extension counts must match DuckDB — the outer-join
     null-semantics check across the parameter space."""
@@ -169,16 +166,13 @@ def test_random_outer_join_types_match_duckdb(spark, sf_dir, seed):
         F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("null_left"),
     ).collect()[0]
 
-    con = duckdb.connect()
-    want = con.execute(
+    want = duck.execute(
         f"""SELECT count(*),
                    count(*) FILTER (o_orderkey IS NULL),
                    count(*) FILTER (c_custkey IS NULL)
-            FROM (SELECT * FROM '{sf_dir}/customer.parquet'
-                  WHERE c_acctbal > {bal}) c
+            FROM (SELECT * FROM customer WHERE c_acctbal > {bal}) c
             {sql_type} JOIN
-                 (SELECT * FROM '{sf_dir}/orders.parquet'
-                  WHERE o_orderpriority <> '{pr}') o
+                 (SELECT * FROM orders WHERE o_orderpriority <> '{pr}') o
               ON c.c_custkey = o.o_custkey"""
     ).fetchone()
     assert (got.n, got.null_right, got.null_left) == want, (join_type, bal, pr)

@@ -283,13 +283,17 @@ def test_fuzzy_qgram_blocking_zero_miss_property(spark, tmp_path):
     rng = random.Random(17)
     names = set()
     while len(names) < 60:
-        base = "".join(rng.choice("abc") for _ in range(rng.randint(7, 11)))
+        base = "".join(rng.choice("abc") for _ in range(rng.randint(8, 11)))
         names.add(base)
-        # planted near-misses: one substitution / one deletion
+        # planted near-misses: one substitution (same length) AND one
+        # deletion (cross-length — the q-gram bound's harder case,
+        # where the guarantee depends on max(len) of the pair)
         mut = list(base)
         mut[rng.randrange(len(mut))] = rng.choice("abc")
-        if len("".join(mut)) >= 7:
-            names.add("".join(mut))
+        names.add("".join(mut))
+        dele = base[:3] + base[4:]
+        if len(dele) >= 7:
+            names.add(dele)
     names = sorted(names)
 
     pd.DataFrame(

@@ -1,0 +1,207 @@
+"""Sparse lexical retrieval over the RAG chunk index.
+
+The search-engine shape the LLM-pipeline family was still missing:
+TF-IDF cosine retrieval through a token inverted index — the
+SMART/BM25 family's plan. Chunks come from the same windowing as
+``doc_chunk_for_rag``, so this is the end-to-end story: corpus →
+chunks → sparse index → ranked retrieval.
+
+Scale design (the shape Lucene/ES shard clusters implement, stated
+relationally):
+- the index is the SPARSE (chunk, token, weight) table — never dense
+  vectors; the only join is the inverted-index equi-join on token;
+- document frequency both prunes quality (stopwords carry no signal)
+  and bounds skew: a token's join fan-out is df_probe x df_corpus,
+  so the DF cap is a hard per-token work bound (same argument as
+  dedup_jaccard_df_capped);
+- tf/df are integers (exact in both engines); idf and the cosine are
+  the only float math, computed with the identical expression tree
+  on both sides and rounded once at the end;
+- per-probe top-k is a bounded rank window partitioned by probe.
+
+The reference engine's closest analogue is the inverted index app
+(/root/reference/src/mrapps/indexer.go) — this operator is that
+index put to its actual use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
+from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+RETRIEVAL_MAX_DF = 0.9  # drop tokens present in > this fraction of chunks
+RETRIEVAL_TOP_K = 5
+PROBE_DOC_MOD = 50  # probe chunks = chunks of every 50th document
+
+
+def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chunk_uid, token) pairs from the same end-anchored windows as
+    ``doc_chunk_for_rag`` (chunk_uid = doc_id * 10000 + chunk_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    last_start = F.greatest(F.lit(1), F.size("toks") - CHUNK_TOKENS + 1)
+    starts_arr = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(1), last_start, F.lit(CHUNK_STEP)),
+                F.array(last_start),
+            )
+        )
+    )
+    exploded = toked.select(
+        "doc_id", "toks", F.posexplode(starts_arr).alias("idx", "start")
+    )
+    return exploded.select(
+        (F.col("doc_id") * 10000 + F.col("idx")).alias("chunk_uid"),
+        F.explode(F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))).alias(
+            "token"
+        ),
+    )
+
+
+_RETRIEVAL_SQL = f"""
+    WITH toks_t AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents),
+    start_lists AS (
+        SELECT doc_id, toks,
+               list_sort(list_distinct(list_append(
+                   generate_series(1, greatest(1, len(toks) - {CHUNK_TOKENS} + 1),
+                                   {CHUNK_STEP}),
+                   greatest(1, len(toks) - {CHUNK_TOKENS} + 1)))) AS starts
+        FROM toks_t WHERE len(toks) > 0),
+    chunk_toks AS MATERIALIZED (
+        SELECT doc_id * 10000 + idx - 1 AS chunk_uid, unnest(win) AS token
+        FROM (
+            SELECT doc_id,
+                   list_slice(toks, unnest(starts),
+                              unnest(starts) + {CHUNK_TOKENS} - 1) AS win,
+                   generate_subscripts(starts, 1) AS idx
+            FROM start_lists)),
+    tf AS MATERIALIZED (
+        SELECT chunk_uid, token, count(*) AS tf
+        FROM chunk_toks GROUP BY chunk_uid, token),
+    nchunks AS (SELECT count(DISTINCT chunk_uid) AS n FROM tf),
+    df AS (
+        SELECT token, count(*) AS df FROM tf, nchunks GROUP BY token, n
+        HAVING count(*) <= {RETRIEVAL_MAX_DF} * n),
+    w AS MATERIALIZED (
+        SELECT chunk_uid, tf.token, tf * ln(n * 1.0 / df) AS w
+        FROM tf JOIN df ON tf.token = df.token, nchunks),
+    norms AS MATERIALIZED (
+        SELECT chunk_uid, sqrt(sum(w * w)) AS nrm FROM w GROUP BY chunk_uid),
+    scores AS (
+        SELECT p.chunk_uid AS probe_uid, c.chunk_uid AS cand_uid,
+               sum(p.w * c.w) AS num
+        FROM w p JOIN w c ON p.token = c.token
+        WHERE (p.chunk_uid // 10000) % {PROBE_DOC_MOD} = 0
+          AND p.chunk_uid <> c.chunk_uid
+        GROUP BY p.chunk_uid, c.chunk_uid),
+    ranked AS (
+        SELECT probe_uid, cand_uid,
+               round(num / (np.nrm * nc.nrm), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY probe_uid
+                   ORDER BY round(num / (np.nrm * nc.nrm), 6) DESC, cand_uid)
+                   AS rank
+        FROM scores
+        JOIN norms np ON np.chunk_uid = probe_uid
+        JOIN norms nc ON nc.chunk_uid = cand_uid)
+    SELECT probe_uid, cand_uid, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {RETRIEVAL_TOP_K}
+    ORDER BY probe_uid, rank
+    """
+
+
+@register("rag_chunk_tfidf_search", oracle_sql=_RETRIEVAL_SQL)
+def rag_chunk_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval: for each probe chunk, the top-k most
+    similar corpus chunks through the token inverted index.
+
+    The full sparse-retrieval pipeline as one declarative plan:
+    chunk -> term frequencies -> DF-capped vocabulary -> idf weights
+    -> inverted-index join -> cosine -> per-probe top-k. Scale: the
+    only corpus-sized joins are equi-joins on token (the inverted
+    index — hash-partitionable), ubiquitous tokens pruned by the
+    fractional RETRIEVAL_MAX_DF cap (real-corpus Zipf heads are the
+    quadratic-fan-out drivers; for adversarial ubiquity the absolute
+    cap of dedup_jaccard_df_capped is the hard-bound variant); norms and tf reduce map-side; the 1-row chunk
+    count broadcasts; the rank window partitions by probe. tf/df stay
+    integer until the idf product, and the rank orders on the raw
+    cosine with cand_uid tiebreak, so both engines rank identically.
+    """
+    ct = chunk_tokens(spark, sf_dir)
+    tf = ct.groupBy("chunk_uid", "token").agg(F.count(F.lit(1)).alias("tf"))
+    nchunks = tf.agg(F.countDistinct("chunk_uid").alias("n"))
+    df = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nchunks))
+        .filter(F.col("df") <= RETRIEVAL_MAX_DF * F.col("n"))
+        .select("token", "df")
+    )
+    w = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nchunks))
+        .select(
+            "chunk_uid",
+            "token",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("chunk_uid").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    probes = w.filter((F.expr("chunk_uid DIV 10000") % PROBE_DOC_MOD) == 0).select(
+        F.col("chunk_uid").alias("probe_uid"),
+        F.col("token").alias("p_token"),
+        F.col("w").alias("pw"),
+    )
+    scores = (
+        probes.join(w, probes.p_token == w.token)
+        .filter(F.col("probe_uid") != F.col("chunk_uid"))
+        .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
+        .agg(F.sum(F.col("pw") * F.col("w")).alias("num"))
+    )
+    np_ = norms.select(
+        F.col("chunk_uid").alias("probe_uid"), F.col("nrm").alias("p_nrm")
+    )
+    nc_ = norms.select(
+        F.col("chunk_uid").alias("cand_uid"), F.col("nrm").alias("c_nrm")
+    )
+    ranked = (
+        scores.join(np_, "probe_uid")
+        .join(nc_, "cand_uid")
+        .withColumn(
+            # rank on the ROUNDED score: planted duplicate chunks give
+            # mathematically equal scores whose raw float sums can
+            # order-flip across engines; rounding first makes the
+            # cand_uid tiebreak decide identically everywhere
+            "cos_raw",
+            F.round(F.col("num") / (F.col("p_nrm") * F.col("c_nrm")), 6),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("probe_uid").orderBy(
+                    F.desc("cos_raw"), F.asc("cand_uid")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+    )
+    return ranked.select(
+        "probe_uid",
+        "cand_uid",
+        F.col("cos_raw").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("probe_uid", "rank")

@@ -89,7 +89,8 @@ def register(name: str, oracle_sql: str | None = None):
 # added after the last sentinel worth demoting was spent; locally
 # oracle-green at sf0.01 + sf0.001): events_time_weighted_avg,
 # fuzzy_join_part_names, window_first_last_order_values,
-# quality_split_drift, events_ordered_funnel.
+# quality_split_drift, events_ordered_funnel,
+# rag_chunk_tfidf_search (verified at all three fixture scales).
 _CHECK_FIRST = [
     # (a) new or builder-changed in r6
     "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)
@@ -225,7 +226,7 @@ _CHECK_FIRST = [
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the
     registry reordered so the ``_CHECK_FIRST`` block leads."""
-    from map_reduce_spark.functions import text, dedup, similarity, multimodal, prep  # noqa: F401
+    from map_reduce_spark.functions import text, dedup, similarity, multimodal, prep, retrieval  # noqa: F401
     from map_reduce_spark.operators import text_rel  # noqa: F401
     from map_reduce_spark.streaming import events_batch  # noqa: F401
     from map_reduce_spark.operators import (  # noqa: F401

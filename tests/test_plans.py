@@ -80,6 +80,7 @@ ALLOWED_NESTED_LOOP = {
     "doc_mixture_sample",  # broadcast 1-row mixture-budget scalar
     "events_ordered_funnel",  # two broadcast 1-row stage-count scalars
     "quality_split_drift",  # broadcast 1-row split-totals scalar
+    "rag_chunk_tfidf_search",  # broadcast 1-row chunk-count scalar (x2)
 }
 
 

@@ -328,3 +328,45 @@ def test_fuzzy_qgram_blocking_zero_miss_property(spark, tmp_path):
     }
     assert expected, "corpus should contain close pairs"
     assert got == expected
+
+
+def test_retrieval_surfaces_dedup_near_duplicates(spark, sf_dir):
+    """Cross-operator consistency: when a probe document has a planted
+    near-duplicate (per the n-gram Jaccard dedup operator at >= 0.9),
+    the retrieval engine's top-k for that probe's chunks must include
+    a chunk of the duplicate document — two independent
+    implementations (shingle Jaccard vs TF-IDF cosine over chunk
+    windows) agreeing on what "nearly the same text" means."""
+    from map_reduce_spark.functions.retrieval import PROBE_DOC_MOD
+
+    pairs = load_all()["dedup_ngram_jaccard_pairs"].builder(spark, sf_dir).collect()
+    dup_of = {}
+    for r in pairs:
+        if r.jaccard >= 0.9:
+            dup_of.setdefault(r.doc_a, set()).add(r.doc_b)
+            dup_of.setdefault(r.doc_b, set()).add(r.doc_a)
+    probe_docs = {d for d in dup_of if d % PROBE_DOC_MOD == 0}
+    assert probe_docs, "fixture should plant near-dups on probe docs"
+
+    hits = load_all()["rag_chunk_tfidf_search"].builder(spark, sf_dir).collect()
+    top_docs = {}
+    for r in hits:
+        top_docs.setdefault(r.probe_uid // 10000, set()).add(r.cand_uid // 10000)
+    found = sum(
+        1 for d in probe_docs if top_docs.get(d, set()) & dup_of[d]
+    )
+    # Chunk-level TF-IDF over the fixture's ~31-token vocabulary is
+    # weakly discriminative, so borderline (~0.9) pairs may lose top-5
+    # slots to competing word salad — require a MAJORITY at >=0.9 and
+    # be strict for the unambiguous >=0.97 pairs below.
+    assert 2 * found >= len(probe_docs), (found, len(probe_docs), probe_docs)
+
+    strict = {}
+    for r in pairs:
+        if r.jaccard >= 0.97:
+            strict.setdefault(r.doc_a, set()).add(r.doc_b)
+            strict.setdefault(r.doc_b, set()).add(r.doc_a)
+    strict_probes = {d for d in strict if d % PROBE_DOC_MOD == 0}
+    assert strict_probes, "fixture should plant a high-jaccard probe pair"
+    for d in strict_probes:
+        assert top_docs.get(d, set()) & strict[d], (d, strict[d], top_docs.get(d))

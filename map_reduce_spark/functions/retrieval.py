@@ -134,10 +134,23 @@ def rag_chunk_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — hash-partitionable), ubiquitous tokens pruned by the
     fractional RETRIEVAL_MAX_DF cap (real-corpus Zipf heads are the
     quadratic-fan-out drivers; for adversarial ubiquity the absolute
-    cap of dedup_jaccard_df_capped is the hard-bound variant); norms and tf reduce map-side; the 1-row chunk
-    count broadcasts; the rank window partitions by probe. tf/df stay
-    integer until the idf product, and the rank orders on the raw
-    cosine with cand_uid tiebreak, so both engines rank identically.
+    cap of dedup_jaccard_df_capped is the hard-bound variant); norms
+    and tf reduce map-side; the 1-row chunk count broadcasts; the
+    rank window partitions by probe. tf/df stay integer until the
+    idf product, and the rank orders on the ROUNDED cosine with a
+    cand_uid tiebreak, so both engines rank identically.
+
+    Complexity is the inverted-index invariant sum over tokens of
+    (probe postings x corpus postings) — on real corpora (10^5+
+    vocabularies, Zipf postings) this is the standard Lucene-shape
+    cost. The synthetic fixture's ~31-token vocabulary is the
+    DEGENERATE regime: every posting list spans ~80% of the corpus,
+    so the join devolves to all-pairs x overlap (the lexical analogue
+    of dedup_embedding_lsh's dense regime, where nothing can prune);
+    verified oracle-green through sf0.1, while a 10x synthetic
+    scale-up of the same degenerate vocabulary grows the join
+    output ~100x on BOTH engines by construction — the honest scale
+    statement is about posting-list lengths, not corpus size.
     """
     ct = chunk_tokens(spark, sf_dir)
     tf = ct.groupBy("chunk_uid", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -166,8 +179,14 @@ def rag_chunk_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("p_token"),
         F.col("w").alias("pw"),
     )
+    # BROADCAST the bounded probe side and stream the corpus index
+    # (the sim_knn_bruteforce pattern): the join's output parallelism
+    # then follows the corpus partitioning. The naive orientation lets
+    # AQE coalesce the few-thousand-row probe side to ONE partition
+    # and the entire token-join explosion (tens of millions of rows at
+    # sf1) executes in a single task — measured minutes vs seconds.
     scores = (
-        probes.join(w, probes.p_token == w.token)
+        w.join(F.broadcast(probes), w.token == probes.p_token)
         .filter(F.col("probe_uid") != F.col("chunk_uid"))
         .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
         .agg(F.sum(F.col("pw") * F.col("w")).alias("num"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
 from map_reduce_spark.operators.text_rel import tokens_col
@@ -36,7 +37,7 @@ from map_reduce_spark.sources import load_table
 
 RETRIEVAL_MAX_DF = 0.9  # drop tokens present in > this fraction of chunks
 RETRIEVAL_TOP_K = 5
-PROBE_DOC_MOD = 50  # probe chunks = chunks of every 50th document
+PROBE_DOC_MOD = 150  # probe chunks = chunks of every 150th document
 
 
 def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +171,11 @@ def rag_chunk_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
         )
+        # The weighted sparse index IS the artifact a search engine
+        # keeps; it feeds the probe slice, the corpus stream, and the
+        # norms — persisting it (lazily) replaces three recomputes of
+        # the tokenize/chunk/tf/df chain with one.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norms = w.groupBy("chunk_uid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_spread, load_table, session_cached
+from map_reduce_spark.sources import (
+    load_spread,
+    load_table,
+    parquet_num_rows,
+    session_cached,
+)
 
 # MinHash parameters: 64 hashes in 16 bands of 4 rows. Candidate
 # probability 1-(1-s^4)^16: s=0.4 -> 0.34, s=0.6 -> 0.89, s=0.85 ->
@@ -1154,13 +1159,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    import pyarrow.parquet as pq
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # Driver-side sizing scalar from the parquet footer (row count
+    # Driver-side sizing scalar from the parquet footer(s) (row count
     # metadata, not a Spark job) — keeps this builder lazy like the
-    # rest of the plan family; O(1) state, never row data.
-    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    # rest of the plan family; O(1) state, never row data; handles
+    # single-file and multi-part directory layouts alike (r6 ADVICE).
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     par = spark.sparkContext.defaultParallelism
     nb_par = math.isqrt(8 * par) + 1  # enough pairs to fill the cluster
     nb_mem = -(-n // _GEMM_MAX_BLOCK)  # payload cap

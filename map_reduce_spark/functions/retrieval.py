@@ -33,16 +33,34 @@ from pyspark.storagelevel import StorageLevel
 from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_table, parquet_num_rows
 
 RETRIEVAL_MAX_DF = 0.9  # drop tokens present in > this fraction of chunks
 RETRIEVAL_TOP_K = 5
 PROBE_DOC_MOD = 150  # probe chunks = chunks of every 150th document
+# chunk_uid packs (doc_id, chunk_idx) into one int64 as
+# doc_id * CHUNKS_PER_DOC_CAP + chunk_idx. Capacity (r6 ADVICE — the
+# bare 10000 was undocumented and unguarded): a document reaches
+# 10_000 chunks only past CHUNK_STEP * 10_000 ≈ 240k tokens at the
+# current stride; the Spark side RAISES at runtime if a document ever
+# exceeds it (guard in ``chunk_tokens``) instead of silently colliding
+# uids, and probe selection (chunk_uid DIV cap) shares the constant.
+# int64 headroom: doc_id may grow to ~9.2e14 before overflow.
+CHUNKS_PER_DOC_CAP = 10_000
+# Probe-side broadcast cap (r6 ADVICE): the probe postings grow
+# LINEARLY with the corpus (chunks of every PROBE_DOC_MOD-th doc), so
+# broadcasting them is a fixture-scale optimization, not the 100 TB
+# plan. Past this many probe documents (~8k chunks ≈ tens of MB of
+# postings at the fixture's chunk shape) the builder falls back to a
+# plain token-hash shuffle join, which keeps parallelism through the
+# corpus-side partitioning without driver/broadcast pressure.
+PROBE_BROADCAST_MAX_DOCS = 2_000
 
 
 def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(chunk_uid, token) pairs from the same end-anchored windows as
-    ``doc_chunk_for_rag`` (chunk_uid = doc_id * 10000 + chunk_id)."""
+    ``doc_chunk_for_rag`` (chunk_uid = doc_id * CHUNKS_PER_DOC_CAP +
+    chunk_idx; packing capacity guarded at runtime, see the constant)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toked = docs.select("doc_id", tokens_col().alias("toks")).filter(
         F.size("toks") > 0
@@ -59,8 +77,27 @@ def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = toked.select(
         "doc_id", "toks", F.posexplode(starts_arr).alias("idx", "start")
     )
+    # CASE WHEN guard, not silent arithmetic: a doc past the packing
+    # capacity fails loudly with its doc_id instead of colliding into
+    # a neighbour's uid space. The branch is codegen'd per row and
+    # costs one comparison; raise_error's NullType coerces under the
+    # bigint branch so the column type is unchanged.
+    uid = F.when(
+        F.col("idx") < CHUNKS_PER_DOC_CAP,
+        F.col("doc_id") * CHUNKS_PER_DOC_CAP + F.col("idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"chunk_uid packing overflow: >= {CHUNKS_PER_DOC_CAP} "
+                    "chunks in doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
     return exploded.select(
-        (F.col("doc_id") * 10000 + F.col("idx")).alias("chunk_uid"),
+        uid.alias("chunk_uid"),
         F.explode(F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS))).alias(
             "token"
         ),
@@ -81,7 +118,8 @@ _RETRIEVAL_SQL = f"""
                    greatest(1, len(toks) - {CHUNK_TOKENS} + 1)))) AS starts
         FROM toks_t WHERE len(toks) > 0),
     chunk_toks AS MATERIALIZED (
-        SELECT doc_id * 10000 + idx - 1 AS chunk_uid, unnest(win) AS token
+        SELECT doc_id * {CHUNKS_PER_DOC_CAP} + idx - 1 AS chunk_uid,
+               unnest(win) AS token
         FROM (
             SELECT doc_id,
                    list_slice(toks, unnest(starts),
@@ -104,7 +142,7 @@ _RETRIEVAL_SQL = f"""
         SELECT p.chunk_uid AS probe_uid, c.chunk_uid AS cand_uid,
                sum(p.w * c.w) AS num
         FROM w p JOIN w c ON p.token = c.token
-        WHERE (p.chunk_uid // 10000) % {PROBE_DOC_MOD} = 0
+        WHERE (p.chunk_uid // {CHUNKS_PER_DOC_CAP}) % {PROBE_DOC_MOD} = 0
           AND p.chunk_uid <> c.chunk_uid
         GROUP BY p.chunk_uid, c.chunk_uid),
     ranked AS (
@@ -180,19 +218,32 @@ def rag_chunk_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("chunk_uid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    probes = w.filter((F.expr("chunk_uid DIV 10000") % PROBE_DOC_MOD) == 0).select(
+    probes = w.filter(
+        (F.expr(f"chunk_uid DIV {CHUNKS_PER_DOC_CAP}") % PROBE_DOC_MOD) == 0
+    ).select(
         F.col("chunk_uid").alias("probe_uid"),
         F.col("token").alias("p_token"),
         F.col("w").alias("pw"),
     )
-    # BROADCAST the bounded probe side and stream the corpus index
-    # (the sim_knn_bruteforce pattern): the join's output parallelism
-    # then follows the corpus partitioning. The naive orientation lets
-    # AQE coalesce the few-thousand-row probe side to ONE partition
-    # and the entire token-join explosion (tens of millions of rows at
+    # BROADCAST the probe side and stream the corpus index (the
+    # sim_knn_bruteforce pattern): the join's output parallelism then
+    # follows the corpus partitioning. The naive orientation lets AQE
+    # coalesce the few-thousand-row probe side to ONE partition and
+    # the entire token-join explosion (tens of millions of rows at
     # sf1) executes in a single task — measured minutes vs seconds.
+    # The probe postings grow LINEARLY with the corpus, though
+    # (chunks of every PROBE_DOC_MOD-th doc), so the broadcast is a
+    # fixture-scale optimization (r6 ADVICE): past
+    # PROBE_BROADCAST_MAX_DOCS probe documents the plan switches to a
+    # plain token-hash shuffle join — no driver/broadcast pressure,
+    # parallelism from the token partitioning on both sides. Sizing
+    # is a parquet-footer metadata read, so the builder stays lazy.
+    n_probe_docs = -(-parquet_num_rows(f"{sf_dir}/documents.parquet") // PROBE_DOC_MOD)
+    probe_side = (
+        F.broadcast(probes) if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS else probes
+    )
     scores = (
-        w.join(F.broadcast(probes), w.token == probes.p_token)
+        w.join(probe_side, w.token == probes.p_token)
         .filter(F.col("probe_uid") != F.col("chunk_uid"))
         .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
         .agg(F.sum(F.col("pw") * F.col("w")).alias("num"))

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_spread, session_cached
+from map_reduce_spark.sources import load_spread, parquet_num_rows, session_cached
 
 TOP_K = 10
 PROBE_MOD = 100  # probes = vec_id % PROBE_MOD == 0 → 1% of the corpus
@@ -169,11 +169,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_embedding_lsh_hi) is the scale path; this is the exact
     probe-set primitive.
     """
-    import pyarrow.parquet as pq
-
-    # Driver-side sizing from the parquet footer: a metadata read, not
-    # a Spark job, so the builder stays lazy.
-    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    # Driver-side sizing from the parquet footer(s): a metadata read,
+    # not a Spark job, so the builder stays lazy; handles single-file
+    # and multi-part directory layouts alike (r6 ADVICE).
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
     n_probes = max(1, n // PROBE_MOD)
     nb_c = max(1, -(-n // _RANGE_MAX_BLOCK))
     nb_p = max(1, -(-n_probes // _RANGE_MAX_BLOCK))

@@ -449,17 +449,34 @@ def q21ish_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order aggregation instead of two extra lineitem self-join
     shuffles. Two distinct-counts in one agg would plan an Expand (3
     projected copies of every line through the shuffle), so the plan
-    first reduces lines to distinct (order, supplier, saw-R) pairs —
-    map-side combinable, shrinking the shuffle to the pair count —
-    then takes plain count/sum/max per order (measured 2.3x faster
-    than the countDistinct form at sf0.1, identical result). Scale:
-    per-order state is bounded by lines per order (~7); the
-    per-supplier count is map-side combined and the top-20 plans as
-    TakeOrderedAndProject. The semi/anti-join surface itself is
-    exercised by q4ish/q22ish — here the decorrelated formulation is
-    the one that survives 100 TB.
+    first reduces lines to distinct (order, supplier, saw-R) pairs,
+    then takes plain count/sum/max per order.
+
+    Single-Exchange form (r6 verdict item 4 — the r6 plan's ratio
+    ROSE with scale, 3.1x at sf1 -> 4.6x at sf3): the two stacked
+    aggregations share the l_orderkey prefix, so one explicit
+    ``repartition("l_orderkey")`` feeds BOTH levels exchange-free
+    (HashPartitioning([l_orderkey]) satisfies the clustered
+    distribution of keys (l_orderkey, l_suppkey) and of (l_orderkey)),
+    halving the shuffled bytes vs the r6 two-Exchange plan. The trade
+    is losing map-side combine on the first level — a good trade here
+    because TPC-H lineitem has ~1 line per (order, supplier) pair, so
+    the combine was shrinking nothing. Grouping runs on s_name AFTER
+    the broadcast supplier join so the Spark grouping key is the
+    oracle's grouping key (r6 ADVICE: grouping by suppkey and
+    emitting s_name diverges if two suppliers ever share a name);
+    the s_name aggregate is map-side combined, so the final exchange
+    carries at most n_suppliers x n_partitions partial rows. Scale:
+    per-order state is bounded by lines per order (~7); the top-20
+    plans as TakeOrderedAndProject. The semi/anti-join surface itself
+    is exercised by q4ish/q22ish — here the decorrelated formulation
+    is the one that survives 100 TB.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
+    )
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
     )
@@ -470,13 +487,12 @@ def q21ish_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .groupBy("sole_r_supp")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
         .join(
             F.broadcast(_t(spark, sf_dir, "supplier")),
             F.col("sole_r_supp") == F.col("s_suppkey"),
         )
-        .select("s_name", "n_orders")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "s_name")
         .limit(20)
     )

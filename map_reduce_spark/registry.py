@@ -85,23 +85,36 @@ def register(name: str, oracle_sql: str | None = None):
 # Capacity amendment (late r6): when the window is full and every
 # remaining sentinel guards a surface nothing else in-window covers,
 # a brand-new entry may wait ONE round in the tail under the local
-# gate and is promoted at the next rotation. Currently waiting (all
-# added after the last sentinel worth demoting was spent; locally
-# oracle-green at sf0.01 + sf0.001): events_time_weighted_avg,
-# fuzzy_join_part_names, window_first_last_order_values,
-# quality_split_drift, events_ordered_funnel,
-# rag_chunk_tfidf_search (verified at all three fixture scales).
+# gate and is promoted at the next rotation.
+#
+# r7 rotation (verdict item 1, honoring the r6 promise): the six r6
+# waiters are promoted — rag_chunk_tfidf_search,
+# events_time_weighted_avg, fuzzy_join_part_names,
+# window_first_last_order_values, quality_split_drift,
+# events_ordered_funnel — plus the new streaming_checkpoint_recovery
+# (verdict item 8: recovery moves from pytest observation to the hash
+# gate). The seven slots are funded by demoting q7ish/q8ish/q9ish/
+# q13ish/q15ish/q17ish/q19ish, all r6-driver-green on code
+# byte-unchanged since that verdict; their surfaces stay in-window
+# via q21ish (multi-level agg + broadcast supplier join, builder
+# CHANGED in r7 so it must re-verify anyway), q1_pricing_summary
+# (wide lineitem agg), q22ish_idle_customers (anti join), and the
+# local oracle gate covers them every round like the rest of the
+# tail. q21ish r7 change: single-Exchange repartition(l_orderkey)
+# feeding both aggregation levels + grouping on s_name to match the
+# oracle's key (r6 ADVICE).
 _CHECK_FIRST = [
-    # (a) new or builder-changed in r6
-    "q7ish_nation_trade_volume",  # NEW: TPC-H second batch (relational3)
-    "q8ish_market_share",  # NEW
-    "q9ish_product_profit",  # NEW
-    "q13ish_order_count_distribution",  # NEW
-    "q15ish_top_revenue_supplier",  # NEW
-    "q17ish_small_quantity_revenue",  # NEW
-    "q19ish_disjunctive_revenue",  # NEW
-    "q21ish_sole_return_suppliers",  # NEW
-    "sim_range_search",  # NEW: exact cosine radius search
+    # (a) new or builder-changed in r7
+    "q21ish_sole_return_suppliers",  # CHANGED r7: single-Exchange form
+    "rag_chunk_tfidf_search",  # promoted r6 waiter (sparse retrieval)
+    "events_time_weighted_avg",  # promoted r6 waiter
+    "fuzzy_join_part_names",  # promoted r6 waiter (edit-distance join)
+    "window_first_last_order_values",  # promoted r6 waiter
+    "quality_split_drift",  # promoted r6 waiter (PSI drift)
+    "events_ordered_funnel",  # promoted r6 waiter
+    "streaming_checkpoint_recovery",  # NEW r7: recovery on the gate
+    # (a) new or builder-changed in r6, second driver round
+    "sim_range_search",  # NEW r6: exact cosine radius search
     "doc_global_shuffle",  # NEW: deterministic training-order manifest
     "doc_mixture_sample",  # NEW: target-mixture rebalancing sampler
     "doc_chunk_for_rag",  # NEW: overlapping token-window chunking
@@ -143,6 +156,13 @@ _CHECK_FIRST = [
     "q22ish_idle_customers",
     "dedup_embedding_lsh_hi",
 ]
+# Demoted to the unchecked tail at the r7 rotation (all r6-driver-
+# green, byte-unchanged, locally oracle-gated every round):
+# q7ish_nation_trade_volume, q8ish_market_share, q9ish_product_profit,
+# q13ish_order_count_distribution, q15ish_top_revenue_supplier,
+# q17ish_small_quantity_revenue, q19ish_disjunctive_revenue (see the
+# rotation note above _CHECK_FIRST for the surface mapping).
+#
 # Demoted to the unchecked tail late in r6 to fund the eight new
 # TPC-H-batch-2 slots (all r5-driver-green on byte-unchanged code,
 # locally oracle-gated every round; each one's surface stays

@@ -3,7 +3,15 @@ from map_reduce_spark.sources.tables import (
     TABLES,
     load_spread,
     load_table,
+    parquet_num_rows,
     register_views,
 )
 
-__all__ = ["TABLES", "load_spread", "load_table", "register_views", "session_cached"]
+__all__ = [
+    "TABLES",
+    "load_spread",
+    "load_table",
+    "parquet_num_rows",
+    "register_views",
+    "session_cached",
+]

@@ -73,6 +73,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet table from FOOTER metadata only —
+    a driver-side metadata read, not a Spark job, so lazy builders can
+    size GEMM blocks / probe sets without triggering an action.
+
+    Handles both fixture layouts (r6 ADVICE: the original
+    ``pq.ParquetFile`` call assumed a single local file): a single
+    ``.parquet`` file reads one footer; a directory (e.g. a
+    Spark-written multi-part table) sums per-fragment footers via
+    ``pyarrow.dataset``, which also resolves fsspec-style remote
+    filesystems when the relevant pyarrow filesystem is available.
+    Cost is one footer read per file — at real cluster scale prefer
+    catalog/table statistics, but for block SIZING a footer sweep of
+    the table's own file listing is already metadata the scan planner
+    reads anyway.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    import pyarrow.dataset as ds
+
+    return sum(
+        frag.metadata.num_rows
+        for frag in ds.dataset(path, format="parquet").get_fragments()
+    )
+
+
 def load_spread(
     spark: SparkSession, sf_dir: str, name: str, *keys: str
 ) -> DataFrame:

@@ -589,3 +589,56 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return deferred(
         spark, "user_id bigint, n_events bigint, total_value double", drain
     )
+
+
+@register(
+    "streaming_checkpoint_recovery",
+    oracle_sql="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE user_id IN (
+        SELECT user_id FROM events WHERE event_id % 101 = 0
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY on the hash gate (r6 verdict item 8): a
+    stateful per-user aggregate is drained under a checkpoint,
+    stopped, handed ~1% more events, and RESTARTED from the same
+    checkpoint; the registered result is the post-restart update-mode
+    batch.
+
+    The oracle is the batch statement of what a correct recovery must
+    emit: full-history totals for exactly the users the new data
+    touched. A restart that re-read phase-1 offsets would overcount;
+    one that lost the state store would undercount; one that rebuilt
+    from scratch would emit untouched users — each diverges from the
+    oracle, so the hash match IS the recovery contract (the
+    operational property pytest previously observed in
+    tests/test_streaming.py::test_checkpoint_recovery_resumes_exactly_once,
+    now externally checked every round). The phase-2 modulus lives in
+    ``streams.CKPT_PHASE2_MOD`` and is mirrored literally in the
+    oracle SQL.
+
+    Builder-contract note: DEFERRED + session-cached — the two-run
+    replay (write phase 1, drain, write phase 2, restart, drain) fires
+    once per (session, corpus) on first action.
+
+    Scale: identical state/shuffle envelope to
+    streaming_stateful_user_totals (two scalars per user); the replay
+    adds only the checkpoint round-trip, which is O(state + offsets),
+    not O(events).
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import checkpoint_recovery_totals
+
+    def drain() -> DataFrame:
+        return checkpoint_recovery_totals(spark, sf_dir)
+
+    return deferred(
+        spark, "user_id bigint, n_events bigint, total_value double", drain
+    )

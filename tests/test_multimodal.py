@@ -177,9 +177,147 @@ def test_features_come_from_decoded_content_not_bytes():
 
 
 def test_compressed_format_is_still_a_stub():
-    fake_png = b"\x89PNG\r\n\x1a\n" + bytes(64)
+    # JPEG remains the documented PIL slot (PNG graduated to a real
+    # stdlib decode in r7).
+    fake_jpeg = b"\xff\xd8\xff\xe0" + bytes(64)
     with pytest.raises(NotImplementedError, match="media library"):
-        MediaDecoder.features(fake_png, "image")
+        MediaDecoder.features(fake_jpeg, "image")
+
+
+def test_png_roundtrip_exact():
+    """encode_png -> decode_png is bit-exact: the zlib deflate/inflate
+    pair plus filter-0 scanlines lose nothing."""
+    import numpy as np
+
+    from map_reduce_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    payload = encode_png(px)
+    assert MediaDecoder.sniff(payload) == "png"
+    assert np.array_equal(MediaDecoder.decode_png(payload), px)
+    # gradient image (deflate actually compresses): still exact
+    grad = np.stack(
+        [np.tile(np.arange(40, dtype=np.uint8), (16, 1))] * 3, axis=2
+    )
+    assert np.array_equal(MediaDecoder.decode_png(encode_png(grad)), grad)
+
+
+def test_png_unfilters_all_five_filter_types():
+    """A conforming PNG reader must invert every per-row filter an
+    encoder may choose. Forward-filter a known image with each type
+    (None/Sub/Up/Average/Paeth, one per row, cycling) in the test,
+    wrap it in chunks, and require decode_png to reconstruct the
+    original — a differential against an independent forward
+    implementation, not our own encoder (which only emits type 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_spark.functions.multimodal import _png_chunk
+
+    rng = np.random.default_rng(11)
+    h, w, bpp = 10, 13, 3
+    px = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        raw.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(w * bpp, np.int32)
+        for x in range(w * bpp):
+            cur = int(flat[y, x])
+            a = int(flat[y, x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if (x >= bpp and y > 0) else 0
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = cur - a
+            elif ftype == 2:
+                enc = cur - b
+            elif ftype == 3:
+                enc = cur - ((a + b) >> 1)
+            else:
+                enc = cur - paeth(a, b, c)
+            raw.append(enc & 0xFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(MediaDecoder.decode_png(payload), px)
+
+
+def test_png_color_type_normalization():
+    """Gray (0), gray+alpha (4) and RGBA (6) PNGs normalize to
+    (H, W, 3) RGB; 16-bit and palette stay documented stubs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_spark.functions.multimodal import _png_chunk
+
+    def make(ctype_n, channels, body_px):
+        h, w = body_px.shape[:2]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+        raw = b"".join(b"\x00" + row.tobytes() for row in body_px)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(5, 6, 1), dtype=np.uint8)
+    out = MediaDecoder.decode_png(make(0, 1, gray))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    out = MediaDecoder.decode_png(make(6, 4, rgba))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+    ga = rng.integers(0, 256, size=(5, 6, 2), dtype=np.uint8)
+    out = MediaDecoder.decode_png(make(4, 2, ga))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    # 16-bit depth: documented stub
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    p16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 4 * 6))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        MediaDecoder.decode_png(p16)
+
+
+def test_png_features_match_equivalent_bmp():
+    """The SAME pixels through a PNG and a BMP container yield the
+    SAME feature vector — features depend on decoded content only,
+    pinning that the PNG path decodes to identical pixels."""
+    import numpy as np
+
+    from map_reduce_spark.functions.multimodal import encode_bmp, encode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    f_png = MediaDecoder.features(encode_png(px), "image")
+    f_bmp = MediaDecoder.features(encode_bmp(px), "image")
+    assert np.array_equal(f_png, f_bmp)
 
 
 def test_media_stats_metadata_only(spark):

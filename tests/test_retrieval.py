@@ -1,0 +1,81 @@
+"""Retrieval-index contracts added in r7: session-cached normalized
+index, probe-modulus parameterization, and the chunk_uid packing
+guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_spark.functions.retrieval import (
+    CHUNKS_PER_DOC_CAP,
+    PROBE_DOC_MOD,
+    _tfidf_search,
+    chunk_tfidf_index,
+)
+
+
+def test_index_is_session_cached_and_normalized(spark, sf_dir):
+    """One index per (session, corpus): a second call returns the SAME
+    persisted frame (the leak fixed in r7 minted a new cached copy per
+    build). And the index is length-normalized: per-chunk L2 norm of
+    ``wn`` is exactly 1 (the property that lets the search skip norm
+    joins on the pair stream)."""
+    a = chunk_tfidf_index(spark, sf_dir)
+    b = chunk_tfidf_index(spark, sf_dir)
+    assert a is b
+    norms = (
+        a.groupBy("chunk_uid")
+        .agg({"wn": "collect_list"})
+        .withColumnRenamed("collect_list(wn)", "ws")
+        .collect()
+    )
+    for r in norms:
+        assert abs(float(np.linalg.norm(r.ws)) - 1.0) < 1e-9, r.chunk_uid
+
+
+def test_probe_modulus_parameterization(spark, sf_dir):
+    """_tfidf_search(probe_doc_mod=m) probes exactly the chunks of
+    every m-th document; the registered entry equals the core at
+    PROBE_DOC_MOD."""
+    from map_reduce_spark.registry import load_all
+
+    for mod in (PROBE_DOC_MOD, 7):
+        rows = _tfidf_search(spark, sf_dir, mod).collect()
+        assert rows, f"no results at probe mod {mod}"
+        probe_docs = {r.probe_uid // CHUNKS_PER_DOC_CAP for r in rows}
+        assert all(d % mod == 0 for d in probe_docs)
+    reg = load_all()["rag_chunk_tfidf_search"].builder(spark, sf_dir).collect()
+    core = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD).collect()
+    assert [tuple(r) for r in reg] == [tuple(r) for r in core]
+
+
+def test_chunk_uid_packing_overflow_raises(spark, tmp_path):
+    """A document with >= CHUNKS_PER_DOC_CAP chunks must fail LOUDLY
+    (r6 ADVICE: the bare constant silently collided uids). Build a
+    one-doc corpus long enough to exceed the cap and assert the
+    runtime guard fires with the doc id in the message."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
+    from map_reduce_spark.functions.retrieval import chunk_tokens
+
+    n_tokens = CHUNK_TOKENS + CHUNK_STEP * CHUNKS_PER_DOC_CAP  # > cap chunks
+    text = " ".join("tok%d" % (i % 50) for i in range(n_tokens))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3], type=pa.int64()),
+            "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["t"]),
+            "n_chars": pa.array([len(text)], type=pa.int64()),
+        }
+    )
+    d = str(tmp_path / "overflow")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    with pytest.raises(Exception, match="packing overflow.*3"):
+        chunk_tokens(spark, d).count()

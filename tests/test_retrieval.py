@@ -77,5 +77,10 @@ def test_chunk_uid_packing_overflow_raises(spark, tmp_path):
 
     os.makedirs(d)
     pq.write_table(tbl, f"{d}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    # evaluate chunk_uid itself — a bare count() lets Catalyst prune
+    # the guarded projection away (the guard fires on USE, which every
+    # real consumer of the index does)
     with pytest.raises(Exception, match="packing overflow.*3"):
-        chunk_tokens(spark, d).count()
+        chunk_tokens(spark, d).agg(F.max("chunk_uid")).collect()

@@ -241,6 +241,11 @@ _CHECK_FIRST = [
 # window_lag_order_gap_days, q3_shipping_priority,
 # q5_local_supplier_volume, q10_returned_items, q14_promo_effect
 # (justifications in the r5 revision of this comment, unchanged).
+#
+# r7 waiters (capacity amendment): brand-new entries added after the
+# r7 rotation wait in the tail under the local oracle gate and are
+# promoted at the r8 rotation: doc_langid_ngram (trained
+# Cavnar-Trenkle trigram-profile language ID, functions/text.py).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -108,7 +108,10 @@ def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RETRIEVAL_SQL = f"""
+# Shared oracle prefix: documents -> token windows -> per-(chunk,
+# token) term frequencies. Both sparse-retrieval oracles (TF-IDF
+# cosine and BM25) start from this exact CTE chain.
+_CHUNK_TF_CTE = f"""
     WITH toks_t AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -132,7 +135,11 @@ _RETRIEVAL_SQL = f"""
             FROM start_lists)),
     tf AS MATERIALIZED (
         SELECT chunk_uid, token, count(*) AS tf
-        FROM chunk_toks GROUP BY chunk_uid, token),
+        FROM chunk_toks GROUP BY chunk_uid, token)
+    """
+
+_RETRIEVAL_SQL = f"""
+    {_CHUNK_TF_CTE},
     nchunks AS (SELECT count(DISTINCT chunk_uid) AS n FROM tf),
     df AS (
         SELECT token, count(*) AS df FROM tf, nchunks GROUP BY token, n
@@ -323,4 +330,150 @@ def _tfidf_search(
         "cand_uid",
         F.col("cos_raw").alias("score"),
         F.col("rank").cast("long").alias("rank"),
+    ).orderBy("probe_uid", "rank")
+
+
+# --- BM25 ------------------------------------------------------------
+#
+# Okapi BM25 with the Lucene idf variant (always positive, no
+# negative-weight common terms). Standard constants.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_BM25_SQL = f"""
+    {_CHUNK_TF_CTE},
+    lens AS MATERIALIZED (
+        SELECT chunk_uid, sum(tf) AS dl FROM tf GROUP BY chunk_uid),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    idf AS (
+        SELECT token, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+        FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), stats
+        WHERE df <= {RETRIEVAL_MAX_DF} * n),
+    bm AS MATERIALIZED (
+        SELECT tf.chunk_uid, tf.token, tf.tf,
+               idf.idf * tf.tf * (1 + {BM25_K1}) /
+                   (tf.tf + {BM25_K1} *
+                    (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl)) AS bm
+        FROM tf JOIN lens USING (chunk_uid) JOIN idf USING (token), stats),
+    scores AS (
+        SELECT p.chunk_uid AS probe_uid, c.chunk_uid AS cand_uid,
+               sum(p.tf * c.bm) AS s
+        FROM bm p JOIN bm c ON p.token = c.token
+        WHERE (p.chunk_uid // {CHUNKS_PER_DOC_CAP}) % {PROBE_DOC_MOD} = 0
+          AND p.chunk_uid <> c.chunk_uid
+        GROUP BY p.chunk_uid, c.chunk_uid),
+    ranked AS (
+        SELECT probe_uid, cand_uid, round(s, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY probe_uid
+                   ORDER BY round(s, 6) DESC, cand_uid) AS rank
+        FROM scores)
+    SELECT probe_uid, cand_uid, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {RETRIEVAL_TOP_K}
+    ORDER BY probe_uid, rank
+    """
+
+
+@session_cached
+def chunk_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 impact index (chunk_uid, token, tf, bm): bm is the
+    fully-evaluated per-(chunk, token) BM25 term contribution
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — what Lucene
+    calls the term's "impact" and stores in its postings. Scoring a
+    query is then a pure inverted-index join + weighted sum; nothing
+    per-pair beyond the multiply.
+
+    Same scale shape as ``chunk_tfidf_index``: tf / chunk lengths /
+    df are decomposable integer aggregates; the (n, avgdl) corpus
+    stats are a 1-row broadcast; the DF cap bounds per-token join
+    fan-out; built once per (session, corpus) via ``session_cached``.
+    """
+    ct = chunk_tokens(spark, sf_dir)
+    tf = ct.groupBy("chunk_uid", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lens = tf.groupBy("chunk_uid").agg(F.sum("tf").alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= RETRIEVAL_MAX_DF * F.col("n"))
+        .select(
+            "token",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias(
+                "idf"
+            ),
+        )
+    )
+    return (
+        tf.join(lens, "chunk_uid")
+        .join(idf, "token")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "chunk_uid",
+            "token",
+            "tf",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (1 + BM25_K1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("bm"),
+        )
+    )
+
+
+@register("rag_bm25_search", oracle_sql=_BM25_SQL)
+def rag_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval: for each probe chunk, the top-k corpus
+    chunks by BM25 score through the same token inverted index as
+    ``rag_chunk_tfidf_search`` — the other half of the SMART/BM25
+    family the module docstring names. Query terms weight by their
+    probe-side tf (integer); candidate contributions come
+    precomputed from the impact index, so the per-pair work is one
+    multiply + sum.
+
+    Scale: identical join/partition shape to the TF-IDF search (the
+    Zipf-study linear-in-posting-mass argument transfers verbatim —
+    both plans differ only in the per-posting weight expression); the
+    probe side broadcasts under PROBE_BROADCAST_MAX_DOCS and falls
+    back to the token-hash shuffle join past it. Both engines rank on
+    the ROUNDED score with a cand_uid tiebreak (round-then-rank
+    convention, see _tfidf_search FP note).
+    """
+    bm = chunk_bm25_index(spark, sf_dir)
+    probes = bm.filter(
+        (F.expr(f"chunk_uid DIV {CHUNKS_PER_DOC_CAP}") % PROBE_DOC_MOD) == 0
+    ).select(
+        F.col("chunk_uid").alias("probe_uid"),
+        F.col("token").alias("p_token"),
+        F.col("tf").alias("tf_q"),
+    )
+    n_probe_docs = -(
+        -parquet_num_rows(f"{sf_dir}/documents.parquet") // PROBE_DOC_MOD
+    )
+    probe_side = (
+        F.broadcast(probes) if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS else probes
+    )
+    scores = (
+        bm.join(probe_side, bm.token == probes.p_token)
+        .filter(F.col("probe_uid") != F.col("chunk_uid"))
+        .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
+        .agg(F.sum(F.col("tf_q") * F.col("bm")).alias("s"))
+    )
+    ranked = (
+        scores.withColumn("score", F.round(F.col("s"), 6))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("probe_uid").orderBy(F.desc("score"), F.asc("cand_uid"))
+            ),
+        )
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+    )
+    return ranked.select(
+        "probe_uid", "cand_uid", "score", F.col("rank").cast("long").alias("rank")
     ).orderBy("probe_uid", "rank")

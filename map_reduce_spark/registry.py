@@ -245,7 +245,9 @@ _CHECK_FIRST = [
 # r7 waiters (capacity amendment): brand-new entries added after the
 # r7 rotation wait in the tail under the local oracle gate and are
 # promoted at the r8 rotation: doc_langid_ngram (trained
-# Cavnar-Trenkle trigram-profile language ID, functions/text.py).
+# Cavnar-Trenkle trigram-profile language ID, functions/text.py);
+# rag_bm25_search (Okapi BM25 impact-index retrieval,
+# functions/retrieval.py).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -84,3 +84,86 @@ def test_chunk_uid_packing_overflow_raises(spark, tmp_path):
     # real consumer of the index does)
     with pytest.raises(Exception, match="packing overflow.*3"):
         chunk_tokens(spark, d).agg(F.max("chunk_uid")).collect()
+
+
+# --- BM25 (r7) -------------------------------------------------------
+
+
+def _write_docs(tmp_path, name, texts):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["t"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    return d
+
+
+def test_bm25_idf_favors_rare_term_match(spark, tmp_path):
+    """The probe shares a RARE term with one candidate and a COMMON
+    term with the rest — BM25's idf must rank the rare-term match
+    first. (Docs stay under CHUNK_TOKENS so each is one chunk and
+    doc 0, the only doc_id % PROBE_DOC_MOD == 0, is the sole probe.)"""
+    from map_reduce_spark.functions.retrieval import (
+        CHUNKS_PER_DOC_CAP,
+        rag_bm25_search,
+    )
+
+    filler = "alpha beta gamma delta"
+    texts = [
+        f"zebra common {filler}",  # doc 0: probe
+        f"zebra {filler}",  # doc 1: rare-term match
+        f"common {filler} one",  # docs 2..5: common-term matches
+        f"common {filler} two",
+        f"common {filler} three",
+        f"common {filler} four",
+    ]
+    d = _write_docs(tmp_path, "bm25_idf", texts)
+    rows = rag_bm25_search(spark, d).collect()
+    by_rank = {r.rank: r.cand_uid // CHUNKS_PER_DOC_CAP for r in rows}
+    assert by_rank[1] == 1, rows
+
+
+def test_bm25_length_normalization(spark, tmp_path):
+    """Two candidates match the probe's term with tf=1; the SHORTER
+    one must score higher (the b-term length penalty)."""
+    from map_reduce_spark.functions.retrieval import (
+        CHUNKS_PER_DOC_CAP,
+        rag_bm25_search,
+    )
+
+    texts = [
+        "zebra",  # doc 0: probe (one term)
+        "zebra pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9",  # long
+        "zebra pad1 pad2",  # short
+        "other filler words here",  # dilute zebra's df below the cap
+        "more other filler words",
+    ]
+    d = _write_docs(tmp_path, "bm25_len", texts)
+    rows = rag_bm25_search(spark, d).collect()
+    docs_in_rank_order = [
+        r.cand_uid // CHUNKS_PER_DOC_CAP for r in sorted(rows, key=lambda r: r.rank)
+    ]
+    assert docs_in_rank_order[0] == 2, rows
+
+
+def test_bm25_impacts_positive_and_index_cached(spark, sf_dir):
+    """Lucene-variant idf is always positive, so every stored impact
+    must be > 0; and the impact index is session-cached like the
+    tf-idf index."""
+    from map_reduce_spark.functions.retrieval import chunk_bm25_index
+
+    a = chunk_bm25_index(spark, sf_dir)
+    assert a is chunk_bm25_index(spark, sf_dir)
+    assert a.filter("bm <= 0").count() == 0

@@ -4,10 +4,11 @@ columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 The Spark-side machinery — schema contracts, ``mapInPandas`` batch
 iteration, partition sizing — is real and tested, and so is the
 decode for BMP/PPM/PGM/PCM-WAV (pure struct + numpy) and, as of r7,
-zlib-compressed PNG (stdlib ``zlib`` + full scanline unfiltering), so
-image features come from actual decoded pixels and audio features
-from actual decoded samples. The remaining compressed formats
-(JPEG/MP3, palette/interlaced PNG) and video raise
+zlib-compressed PNG (stdlib ``zlib`` + full scanline unfiltering;
+truecolor/gray/alpha, PALETTE with sub-byte depths, and Adam7
+INTERLACE), so image features come from actual decoded pixels and
+audio features from actual decoded samples. The remaining compressed
+formats (JPEG/MP3, 16-bit PNG) and video raise
 ``NotImplementedError`` exactly where a libav/PIL call would slot in
 — the container has no media libraries.
 
@@ -113,9 +114,28 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a non-interlaced 8-bit
-    truecolor PNG (color type 2, filter 0 scanlines, one zlib IDAT).
+def _adam7_passes(w: int, h: int):
+    """Adam7 pass grid (x0, y0, dx, dy) with empty passes skipped."""
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2, filter 0 scanlines, one zlib IDAT), sequential or
+    Adam7-interlaced (each pass's sub-image emitted as its own
+    filtered scanline run, spec pass order).
 
     Spec: PNG (ISO/IEC 15948) — signature, IHDR, IDAT, IEND with
     CRC-32 per chunk. Stdlib ``zlib`` is the whole compression story,
@@ -125,13 +145,52 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    # filter byte 0 (None) before each scanline
-    raw = b"".join(b"\x00" + row.tobytes() for row in pixels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            b"\x00" + row.tobytes()
+            for x0, y0, dx, dy in _adam7_passes(w, h)
+            for row in pixels[y0::dy, x0::dx]
+        )
+    else:
+        # filter byte 0 (None) before each scanline
+        raw = b"".join(b"\x00" + row.tobytes() for row in pixels)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, depth: int = 8
+) -> bytes:
+    """Encode an (H, W) index array + (N, 3) palette as a color-type-3
+    PNG at bit depth 1/2/4/8 (indices packed big-endian within each
+    byte, filter 0 scanlines, PLTE chunk)."""
+    import zlib
+
+    h, w = indices.shape
+    assert indices.dtype == np.uint8 and palette.dtype == np.uint8
+    assert depth in (1, 2, 4, 8) and int(indices.max(initial=0)) < (1 << depth)
+    assert len(palette) <= 1 << depth
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    lines = []
+    for row in indices:
+        if depth == 8:
+            packed = row.tobytes()
+        else:
+            bits = (
+                (row[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            packed = np.packbits(bits).tobytes()
+        lines.append(b"\x00" + packed)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -230,57 +289,22 @@ class MediaDecoder:
         return np.repeat(raw.reshape(h, w, 1), 3, axis=2)
 
     @staticmethod
-    def decode_png(payload: bytes) -> np.ndarray:
-        """Non-interlaced 8-bit PNG -> (H, W, 3) uint8 RGB.
-
-        Real decode, stdlib only (r6 verdict item 7 closed the slot):
-        chunk walk -> concatenated-IDAT ``zlib.decompress`` -> full
-        scanline UNFILTERING (all five PNG filter types: None, Sub,
-        Up, Average, Paeth — an encoder may pick any per row, so a
-        conforming reader needs all of them even though our own
-        encoder emits only type 0). Color types 0 (gray), 2 (RGB),
-        4 (gray+alpha) and 6 (RGBA) are normalized to RGB (alpha
-        dropped, gray replicated). 16-bit samples, palette (type 3),
-        and Adam7 interlace remain the documented slot — stdlib zlib
-        covers none of the palette/deinterlace bookkeeping value.
-        """
-        import zlib
-
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError("not a PNG payload")
-        pos, ihdr, idat = 8, None, bytearray()
-        while pos + 8 <= len(payload):
-            (size,) = struct.unpack_from(">I", payload, pos)
-            ctype = payload[pos + 4 : pos + 8]
-            body = payload[pos + 8 : pos + 8 + size]
-            pos += 12 + size  # len + type + body + crc
-            if ctype == b"IHDR":
-                ihdr = struct.unpack(">IIBBBBB", body)
-            elif ctype == b"IDAT":
-                idat += body
-            elif ctype == b"IEND":
-                break
-        if ihdr is None or not idat:
-            raise NotImplementedError("PNG missing IHDR/IDAT chunk")
-        w, h, depth, ctype_n, comp, filt, interlace = ihdr
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_n)
-        if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
-            raise NotImplementedError(
-                f"PNG depth={depth} color={ctype_n} interlace={interlace}: "
-                "only non-interlaced 8-bit gray/RGB/GA/RGBA supported by "
-                "the stdlib decoder (PIL slot)"
-            )
-        raw = zlib.decompress(bytes(idat))
-        stride = w * channels
-        if len(raw) != h * (1 + stride):
+    def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, offset: int):
+        """Unfilter ``h`` scanlines of ``stride`` bytes starting at
+        ``offset`` in the inflated IDAT stream (all five PNG filter
+        types: None, Sub, Up, Average, Paeth — an encoder may pick any
+        per row, so a conforming reader needs all of them even though
+        our own encoders emit only type 0). Returns the (h, stride)
+        uint8 array and the offset past the consumed bytes."""
+        if offset + h * (1 + stride) > len(raw):
             raise NotImplementedError("PNG IDAT length mismatch")
         out = np.zeros((h, stride), dtype=np.uint8)
-        bpp = channels  # bytes per pixel at depth 8
         for y in range(h):
-            ftype = raw[y * (1 + stride)]
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-            ).astype(np.int32)
+            base = offset + y * (1 + stride)
+            ftype = raw[base]
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).astype(
+                np.int32
+            )
             prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
             if ftype == 0:  # None
                 cur = line
@@ -306,21 +330,130 @@ class MediaDecoder:
                     else:
                         raise NotImplementedError(f"PNG filter type {ftype}")
             out[y] = cur.astype(np.uint8)
-        px = out.reshape(h, w, channels)
-        if ctype_n == 2:
-            return px
-        if ctype_n == 6:
-            return px[:, :, :3]
+        return out, offset + h * (1 + stride)
+
+    @staticmethod
+    def _png_subimage(
+        raw: bytes,
+        offset: int,
+        pw: int,
+        ph: int,
+        depth: int,
+        ctype_n: int,
+        channels: int,
+        palette: np.ndarray | None,
+    ):
+        """Decode one (sub)image's filtered scanlines -> ((ph, pw, 3)
+        uint8 RGB, new offset). Shared by the sequential path and each
+        Adam7 pass (a pass is an independently-filtered sub-image)."""
+        bits_pp = depth * channels
+        stride = (pw * bits_pp + 7) // 8
+        bpp = max(1, bits_pp // 8)
+        out, offset = MediaDecoder._png_unfilter(raw, ph, stride, bpp, offset)
+        if depth == 8:
+            px = out[:, : pw * channels].reshape(ph, pw, channels)
+        else:
+            # sub-byte samples (gray or palette indices): unpack bits
+            # big-endian within each byte, regroup into depth-bit values
+            bits = np.unpackbits(out, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            px = (bits * weights).sum(axis=2, dtype=np.int32)[:, :, None]
+        if ctype_n == 3:
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= len(palette):
+                raise NotImplementedError("PNG palette index out of range")
+            return palette[idx], offset
         if ctype_n == 0:
-            return np.repeat(px, 3, axis=2)
-        return np.repeat(px[:, :, :1], 3, axis=2)  # gray+alpha
+            if depth < 8:  # scale 0..2^d-1 to full 0..255
+                px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            return np.repeat(px.astype(np.uint8), 3, axis=2), offset
+        if ctype_n == 2:
+            return px, offset
+        if ctype_n == 6:
+            return px[:, :, :3], offset
+        return np.repeat(px[:, :, :1], 3, axis=2), offset  # gray+alpha
+
+    # Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order.
+    _ADAM7 = [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]
+
+    @staticmethod
+    def decode_png(payload: bytes) -> np.ndarray:
+        """PNG -> (H, W, 3) uint8 RGB. Real decode, stdlib only (r6
+        verdict item 7 closed the base slot; r7 closed palette and
+        Adam7): chunk walk -> concatenated-IDAT ``zlib.decompress`` ->
+        per-(sub)image scanline unfiltering -> sample unpack ->
+        color-map. Supported: 8-bit gray/RGB/gray+alpha/RGBA, palette
+        (color type 3, PLTE) and grayscale at depths 1/2/4/8, and
+        Adam7 interlace for all of those (each pass decodes as an
+        independent sub-image scattered into the output grid). Alpha
+        is dropped, gray replicated — everything normalizes to RGB.
+        16-bit samples remain the documented slot (tRNS alpha is
+        ignored like every other alpha channel here).
+        """
+        import zlib
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError("not a PNG payload")
+        pos, ihdr, idat, plte = 8, None, bytearray(), None
+        while pos + 8 <= len(payload):
+            (size,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            pos += 12 + size  # len + type + body + crc
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise NotImplementedError("PNG missing IHDR/IDAT chunk")
+        w, h, depth, ctype_n, comp, filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+        depth_ok = depth == 8 or (depth in (1, 2, 4) and ctype_n in (0, 3))
+        if channels is None or not depth_ok or comp != 0 or filt != 0 or interlace > 1:
+            raise NotImplementedError(
+                f"PNG depth={depth} color={ctype_n} interlace={interlace}: "
+                "only 8-bit gray/RGB/GA/RGBA + 1/2/4-bit gray/palette, "
+                "sequential or Adam7, supported by the stdlib decoder "
+                "(PIL slot: 16-bit)"
+            )
+        if ctype_n == 3 and plte is None:
+            raise NotImplementedError("palette PNG missing PLTE chunk")
+        raw = zlib.decompress(bytes(idat))
+        args = (depth, ctype_n, channels, plte)
+        if interlace == 0:
+            rgb, off = MediaDecoder._png_subimage(raw, 0, w, h, *args)
+        else:
+            rgb = np.zeros((h, w, 3), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in MediaDecoder._ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, off = MediaDecoder._png_subimage(raw, off, pw, ph, *args)
+                rgb[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise NotImplementedError("PNG IDAT length mismatch")
+        return rgb
 
     @staticmethod
     def decode_image(payload: bytes) -> np.ndarray:
         """Any supported still-image container -> (H, W, 3) uint8 RGB.
         Dispatches on magic bytes; remaining compressed formats (JPEG,
-        palette/interlaced PNG) raise the documented
-        NotImplementedError (PIL slot)."""
+        16-bit PNG) raise the documented NotImplementedError
+        (PIL slot)."""
         container = MediaDecoder.sniff(payload)
         if container == "bmp":
             return MediaDecoder.decode_bmp(payload)
@@ -415,8 +548,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (seeded).
 
     Image rows carry REAL containers — rotating through 24-bit BMP,
-    binary PPM (P6), binary PGM (P5), and zlib-compressed PNG (r7:
-    the first COMPRESSED container in the corpus) so every decoder in
+    binary PPM (P6), binary PGM (P5), and zlib-compressed PNG in
+    truecolor, Adam7-INTERLACED truecolor, and 4-bit PALETTE variants
+    (r7: the compressed-container family) so every decoder in
     ``MediaDecoder`` runs on genuine payloads — and audio rows REAL
     16-bit PCM WAVs (all encoded by this module's own encoders); video
     rows stay opaque random bytes — no pure-Python video codec exists,
@@ -431,13 +565,21 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         dur = 1000 * (i % 30) if kind != "image" else None
         if kind == "image":
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            container = ["bmp", "ppm", "pgm", "png"][(i // 3) % 4]
+            container = ["bmp", "ppm", "pgm", "png", "png_i", "png_pal"][(i // 3) % 6]
             if container == "bmp":
                 payload = encode_bmp(px)
             elif container == "ppm":
                 payload = encode_ppm(px)
             elif container == "png":
                 payload = encode_png(px)
+            elif container == "png_i":
+                payload = encode_png(px, interlace=True)
+            elif container == "png_pal":
+                # 16-color palette image at bit depth 4 (the sub-byte
+                # packing + PLTE path)
+                palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+                payload = encode_png_palette(idx, palette, depth=4)
             else:
                 # grayscale source: luminance of the random pixels
                 payload = encode_pgm(px.mean(axis=2).astype(np.uint8))

@@ -4,13 +4,14 @@ columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 The Spark-side machinery — schema contracts, ``mapInPandas`` batch
 iteration, partition sizing — is real and tested, and so is the
 decode for BMP/PPM/PGM/PCM-WAV (pure struct + numpy) and, as of r7,
-zlib-compressed PNG (stdlib ``zlib`` + full scanline unfiltering;
-truecolor/gray/alpha, PALETTE with sub-byte depths, and Adam7
-INTERLACE), so image features come from actual decoded pixels and
-audio features from actual decoded samples. The remaining compressed
-formats (JPEG/MP3, 16-bit PNG) and video raise
-``NotImplementedError`` exactly where a libav/PIL call would slot in
-— the container has no media libraries.
+the compressed stills: zlib PNG (stdlib ``zlib`` + full scanline
+unfiltering; truecolor/gray/alpha, PALETTE with sub-byte depths,
+Adam7 INTERLACE) and BASELINE JPEG (jpeg.py: table-driven Huffman +
+DCT, 4:4:4/4:2:0, restart markers) — so image features come from
+actual decoded pixels and audio features from actual decoded samples.
+The remaining regimes (progressive/arithmetic JPEG, 16-bit PNG, MP3)
+and video raise ``NotImplementedError`` exactly where a libav/PIL
+call would slot in — the container has no media libraries.
 
 Design for 100 TB of media:
 - media bytes travel as a ``binary`` column next to typed metadata,
@@ -221,6 +222,8 @@ class MediaDecoder:
             return "pgm"
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return "png"
+        if payload[:3] == b"\xff\xd8\xff":
+            return "jpeg"
         return None
 
     @staticmethod
@@ -451,9 +454,9 @@ class MediaDecoder:
     @staticmethod
     def decode_image(payload: bytes) -> np.ndarray:
         """Any supported still-image container -> (H, W, 3) uint8 RGB.
-        Dispatches on magic bytes; remaining compressed formats (JPEG,
-        16-bit PNG) raise the documented NotImplementedError
-        (PIL slot)."""
+        Dispatches on magic bytes; the remaining compressed regimes
+        (progressive/arithmetic JPEG, 16-bit PNG) raise the documented
+        NotImplementedError inside their decoders."""
         container = MediaDecoder.sniff(payload)
         if container == "bmp":
             return MediaDecoder.decode_bmp(payload)
@@ -461,6 +464,10 @@ class MediaDecoder:
             return MediaDecoder.decode_pnm(payload)
         if container == "png":
             return MediaDecoder.decode_png(payload)
+        if container == "jpeg":
+            from map_reduce_spark.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         raise NotImplementedError(
             f"image container {container!r} requires a media library not "
             "in this image (PIL slot)"
@@ -502,7 +509,7 @@ class MediaDecoder:
         rate, peak, 10-bin |amplitude| histogram]. Both L2-normalized.
         """
         container = MediaDecoder.sniff(payload)
-        if kind == "image" and container in ("bmp", "ppm", "pgm", "png"):
+        if kind == "image" and container in ("bmp", "ppm", "pgm", "png", "jpeg"):
             px = MediaDecoder.decode_image(payload).astype(np.float64) / 255.0
             h, w = px.shape[:2]
             lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
@@ -548,10 +555,11 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (seeded).
 
     Image rows carry REAL containers — rotating through 24-bit BMP,
-    binary PPM (P6), binary PGM (P5), and zlib-compressed PNG in
-    truecolor, Adam7-INTERLACED truecolor, and 4-bit PALETTE variants
-    (r7: the compressed-container family) so every decoder in
-    ``MediaDecoder`` runs on genuine payloads — and audio rows REAL
+    binary PPM (P6), binary PGM (P5), zlib-compressed PNG in
+    truecolor, Adam7-INTERLACED truecolor, and 4-bit PALETTE variants,
+    plus baseline JPEG at 4:4:4 and restart-marked 4:2:0 (r7: the
+    compressed-container family) so every decoder in ``MediaDecoder``
+    runs on genuine payloads — and audio rows REAL
     16-bit PCM WAVs (all encoded by this module's own encoders); video
     rows stay opaque random bytes — no pure-Python video codec exists,
     that decode is the documented stub.
@@ -565,7 +573,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         dur = 1000 * (i % 30) if kind != "image" else None
         if kind == "image":
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            container = ["bmp", "ppm", "pgm", "png", "png_i", "png_pal"][(i // 3) % 6]
+            container = [
+                "bmp", "ppm", "pgm", "png", "png_i", "png_pal", "jpeg", "jpeg420",
+            ][(i // 3) % 8]
             if container == "bmp":
                 payload = encode_bmp(px)
             elif container == "ppm":
@@ -574,6 +584,16 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 payload = encode_png(px)
             elif container == "png_i":
                 payload = encode_png(px, interlace=True)
+            elif container == "jpeg":
+                from map_reduce_spark.functions.jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, quality=90)
+            elif container == "jpeg420":
+                from map_reduce_spark.functions.jpeg import encode_jpeg
+
+                payload = encode_jpeg(
+                    px, quality=90, subsampling="420", restart_interval=2
+                )
             elif container == "png_pal":
                 # 16-color palette image at bit depth 4 (the sub-byte
                 # packing + PLTE path)

@@ -177,11 +177,35 @@ def test_features_come_from_decoded_content_not_bytes():
 
 
 def test_compressed_format_is_still_a_stub():
-    # JPEG remains the documented PIL slot (PNG graduated to a real
-    # stdlib decode in r7).
-    fake_jpeg = b"\xff\xd8\xff\xe0" + bytes(64)
+    # MP3 (unsniffable here -> unknown container) remains the
+    # documented libav slot; PNG and baseline JPEG graduated to real
+    # stdlib decodes in r7.
+    fake_mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + bytes(64)
     with pytest.raises(NotImplementedError, match="media library"):
-        MediaDecoder.features(fake_jpeg, "image")
+        MediaDecoder.features(fake_mp3, "audio")
+
+
+def test_jpeg_features_from_decoded_pixels(spark):
+    """A JPEG payload featurizes from its DECODED pixels: features of
+    a JPEG and of a BMP of the same image agree closely (JPEG is
+    lossy, so near-equality — unlike the exact PNG/BMP pin)."""
+    import numpy as np
+
+    from map_reduce_spark.functions.jpeg import encode_jpeg
+    from map_reduce_spark.functions.multimodal import encode_bmp
+
+    yy, xx = np.mgrid[0:32, 0:48].astype(np.float64)
+    px = np.clip(
+        np.stack(
+            [128 + 90 * np.sin(xx / 9), 128 + 90 * np.cos(yy / 7), xx * 3 % 256],
+            axis=-1,
+        ).round(),
+        0,
+        255,
+    ).astype(np.uint8)
+    f_jpeg = MediaDecoder.features(encode_jpeg(px, quality=95), "image")
+    f_bmp = MediaDecoder.features(encode_bmp(px), "image")
+    assert float(np.dot(f_jpeg, f_bmp)) > 0.9999
 
 
 def test_png_roundtrip_exact():
@@ -495,12 +519,14 @@ def test_synthetic_corpus_rotates_compressed_containers(spark):
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=36)
+    media = synthetic_media(spark, n=48)
     img = media.filter("kind = 'image'")
     payloads = [bytes(r.payload) for r in img.collect()]
-    # 12 image rows cycle through all six containers twice
-    assert len(payloads) == 12
+    # 16 image rows cycle through all eight containers twice
+    assert len(payloads) == 16
     n_png = sum(p.startswith(b"\x89PNG\r\n\x1a\n") for p in payloads)
+    n_jpeg = sum(p.startswith(b"\xff\xd8\xff") for p in payloads)
     assert n_png == 6  # png + png_i + png_pal, two cycles
+    assert n_jpeg == 4  # jpeg(444) + jpeg420+restarts, two cycles
     feats = extract_features(media)
-    assert feats.filter("kind = 'image'").count() == 12
+    assert feats.filter("kind = 'image'").count() == 16

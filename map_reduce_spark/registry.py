@@ -247,13 +247,14 @@ _CHECK_FIRST = [
 # promoted at the r8 rotation: doc_langid_ngram (trained
 # Cavnar-Trenkle trigram-profile language ID, functions/text.py);
 # rag_bm25_search (Okapi BM25 impact-index retrieval,
-# functions/retrieval.py).
+# functions/retrieval.py); doc_bpe_tokens (corpus-trained BPE piece
+# counts, functions/bpe.py — rows-only, differential-tested).
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the
     registry reordered so the ``_CHECK_FIRST`` block leads."""
-    from map_reduce_spark.functions import text, dedup, similarity, multimodal, prep, retrieval  # noqa: F401
+    from map_reduce_spark.functions import text, dedup, similarity, multimodal, prep, retrieval, bpe  # noqa: F401
     from map_reduce_spark.operators import text_rel  # noqa: F401
     from map_reduce_spark.streaming import events_batch  # noqa: F401
     from map_reduce_spark.operators import (  # noqa: F401

@@ -81,6 +81,7 @@ ALLOWED_NESTED_LOOP = {
     "events_ordered_funnel",  # two broadcast 1-row stage-count scalars
     "quality_split_drift",  # broadcast 1-row split-totals scalar
     "rag_chunk_tfidf_search",  # broadcast 1-row chunk-count scalar (x2)
+    "rag_bm25_search",  # broadcast 1-row (n, avgdl) corpus-stats scalars
 }
 
 

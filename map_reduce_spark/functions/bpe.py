@@ -192,8 +192,13 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .mapInPandas(encode_batches, "word string, n_pieces long")
         )
+        # NO forced broadcast on word_pieces: it is vocab-bounded on
+        # natural corpora (Zipf) but grows LINEARLY on an adversarial
+        # all-unique-words corpus — the forced-broadcast OOM trap the
+        # plan audits exist to catch. AQE sees the actual post-encode
+        # size at runtime and broadcasts exactly when it is small.
         return (
-            doc_words.join(F.broadcast(word_pieces), "word")
+            doc_words.join(word_pieces, "word")
             .groupBy("doc_id")
             .agg(
                 F.sum("cnt").alias("n_tokens"),

@@ -1376,3 +1376,157 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the continuous-ingest shape
+# ---------------------------------------------------------------------------
+#
+# Every 10th document plays the INCOMING micro-batch; the rest are the
+# EXISTING corpus. The real deployment keeps the fingerprint table and
+# the shingle index as persistent artifacts and probes them with each
+# ingest batch — exactly the asymmetric join below, where "existing"
+# is an index scan, never recomputed per batch.
+INCREMENT_MOD = 10
+
+_INCREMENTAL_SQL = (
+    _SHINGLE_PREFIX_SQL
+    + f""",
+    inc AS (SELECT doc_id FROM documents WHERE doc_id % {INCREMENT_MOD} = 0),
+    fp AS MATERIALIZED (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+    exact AS (
+        SELECT i.doc_id, min(e.doc_id) AS exact_match
+        FROM fp i JOIN fp e ON i.f = e.f AND e.doc_id % {INCREMENT_MOD} <> 0
+        WHERE i.doc_id % {INCREMENT_MOD} = 0 GROUP BY i.doc_id),
+    hot AS (
+        SELECT sh FROM shingles WHERE doc_id % {INCREMENT_MOD} <> 0
+        GROUP BY sh HAVING count(*) > {SHINGLE_DF_CAP}),
+    rare AS MATERIALIZED (
+        SELECT doc_id, sh FROM shingles
+        WHERE sh NOT IN (SELECT sh FROM hot)),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+    common AS (
+        SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc, count(*) AS n_common
+        FROM rare i JOIN rare e ON i.sh = e.sh
+        WHERE i.doc_id % {INCREMENT_MOD} = 0 AND e.doc_id % {INCREMENT_MOD} <> 0
+        GROUP BY 1, 2),
+    near AS (
+        SELECT inc_doc, ex_doc,
+               round(n_common * 1.0 / (si.n + se.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes si ON si.doc_id = inc_doc
+        JOIN sizes se ON se.doc_id = ex_doc
+        WHERE n_common * 1.0 / (si.n + se.n - n_common) >= {JACCARD_THRESHOLD}),
+    best AS (
+        SELECT inc_doc, ex_doc, jaccard FROM near
+        QUALIFY row_number() OVER (PARTITION BY inc_doc
+                                   ORDER BY jaccard DESC, ex_doc ASC) = 1)
+    SELECT i.doc_id,
+           CASE WHEN x.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN b.ex_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           coalesce(x.exact_match, b.ex_doc) AS match_doc,
+           CASE WHEN x.exact_match IS NULL THEN b.jaccard END AS jaccard
+    FROM inc i
+    LEFT JOIN exact x ON x.doc_id = i.doc_id
+    LEFT JOIN best b ON b.inc_doc = i.doc_id
+    ORDER BY i.doc_id
+    """
+)
+
+
+@register("dedup_incremental_batch", oracle_sql=_INCREMENTAL_SQL)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: each INCOMING document (doc_id %
+    INCREMENT_MOD == 0 plays the ingest micro-batch) gets a verdict
+    against the EXISTING corpus — 'exact_dup' (normalized-fingerprint
+    match; match_doc = lowest matching existing doc), 'near_dup'
+    (capped-space Jaccard >= threshold; match_doc = best match by
+    jaccard DESC, doc ASC), or 'keep'.
+
+    The batch-shaped asymmetry is the point, and it is what the
+    all-pairs dedup queries above cannot express: the existing corpus
+    participates only as two probe-able INDEXES (fingerprint table +
+    shingle inverted index), and all pair generation is incoming x
+    existing — never existing x existing, so per-batch cost is
+    proportional to the BATCH's posting mass, not the corpus's.
+
+    Skew bound: the DF cap here is computed on the EXISTING side (the
+    index that exists at ingest time — deliberately different from
+    ``capped_shingles``' whole-corpus df), so one shingle fans out at
+    most batch_df x SHINGLE_DF_CAP pairs; the batch factor is bounded
+    by the micro-batch size by construction. Round-then-rank with a
+    doc tiebreak keeps the best-match choice engine-identical.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    is_inc = (F.col("doc_id") % INCREMENT_MOD) == 0
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("f"))
+    exact = (
+        fp.filter(is_inc)
+        .alias("i")
+        .join(fp.filter(~is_inc).alias("e"), F.col("i.f") == F.col("e.f"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("e.doc_id")).alias("exact_match"))
+    )
+
+    sh = doc_shingles(spark, sf_dir)
+    hot = (
+        sh.filter(~is_inc)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    rare = sh.join(hot, "sh", "left_anti")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        rare.filter(is_inc)
+        .alias("i")
+        .join(rare.filter(~is_inc).alias("e"), F.col("i.sh") == F.col("e.sh"))
+        .groupBy(
+            F.col("i.doc_id").alias("inc_doc"), F.col("e.doc_id").alias("ex_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    si = sizes.select(F.col("doc_id").alias("inc_doc"), F.col("n").alias("ni"))
+    se = sizes.select(F.col("doc_id").alias("ex_doc"), F.col("n").alias("ne"))
+    jac = F.col("n_common") * 1.0 / (F.col("ni") + F.col("ne") - F.col("n_common"))
+    from pyspark.sql import Window as W
+
+    best = (
+        common.join(si, "inc_doc")
+        .join(se, "ex_doc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("inc_doc", "ex_doc", F.round(jac, 6).alias("jaccard"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("inc_doc").orderBy(
+                    F.col("jaccard").desc(), F.col("ex_doc").asc()
+                )
+            ),
+        )
+        .filter(F.col("pos") == 1)
+        .drop("pos")
+    )
+    return (
+        docs.filter(is_inc)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("inc_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("ex_doc").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce("exact_match", "ex_doc").alias("match_doc"),
+            F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )

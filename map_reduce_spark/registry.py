@@ -248,7 +248,9 @@ _CHECK_FIRST = [
 # Cavnar-Trenkle trigram-profile language ID, functions/text.py);
 # rag_bm25_search (Okapi BM25 impact-index retrieval,
 # functions/retrieval.py); doc_bpe_tokens (corpus-trained BPE piece
-# counts, functions/bpe.py — rows-only, differential-tested).
+# counts, functions/bpe.py — rows-only, differential-tested);
+# dedup_incremental_batch (batch-vs-corpus ingest dedup,
+# functions/dedup.py).
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -313,3 +313,58 @@ def test_exact_substring_differential_vs_python(spark):
     assert got[3][1] == 0  # internal repetition is not duplication
     assert got[6][1] == got[6][0]  # exact dup pair: every window shared
     assert got[1][2] >= 2  # overlapping boilerplate windows form a run
+
+
+# --- incremental batch-vs-corpus dedup (r7) --------------------------
+
+
+def test_incremental_batch_verdicts(spark, tmp_path):
+    """Crafted split: doc 10 (incoming) is an EXACT copy of existing
+    doc 3; doc 20 (incoming) is a NEAR copy of existing doc 7 (one
+    word changed); doc 30 (incoming) shares nothing -> keep. Existing
+    near-dups of each other (docs 5, 6) must NOT appear: verdicts are
+    for the incoming batch only, pairs are incoming x existing only."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_spark.functions.dedup import dedup_incremental_batch
+
+    base = ("spark shuffle partition broadcast join aggregate window "
+            "catalyst tungsten codegen arrow stream batch watermark state")
+    near = base.replace("arrow", "falcon")
+    texts = {
+        3: base,                      # existing
+        5: "alpha beta gamma delta epsilon zeta eta theta " * 3,  # existing
+        6: "alpha beta gamma delta epsilon zeta eta theta " * 3,  # existing twin
+        7: base.replace("state", "checkpoint"),   # existing
+        10: base,                     # incoming: exact copy of 3
+        20: near,                     # incoming: near-dup of 3/7 family
+        30: "completely different words about cooking pasta tonight "
+            "with tomatoes basil garlic and olive oil for dinner",
+        11: "another unrelated existing document talking about hiking "
+            "mountains rivers forests and long quiet trails in autumn",
+    }
+    rows = sorted(texts.items())
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "inc")
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    out = {r.doc_id: r for r in dedup_incremental_batch(spark, d).collect()}
+    # only incoming docs (doc_id % 10 == 0) get verdicts
+    assert set(out) == {10, 20, 30}
+    assert out[10].verdict == "exact_dup" and out[10].match_doc == 3
+    assert out[10].jaccard is None
+    assert out[20].verdict == "near_dup" and out[20].match_doc in (3, 7)
+    assert out[20].jaccard is not None and out[20].jaccard >= 0.6
+    assert out[30].verdict == "keep" and out[30].match_doc is None

@@ -404,9 +404,20 @@ def chunk_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # JOIN ORDER IS THE INDEX LAYOUT (r7, measured): the last shuffle
+    # before the persist decides the cached partitioning, and the
+    # search's (probe_uid, cand_uid) aggregate combines perfectly only
+    # when every cand_uid (chunk) lives in one partition. token-last
+    # left the index token-partitioned — each pair group scattered
+    # across every partition its tokens touched, partial aggregation
+    # combined nothing, and the 94M-row pair stream hit the final
+    # exchange uncombined (59 s vs 3.9 s for the identical aggregate
+    # over the chunk_uid-partitioned tfidf index at the 64k Zipf
+    # point). chunk_uid-last matches what chunk_tfidf_index gets for
+    # free from its norms join.
     return (
-        tf.join(lens, "chunk_uid")
-        .join(idf, "token")
+        tf.join(idf, "token")
+        .join(lens, "chunk_uid")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .select(
             "chunk_uid",
@@ -444,16 +455,26 @@ def rag_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED score with a cand_uid tiebreak (round-then-rank
     convention, see _tfidf_search FP note).
     """
+    return _bm25_search(spark, sf_dir, PROBE_DOC_MOD)
+
+
+def _bm25_search(
+    spark: SparkSession, sf_dir: str, probe_doc_mod: int
+) -> DataFrame:
+    """Parameterized core of ``rag_bm25_search`` (probe chunks = those
+    of every ``probe_doc_mod``-th document) — the knob the Zipf scale
+    study turns to hold the probe COUNT fixed across corpus sizes,
+    exactly as for ``_tfidf_search``."""
     bm = chunk_bm25_index(spark, sf_dir)
     probes = bm.filter(
-        (F.expr(f"chunk_uid DIV {CHUNKS_PER_DOC_CAP}") % PROBE_DOC_MOD) == 0
+        (F.expr(f"chunk_uid DIV {CHUNKS_PER_DOC_CAP}") % probe_doc_mod) == 0
     ).select(
         F.col("chunk_uid").alias("probe_uid"),
         F.col("token").alias("p_token"),
         F.col("tf").alias("tf_q"),
     )
     n_probe_docs = -(
-        -parquet_num_rows(f"{sf_dir}/documents.parquet") // PROBE_DOC_MOD
+        -parquet_num_rows(f"{sf_dir}/documents.parquet") // probe_doc_mod
     )
     probe_side = (
         F.broadcast(probes) if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS else probes

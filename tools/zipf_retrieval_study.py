@@ -80,15 +80,22 @@ def make_corpus(out_dir: str, n_docs: int, vocab: int, doc_tokens: int, seed: in
     pq.write_table(tbl, f"{out_dir}/documents.parquet")
 
 
-def duckdb_twin_seconds(sf_dir: str, probe_doc_mod: int) -> tuple[float, list]:
+def duckdb_twin_seconds(
+    sf_dir: str, probe_doc_mod: int, op: str = "tfidf"
+) -> tuple[float, list]:
     """DuckDB running the registered oracle SQL with the study's probe
     modulus substituted — the same parameterization the Spark side
     gets."""
     import duckdb
 
-    from map_reduce_spark.functions.retrieval import _RETRIEVAL_SQL, PROBE_DOC_MOD
+    from map_reduce_spark.functions.retrieval import (
+        _BM25_SQL,
+        _RETRIEVAL_SQL,
+        PROBE_DOC_MOD,
+    )
 
-    sql = _RETRIEVAL_SQL.replace(f"% {PROBE_DOC_MOD} = 0", f"% {probe_doc_mod} = 0")
+    base = _RETRIEVAL_SQL if op == "tfidf" else _BM25_SQL
+    sql = base.replace(f"% {PROBE_DOC_MOD} = 0", f"% {probe_doc_mod} = 0")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
@@ -150,12 +157,20 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/zipf_retrieval")
     ap.add_argument("--out", default="ZIPF_RETRIEVAL_STUDY_r07.json")
+    ap.add_argument(
+        "--op",
+        choices=("tfidf", "bm25"),
+        default="tfidf",
+        help="which sparse-retrieval core to measure (both share the "
+        "inverted-index join shape; bm25 swaps the per-posting weight)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
-    from map_reduce_spark.functions.retrieval import _tfidf_search
+    from map_reduce_spark.functions.retrieval import _bm25_search, _tfidf_search
     from map_reduce_spark.session import get_spark
 
+    search = _tfidf_search if args.op == "tfidf" else _bm25_search
     spark = get_spark()
     results = []
     for n in sizes:
@@ -168,7 +183,7 @@ def main() -> int:
         rows = None
         for _ in range(args.runs):
             t0 = time.monotonic()
-            rows = _tfidf_search(spark, sf_dir, probe_mod).collect()
+            rows = search(spark, sf_dir, probe_mod).collect()
             times.append(time.monotonic() - t0)
         rec = {
             "n_docs": n,
@@ -182,7 +197,7 @@ def main() -> int:
         # point (DuckDB twin is quadratic-ish in engine overhead at the
         # larger ones and isn't the object of measurement)
         if n == sizes[0]:
-            dsec, drows = duckdb_twin_seconds(sf_dir, probe_mod)
+            dsec, drows = duckdb_twin_seconds(sf_dir, probe_mod, args.op)
             got = sorted((r.probe_uid, r.cand_uid, r.rank) for r in rows)
             want = sorted((r[0], r[1], r[3]) for r in drows)
             rec["duckdb_sec"] = round(dsec, 3)
@@ -195,6 +210,7 @@ def main() -> int:
         cur["mass_ratio_vs_prev"] = round(cur["posting_mass"] / prev["posting_mass"], 2)
     out = {
         "study": "zipf_retrieval_fixed_vocab_fixed_probes",
+        "op": args.op,
         "vocab": args.vocab,
         "zipf_s": ZIPF_S,
         "doc_tokens": args.doc_tokens,

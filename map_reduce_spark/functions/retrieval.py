@@ -138,8 +138,11 @@ _CHUNK_TF_CTE = f"""
         FROM chunk_toks GROUP BY chunk_uid, token)
     """
 
-_RETRIEVAL_SQL = f"""
-    {_CHUNK_TF_CTE},
+# The TF-IDF CTE chain (t_ranked = per-probe cosine ranking). Kept as
+# a separate constant so _RRF_SQL can compose it with the BM25 chain
+# below — CTE names are disjoint between the two chains for exactly
+# that reason.
+_TFIDF_CHAIN = f"""
     nchunks AS (SELECT count(DISTINCT chunk_uid) AS n FROM tf),
     df AS (
         SELECT token, count(*) AS df FROM tf, nchunks GROUP BY token, n
@@ -149,25 +152,29 @@ _RETRIEVAL_SQL = f"""
         FROM tf JOIN df ON tf.token = df.token, nchunks),
     norms AS MATERIALIZED (
         SELECT chunk_uid, sqrt(sum(w * w)) AS nrm FROM w GROUP BY chunk_uid),
-    scores AS (
+    t_scores AS (
         SELECT p.chunk_uid AS probe_uid, c.chunk_uid AS cand_uid,
                sum(p.w * c.w) AS num
         FROM w p JOIN w c ON p.token = c.token
         WHERE (p.chunk_uid // {CHUNKS_PER_DOC_CAP}) % {PROBE_DOC_MOD} = 0
           AND p.chunk_uid <> c.chunk_uid
         GROUP BY p.chunk_uid, c.chunk_uid),
-    ranked AS (
+    t_ranked AS (
         SELECT probe_uid, cand_uid,
                round(num / (np.nrm * nc.nrm), 6) AS score,
                row_number() OVER (
                    PARTITION BY probe_uid
                    ORDER BY round(num / (np.nrm * nc.nrm), 6) DESC, cand_uid)
                    AS rank
-        FROM scores
+        FROM t_scores
         JOIN norms np ON np.chunk_uid = probe_uid
-        JOIN norms nc ON nc.chunk_uid = cand_uid)
+        JOIN norms nc ON nc.chunk_uid = cand_uid)"""
+
+_RETRIEVAL_SQL = f"""
+    {_CHUNK_TF_CTE},
+    {_TFIDF_CHAIN}
     SELECT probe_uid, cand_uid, score, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {RETRIEVAL_TOP_K}
+    FROM t_ranked WHERE rank <= {RETRIEVAL_TOP_K}
     ORDER BY probe_uid, rank
     """
 
@@ -251,8 +258,14 @@ def chunk_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("chunk_uid").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    return w.join(norms, "chunk_uid").select(
-        "chunk_uid", "token", (F.col("w") / F.col("nrm")).alias("wn")
+    # Pin the chunk_uid layout explicitly (see chunk_bm25_index: the
+    # search aggregate's map-side combine depends on it, and leaving
+    # it to the norms join makes it an AQE-broadcast-decision away
+    # from silently scattering).
+    return (
+        w.join(norms, "chunk_uid")
+        .repartition("chunk_uid")
+        .select("chunk_uid", "token", (F.col("w") / F.col("nrm")).alias("wn"))
     )
 
 
@@ -340,8 +353,10 @@ def _tfidf_search(
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-_BM25_SQL = f"""
-    {_CHUNK_TF_CTE},
+# The BM25 CTE chain (b_ranked = per-probe impact ranking); CTE names
+# disjoint from _TFIDF_CHAIN so _RRF_SQL can run both over one shared
+# tf materialization.
+_BM25_CHAIN = f"""
     lens AS MATERIALIZED (
         SELECT chunk_uid, sum(tf) AS dl FROM tf GROUP BY chunk_uid),
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
@@ -355,21 +370,25 @@ _BM25_SQL = f"""
                    (tf.tf + {BM25_K1} *
                     (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl)) AS bm
         FROM tf JOIN lens USING (chunk_uid) JOIN idf USING (token), stats),
-    scores AS (
+    b_scores AS (
         SELECT p.chunk_uid AS probe_uid, c.chunk_uid AS cand_uid,
                sum(p.tf * c.bm) AS s
         FROM bm p JOIN bm c ON p.token = c.token
         WHERE (p.chunk_uid // {CHUNKS_PER_DOC_CAP}) % {PROBE_DOC_MOD} = 0
           AND p.chunk_uid <> c.chunk_uid
         GROUP BY p.chunk_uid, c.chunk_uid),
-    ranked AS (
+    b_ranked AS (
         SELECT probe_uid, cand_uid, round(s, 6) AS score,
                row_number() OVER (
                    PARTITION BY probe_uid
                    ORDER BY round(s, 6) DESC, cand_uid) AS rank
-        FROM scores)
+        FROM b_scores)"""
+
+_BM25_SQL = f"""
+    {_CHUNK_TF_CTE},
+    {_BM25_CHAIN}
     SELECT probe_uid, cand_uid, score, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {RETRIEVAL_TOP_K}
+    FROM b_ranked WHERE rank <= {RETRIEVAL_TOP_K}
     ORDER BY probe_uid, rank
     """
 
@@ -404,21 +423,26 @@ def chunk_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # JOIN ORDER IS THE INDEX LAYOUT (r7, measured): the last shuffle
-    # before the persist decides the cached partitioning, and the
-    # search's (probe_uid, cand_uid) aggregate combines perfectly only
-    # when every cand_uid (chunk) lives in one partition. token-last
-    # left the index token-partitioned — each pair group scattered
-    # across every partition its tokens touched, partial aggregation
-    # combined nothing, and the 94M-row pair stream hit the final
-    # exchange uncombined (59 s vs 3.9 s for the identical aggregate
-    # over the chunk_uid-partitioned tfidf index at the 64k Zipf
-    # point). chunk_uid-last matches what chunk_tfidf_index gets for
-    # free from its norms join.
+    # THE INDEX LAYOUT IS chunk_uid (r7, measured): the search's
+    # (probe_uid, cand_uid) aggregate combines map-side only when
+    # every cand_uid's (chunk's) postings live in ONE partition —
+    # with the layout scattered, partial aggregation combines nothing
+    # and the 94M-row pair stream at the 64k Zipf point hits the
+    # final exchange uncombined (59 s vs 3.9 s for the identical
+    # aggregate over a chunk-partitioned index). Join order CANNOT
+    # pin this: idf (the vocabulary) and lens (two ints per chunk)
+    # are exactly the frames AQE turns into broadcasts at runtime, so
+    # whichever join runs last may leave the index on tf's
+    # (chunk_uid, token) grouping hash — scattered per chunk. The
+    # explicit repartition states the layout; it costs one exchange
+    # in the once-per-(session, corpus) build and is what
+    # chunk_tfidf_index's norms join currently produces by planner
+    # accident.
     return (
         tf.join(idf, "token")
         .join(lens, "chunk_uid")
         .crossJoin(F.broadcast(stats.select("avgdl")))
+        .repartition("chunk_uid")
         .select(
             "chunk_uid",
             "token",
@@ -498,3 +522,103 @@ def _bm25_search(
     return ranked.select(
         "probe_uid", "cand_uid", "score", F.col("rank").cast("long").alias("rank")
     ).orderBy("probe_uid", "rank")
+
+
+# --- Hybrid rank fusion ----------------------------------------------
+#
+# Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009): fuse the
+# top-k lists of N retrieval systems by sum of 1/(RRF_K + rank).
+# RRF_K=60 is the paper's constant.
+RRF_K = 60
+
+_RRF_SQL = f"""
+    {_CHUNK_TF_CTE},
+    {_TFIDF_CHAIN},
+    {_BM25_CHAIN},
+    fused AS (
+        SELECT coalesce(t.probe_uid, b.probe_uid) AS probe_uid,
+               coalesce(t.cand_uid, b.cand_uid) AS cand_uid,
+               coalesce(1.0 / ({RRF_K} + t.rank), 0)
+                   + coalesce(1.0 / ({RRF_K} + b.rank), 0) AS rrf
+        FROM (SELECT * FROM t_ranked WHERE rank <= {RETRIEVAL_TOP_K}) t
+        FULL JOIN (SELECT * FROM b_ranked WHERE rank <= {RETRIEVAL_TOP_K}) b
+          ON t.probe_uid = b.probe_uid AND t.cand_uid = b.cand_uid),
+    f_ranked AS (
+        SELECT probe_uid, cand_uid, round(rrf, 9) AS rrf_score,
+               row_number() OVER (
+                   PARTITION BY probe_uid
+                   ORDER BY round(rrf, 9) DESC, cand_uid) AS rank
+        FROM fused)
+    SELECT probe_uid, cand_uid, rrf_score, CAST(rank AS BIGINT) AS rank
+    FROM f_ranked WHERE rank <= {RETRIEVAL_TOP_K}
+    ORDER BY probe_uid, rank
+    """
+
+
+@register("rag_rrf_fusion_search", oracle_sql=_RRF_SQL)
+def rag_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: the TF-IDF cosine
+    and BM25 top-k lists for each probe are fused by
+    sum(1 / (60 + rank)) and re-ranked — the standard way production
+    search combines heterogeneous rankers without score calibration
+    (the two systems' score scales never meet; only ranks do).
+
+    The two base rankings are the registered ``rag_chunk_tfidf_search``
+    and ``rag_bm25_search`` pipelines (shared ``chunk_tokens`` CTE,
+    both indexes session-cached), so the fusion adds only a full-outer
+    equi-join of two (n_probes x k)-row frames plus one per-probe
+    window — nothing corpus-sized beyond what the base searches
+    already did, and the two index builds/searches are independent
+    subtrees the scheduler runs concurrently.
+
+    Hash stability: ranks are integers and each 1/(60+rank) is the
+    same IEEE double in both engines; a two-term float sum is
+    commutative, so the fused score is bit-identical everywhere and
+    the round(9) + cand_uid tiebreak ranks identically (same
+    round-then-rank convention as the base searches).
+    """
+    tf_ranked = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD).select(
+        F.col("probe_uid").alias("t_probe"),
+        F.col("cand_uid").alias("t_cand"),
+        F.col("rank").alias("t_rank"),
+    )
+    bm_ranked = _bm25_search(spark, sf_dir, PROBE_DOC_MOD).select(
+        F.col("probe_uid").alias("b_probe"),
+        F.col("cand_uid").alias("b_cand"),
+        F.col("rank").alias("b_rank"),
+    )
+    fused = (
+        tf_ranked.join(
+            bm_ranked,
+            (F.col("t_probe") == F.col("b_probe"))
+            & (F.col("t_cand") == F.col("b_cand")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("t_probe", "b_probe").alias("probe_uid"),
+            F.coalesce("t_cand", "b_cand").alias("cand_uid"),
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("t_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("b_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn("rrf_score", F.round("rrf", 9))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("probe_uid").orderBy(
+                    F.desc("rrf_score"), F.asc("cand_uid")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        .select(
+            "probe_uid",
+            "cand_uid",
+            "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("probe_uid", "rank")
+    )

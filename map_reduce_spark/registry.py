@@ -250,7 +250,12 @@ _CHECK_FIRST = [
 # functions/retrieval.py); doc_bpe_tokens (corpus-trained BPE piece
 # counts, functions/bpe.py — rows-only, differential-tested);
 # dedup_incremental_batch (batch-vs-corpus ingest dedup,
-# functions/dedup.py).
+# functions/dedup.py); q11ish_concentrated_part_values,
+# q16ish_supplier_part_relationships, q20ish_dominant_part_suppliers
+# (the partsupp-adapted TPC-H stragglers completing the 22-query
+# matrix, operators/relational4.py); streaming_enrich_static (the
+# stream-static enrichment join replay completing the streaming join
+# topology matrix, streaming/events_batch.py).
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -265,6 +270,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational2,
         relational,
         relational3,
+        relational4,
         windows,
         sql_queries,
     )

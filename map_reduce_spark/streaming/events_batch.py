@@ -642,3 +642,63 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
     return deferred(
         spark, "user_id bigint, n_events bigint, total_value double", drain
     )
+
+
+@register(
+    "streaming_enrich_static",
+    oracle_sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join on the hash gate: the events
+    stream joined per-microbatch to the static customer dimension
+    (market segment), then aggregated per tumbling hour — the
+    remaining join topology in the streaming matrix
+    (tumbling/sliding/session windows, dedup, stateful totals,
+    stream-stream interval join, and checkpoint recovery are already
+    gated; the enrich-against-catalog-dim shape was pytest-only).
+
+    Structured Streaming re-plans the static side into every
+    microbatch, so the batch/stream parity guarantee makes the
+    drained complete-mode result equal the static join + GROUP BY the
+    DuckDB oracle computes.
+
+    Scale: the static side is a broadcast dim (explicit), so each
+    microbatch's join is map-side against O(new events); aggregate
+    state is O(open windows x segments) bounded by the watermark. A
+    slowly-changing dimension at 100 TB would swap the static frame
+    for a Delta/compacted snapshot re-read per trigger — same plan
+    shape.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.sources import load_table
+    from map_reduce_spark.streaming.streams import (
+        read_events_stream,
+        run_available_now,
+        stream_static_segment_counts,
+    )
+
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            stream_static_segment_counts(
+                read_events_stream(spark, sf_dir),
+                load_table(spark, sf_dir, "customer"),
+            ),
+            "streaming_enrich_static",
+            output_mode="complete",
+        )
+        return drained.orderBy("window_start", "c_mktsegment")
+
+    return deferred(
+        spark,
+        "window_start string, c_mktsegment string, n_events bigint, total_value double",
+        drain,
+    )

@@ -100,6 +100,44 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_static_segment_counts(
+    events: DataFrame, customers: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregate: each event
+    enriched with its user's market segment from the STATIC customer
+    dimension, then counted per (window, segment).
+
+    The remaining join topology in the streaming matrix (stream-stream
+    interval join and all window families are covered elsewhere): the
+    static side is a plain batch DataFrame that Spark re-plans into
+    every microbatch — no state, no watermark needed on the dim side,
+    and with a dim-sized static side the per-microbatch join is a
+    broadcast hash join, the standard enrich shape for a 100 TB
+    stream against a catalog dimension. The watermark bounds only the
+    aggregate's window state, exactly as in ``tumbling_counts``.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", "2 hours")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("user_key"))
+        .groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_stream_error_click_join(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: each error event matched to the same
     user's click events in the preceding 30 minutes.

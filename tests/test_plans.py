@@ -29,6 +29,9 @@ BROADCAST_JOIN_QUERIES = [
     "q7ish_nation_trade_volume",  # supplier⋈nation dim broadcast
     "q9ish_product_profit",  # supplier⋈nation dim broadcast
     "q15ish_top_revenue_supplier",  # 1-row max + supplier dim broadcast
+    "q11ish_concentrated_part_values",  # supplier⋈nation⋈region dim collapse
+    "q16ish_supplier_part_relationships",  # negative-balance supplier dim anti
+    "q20ish_dominant_part_suppliers",  # nation dim + dominant-set broadcasts
 ]
 
 # Queries that must NOT hint a broadcast on a scale-linear table
@@ -65,6 +68,7 @@ PUSHDOWN_QUERIES = {
     # Q19's OR-of-ANDs: Catalyst must derive the single-side residual
     # (the l_quantity envelope) and push it to the lineitem scan
     "q19ish_disjunctive_revenue": "l_quantity",
+    "q20ish_dominant_part_suppliers": "l_shipdate",
 }
 
 # Deliberate nested-loop joins: a 4-row bucket table broadcast against
@@ -82,6 +86,8 @@ ALLOWED_NESTED_LOOP = {
     "quality_split_drift",  # broadcast 1-row split-totals scalar
     "rag_chunk_tfidf_search",  # broadcast 1-row chunk-count scalar (x2)
     "rag_bm25_search",  # broadcast 1-row (n, avgdl) corpus-stats scalars
+    "rag_rrf_fusion_search",  # inherits both base searches' 1-row scalars
+    "q11ish_concentrated_part_values",  # broadcast 1-row (n, total) threshold
 }
 
 

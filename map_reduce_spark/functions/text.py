@@ -809,3 +809,75 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_quality_buckets",
+    oracle_sql=_sql_tokens_cte()
+    + """
+    , tf AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks_t)
+        GROUP BY doc_id, tok),
+    ctf AS MATERIALIZED (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY tok),
+    tot AS (SELECT sum(ctf) AS total FROM ctf),
+    ll AS (
+        SELECT tf.doc_id,
+               round(sum(tf.tf * ln(ctf.ctf * 1.0 / tot.total))
+                     / sum(tf.tf), 6) AS mean_logprob
+        FROM tf JOIN ctf USING (tok) CROSS JOIN tot
+        GROUP BY tf.doc_id)
+    SELECT doc_id, lang, mean_logprob,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (
+        SELECT d.doc_id, d.lang, ll.mean_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY ll.mean_logprob DESC, d.doc_id)
+                   AS tercile
+        FROM documents d JOIN ll ON ll.doc_id = d.doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per-language head / middle /
+    tail terciles by mean unigram log-probability under the corpus's
+    own LM (Wenzek et al., "CCNet" — the standard cheap split that
+    keeps `head` for training and routes `tail` to heavier filters).
+
+    Ordering is on the ROUNDED (6 dp) mean log-prob with a doc_id
+    tiebreak, so the tercile assignment is deterministic and
+    engine-independent: both sides rank identical rounded doubles.
+
+    Scale: reuses the session-cached TF index via
+    ``doc_unigram_logprob`` (model table stays vocabulary-sized); the
+    ntile window is ONE sorted pass partitioned by language. Languages
+    are few and large at 100 TB, so this is the one deliberate
+    sort-heavy stage — the production variant samples per-language
+    perplexity QUANTILE CUTS (approx_percentile over a sample) and
+    assigns buckets by comparison instead of ranking every row; the
+    exact window form here is the oracle-checkable reference.
+    """
+    from pyspark.sql import Window as W
+
+    ll = doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_logprob")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tercile = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(
+            F.col("mean_logprob").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        docs.join(ll, "doc_id")
+        .withColumn("tercile", tercile)
+        .select(
+            "doc_id",
+            "lang",
+            "mean_logprob",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,166 @@
+"""Change-data-capture maintenance: MERGE / upsert semantics.
+
+Warehouses continuously fold change batches (inserts, updates,
+deletes) into large fact tables; ``MERGE INTO`` is the one relational
+maintenance primitive the registry did not yet cover. The reference
+engine (SURVEY.md §2.3) has no mutation surface at all — its jobs are
+scan→map→reduce over immutable inputs (/root/reference/src/mr/
+worker.go:87) — so this generalizes the same way the relational suite
+does: the merged table is DECLARED as a join, never mutated in place.
+
+Batch derivation follows ``dedup_incremental_batch``'s fixture
+convention (functions/dedup.py): deterministic key-residue slices of
+the existing table play the incoming change batch, so the query is
+self-contained and exactly oracle-able.
+
+Scale notes (100 TB target):
+- The general MERGE shape is ONE full-outer shuffle join keyed on the
+  merge key — both sides hash-partition on ``o_orderkey``, cost is a
+  single co-partitioned pass; no driver-side state.
+- Full-outer joins cannot broadcast, but when the change batch is
+  small relative to the target (the common CDC regime — NOT this
+  fixture's deliberate ~30 % slice), the plan rewrites to
+  ``target LEFT ANTI changes  UNION ALL  upserted-changes`` where the
+  anti and semi probes DO broadcast the batch, touching each target
+  partition exactly once with no shuffle. Lakehouse MERGE engines
+  (Delta/Iceberg) add partition pruning by the batch's touched-key
+  range on top; with a date-partitioned target the same predicate
+  would prune here too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+# Key-residue slices playing the change batch (mod 10 of o_orderkey):
+# residue 3 -> UPDATE, residue 7 -> DELETE, residue 5 -> INSERT (as a
+# fresh negated key that cannot collide with existing ones).
+_UPD_RES, _DEL_RES, _INS_RES = 3, 7, 5
+
+_MERGE_ORACLE = f"""
+    WITH changes AS (
+        SELECT o_orderkey AS c_key, 'U' AS op, o_custkey AS c_custkey,
+               'U' AS c_status, o_totalprice AS c_totalprice,
+               o_orderdate AS c_orderdate, '9-MERGED' AS c_priority
+        FROM orders WHERE o_orderkey % 10 = {_UPD_RES}
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, NULL, NULL, NULL, NULL
+        FROM orders WHERE o_orderkey % 10 = {_DEL_RES}
+        UNION ALL
+        SELECT -o_orderkey, 'I', o_custkey, 'N', o_totalprice,
+               o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = {_INS_RES}
+    )
+    SELECT coalesce(t.o_orderkey, c.c_key) AS o_orderkey,
+           CASE WHEN c.op = 'I' THEN c.c_custkey
+                ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN c.op IN ('U', 'I') THEN c.c_status
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op = 'I' THEN c.c_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           strftime(CASE WHEN c.op = 'I' THEN c.c_orderdate
+                         ELSE t.o_orderdate END,
+                    '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           CASE WHEN c.op IN ('U', 'I') THEN c.c_priority
+                ELSE t.o_orderpriority END AS o_orderpriority,
+           CASE c.op WHEN 'U' THEN 'updated' WHEN 'I' THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.c_key
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY o_orderkey
+"""
+
+
+@register("merge_orders_upsert", oracle_sql=_MERGE_ORACLE)
+def merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: apply an update/delete/insert change batch
+    in one pass, emitting the maintained table plus a ``merge_action``
+    audit column (kept / updated / inserted; deletes vanish).
+
+    Semantics match ANSI MERGE: WHEN MATCHED AND op='U' THEN UPDATE,
+    WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED THEN INSERT.
+    Every change column is copied or integer/interval-derived — no
+    floating-point arithmetic — so the oracle comparison is exact.
+
+    Plan: one full-outer sort-merge join on ``o_orderkey`` (see module
+    docstring for the broadcast rewrite when the batch is small).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def payload(op: str) -> DataFrame:
+        base = orders
+        if op == "U":
+            rows = base.filter(k % 10 == _UPD_RES).select(
+                k.alias("c_key"),
+                F.lit("U").alias("op"),
+                F.col("o_custkey").alias("c_custkey"),
+                F.lit("U").alias("c_status"),
+                F.col("o_totalprice").alias("c_totalprice"),
+                F.col("o_orderdate").alias("c_orderdate"),
+                F.lit("9-MERGED").alias("c_priority"),
+            )
+        elif op == "D":
+            rows = base.filter(k % 10 == _DEL_RES).select(
+                k.alias("c_key"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("bigint").alias("c_custkey"),
+                F.lit(None).cast("string").alias("c_status"),
+                F.lit(None).cast("double").alias("c_totalprice"),
+                F.lit(None).cast("timestamp").alias("c_orderdate"),
+                F.lit(None).cast("string").alias("c_priority"),
+            )
+        else:  # insert: fresh negated keys, shifted a day
+            rows = base.filter(k % 10 == _INS_RES).select(
+                (-k).alias("c_key"),
+                F.lit("I").alias("op"),
+                F.col("o_custkey").alias("c_custkey"),
+                F.lit("N").alias("c_status"),
+                F.col("o_totalprice").alias("c_totalprice"),
+                (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias(
+                    "c_orderdate"
+                ),
+                F.col("o_orderpriority").alias("c_priority"),
+            )
+        return rows
+
+    changes = payload("U").unionByName(payload("D")).unionByName(payload("I"))
+    t, c = orders.alias("t"), changes.alias("c")
+    op = F.col("c.op")
+    upserted = op.isin("U", "I")
+    merged = t.join(c, F.col("t.o_orderkey") == F.col("c.c_key"), "full_outer")
+    return (
+        merged.filter(op.isNull() | (op != "D"))
+        .select(
+            F.coalesce(F.col("t.o_orderkey"), F.col("c.c_key")).alias(
+                "o_orderkey"
+            ),
+            F.when(op == "I", F.col("c.c_custkey"))
+            .otherwise(F.col("t.o_custkey"))
+            .alias("o_custkey"),
+            F.when(upserted, F.col("c.c_status"))
+            .otherwise(F.col("t.o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(op == "I", F.col("c.c_totalprice"))
+            .otherwise(F.col("t.o_totalprice"))
+            .alias("o_totalprice"),
+            F.date_format(
+                F.when(op == "I", F.col("c.c_orderdate")).otherwise(
+                    F.col("t.o_orderdate")
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("o_orderdate"),
+            F.when(upserted, F.col("c.c_priority"))
+            .otherwise(F.col("t.o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(op == "U", F.lit("updated"))
+            .when(op == "I", F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("merge_action"),
+        )
+        .orderBy("o_orderkey")
+    )

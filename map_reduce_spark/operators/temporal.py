@@ -391,3 +391,75 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after"))))
         .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle_sql="""
+    SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                WHEN grouping(m) = 0 THEN 'month'
+                WHEN grouping(y) = 0 THEN 'year'
+                ELSE 'all' END AS grain,
+           coalesce(strftime(y, '%Y-%m-%d'), '<ALL>') AS y,
+           coalesce(strftime(m, '%Y-%m-%d'), '<ALL>') AS m,
+           coalesce(strftime(d, '%Y-%m-%d'), '<ALL>') AS d,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM (
+        SELECT date_trunc('year', ts) AS y, date_trunc('month', ts) AS m,
+               date_trunc('day', ts) AS d, value, user_id
+        FROM events)
+    GROUP BY ROLLUP (y, m, d)
+    ORDER BY grain, y, m, d
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass materializes
+    the day -> month -> year -> grand-total rollup of the events
+    hypertable (TimescaleDB's continuous-aggregate / druid-rollup
+    shape, expressed as a native time-hierarchy ROLLUP).
+
+    Scale: ROLLUP is a single hash aggregate whose Expand emits one
+    row per grain per input row — 4x map-side fan-out, but every
+    level is map-side combinable down to (days + months + years + 1)
+    rows, so shuffle volume is calendar-sized, not data-sized. At
+    100 TB the day grain dominates and is still bounded by
+    |distinct days|; count(DISTINCT user_id) is the one holistic
+    aggregate (exact, two-phase shuffle on (grain, user)) — swap for
+    approx_count_distinct when the serving layer tolerates error.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("year", "ts").alias("y"),
+        F.date_trunc("month", "ts").alias("m"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+        "user_id",
+    )
+    gid = F.grouping_id()
+    fmt = lambda c: F.coalesce(  # noqa: E731
+        F.date_format(c, "yyyy-MM-dd"), F.lit("<ALL>")
+    )
+    return (
+        ev.rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            gid.alias("gid"),
+        )
+        .select(
+            F.when(F.col("gid") == 0, "day")
+            .when(F.col("gid") == 1, "month")
+            .when(F.col("gid") == 3, "year")
+            .otherwise("all")
+            .alias("grain"),
+            fmt(F.col("y")).alias("y"),
+            fmt(F.col("m")).alias("m"),
+            fmt(F.col("d")).alias("d"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("grain", "y", "m", "d")
+    )

@@ -255,7 +255,14 @@ _CHECK_FIRST = [
 # (the partsupp-adapted TPC-H stragglers completing the 22-query
 # matrix, operators/relational4.py); streaming_enrich_static (the
 # stream-static enrichment join replay completing the streaming join
-# topology matrix, streaming/events_batch.py).
+# topology matrix, streaming/events_batch.py); rag_rrf_fusion_search
+# (reciprocal-rank fusion of the TF-IDF and BM25 top-k lists,
+# functions/retrieval.py); merge_orders_upsert (CDC MERGE/upsert
+# maintenance, operators/cdc.py); events_hypertable_rollup
+# (continuous-aggregate time-hierarchy rollup, operators/temporal.py);
+# doc_quality_buckets (CCNet per-language perplexity terciles,
+# functions/text.py). All are oracle-gated at sf0.001/0.01/0.1 by
+# tools/check_oracle.py every round while they wait.
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -267,6 +274,7 @@ def load_all() -> dict[str, QuerySpec]:
     from map_reduce_spark.operators import (  # noqa: F401
         temporal,
         advanced,
+        cdc,
         relational2,
         relational,
         relational3,

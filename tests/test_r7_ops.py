@@ -1,0 +1,101 @@
+"""Property tests for the round-7 late additions: the CDC MERGE
+upsert, the hypertable time rollup, and CCNet quality bucketing.
+
+Value-level correctness is covered by the DuckDB oracle gate
+(tools/check_oracle.py — all three are oracle-gated at three scales);
+these pin the structural invariants the oracle hash alone doesn't
+state explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import load_all
+from map_reduce_spark.sources import load_table
+
+
+def test_merge_applies_every_change_class(spark, sf_dir):
+    """MERGE semantics hold row-for-row against the source table:
+    deletes vanish, updates keep their key with mutated payload,
+    inserts appear under fresh keys, everything else is byte-kept."""
+    out = load_all()["merge_orders_upsert"].builder(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    res = {r["r"]: r["n"] for r in
+           orders.groupBy((F.col("o_orderkey") % 10).alias("r"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = orders.count()
+    counts = {r["merge_action"]: r["n"] for r in
+              out.groupBy("merge_action").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    assert counts.get("updated", 0) == res.get(3, 0)
+    assert counts.get("inserted", 0) == res.get(5, 0)
+    assert counts.get("kept", 0) == n_total - res.get(3, 0) - res.get(7, 0)
+    # deleted keys are gone; inserted keys are the negated residue-5 set
+    assert out.filter((F.col("o_orderkey") % 10 == 7)
+                      & (F.col("o_orderkey") > 0)).count() == 0
+    assert out.filter(F.col("o_orderkey") < 0).count() == res.get(5, 0)
+    # updates mutate only the declared columns
+    upd = out.filter(F.col("merge_action") == "updated")
+    assert upd.filter((F.col("o_orderstatus") != "U")
+                      | (F.col("o_orderpriority") != "9-MERGED")).count() == 0
+    joined = upd.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("m_price"),
+        F.col("o_custkey").alias("m_cust"),
+    ).join(orders, "o_orderkey")
+    assert joined.filter(
+        (F.col("m_price") != F.col("o_totalprice"))
+        | (F.col("m_cust") != F.col("o_custkey"))
+    ).count() == 0
+
+
+def test_hypertable_rollup_grains_are_consistent(spark, sf_dir):
+    """Each coarser grain's totals equal the sum of its finer grain —
+    the invariant that makes a rollup serveable as a continuous
+    aggregate — and the 'all' row matches the raw table."""
+    out = load_all()["events_hypertable_rollup"].builder(spark, sf_dir)
+    rows = out.collect()
+    ev = load_table(spark, sf_dir, "events")
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r["grain"], []).append(r)
+    assert set(by_grain) == {"day", "month", "year", "all"}
+    (all_row,) = by_grain["all"]
+    assert all_row["n_events"] == ev.count()
+    assert all_row["n_users"] == ev.select("user_id").distinct().count()
+    for fine, coarse, key in (("day", "month", "m"), ("month", "year", "y")):
+        fine_sum = {}
+        for r in by_grain[fine]:
+            fine_sum[r[key]] = fine_sum.get(r[key], 0) + r["n_events"]
+        coarse_n = {r[key]: r["n_events"] for r in by_grain[coarse]}
+        assert fine_sum == coarse_n, (fine, coarse)
+    assert sum(r["n_events"] for r in by_grain["year"]) == all_row["n_events"]
+
+
+def test_quality_buckets_are_language_local_terciles(spark, sf_dir):
+    """Within every language: bucket sizes differ by at most one doc
+    (ntile contract), every doc is bucketed exactly once, and the
+    score ordering respects head >= middle >= tail."""
+    out = load_all()["doc_quality_buckets"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    per = (
+        out.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mean_logprob").alias("mn"),
+            F.max("mean_logprob").alias("mx"),
+        )
+        .collect()
+    )
+    langs = {}
+    for r in per:
+        langs.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in langs.items():
+        sizes = [b["n"] for b in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if {"head", "middle", "tail"} <= set(buckets):
+            assert buckets["head"]["mn"] >= buckets["middle"]["mx"], lang
+            assert buckets["middle"]["mn"] >= buckets["tail"]["mx"], lang

@@ -1,0 +1,414 @@
+"""Graph analytics over fixture-derived graphs: PageRank, triangle
+counting, and k-hop reachability.
+
+The reference engine's only graph-shaped computation is the iterative
+shuffle itself (map -> hash-partition -> reduce rounds,
+/root/reference/src/mr/coordinator.go, /root/reference/src/mr/worker.go:39-44);
+classic MapReduce papers use PageRank and BFS as the canonical
+multi-round jobs. This module expresses those rounds Spark-first:
+each iteration is one equi-join + one decomposable aggregate, unrolled
+a FIXED number of times into a single lazy Catalyst plan (no driver
+loop state, no collects), so AQE plans every round and the whole
+computation is one DAG.
+
+Graphs are derived from the star schema:
+
+- The BIPARTITE purchase graph: distinct (customer, supplier) pairs
+  connected through orders x lineitem, doubled into both directions.
+  Nodes are encoded into one bigint nid = key * 2 + kind (customers
+  even, suppliers odd) so every per-node frame is a narrow
+  (bigint, bigint) pair — cheap to shuffle at any scale.
+- The CO-SUPPLIER graph: suppliers co-occurring on the same
+  high-quantity order (l_quantity >= 45 thins lineitem ~8x first, so
+  the co-occurrence graph stays sparse as the supplier count grows —
+  the unthinned graph is near-complete at small SF and would make
+  triangle counting quadratic in suppliers).
+
+Determinism across engines (the driver hashes raw values): PageRank
+runs in FIXED-POINT bigint arithmetic — rank mass is an integer
+scaled by PR_SCALE, per-edge contributions use integer division
+(Spark ``DIV`` == DuckDB ``//`` for non-negative operands), and sums
+of bigints are exact and order-independent — so the Spark result and
+the unrolled-CTE DuckDB oracle agree bit-for-bit, with no float-drift
+rounding gamble anywhere. Triangles and hop distances are integers by
+nature.
+
+Scale notes per operator are on their docstrings; the shared design
+rule is that every iteration's shuffle is keyed by nid, partial
+aggregation applies (sum/min are decomposable), and nothing ever
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+# PageRank fixed-point scale: rank mass 1.0 == PR_SCALE. Total mass
+# across all nodes stays ~PR_SCALE (teleport re-injects what integer
+# truncation drops), so every intermediate (85 * sum(contrib)) is
+# bounded by ~85 * PR_SCALE = 8.5e13 << 2^63 — no bigint overflow at
+# any node count.
+PR_SCALE = 10**12
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+# Co-supplier graph thinning: only lineitems with quantity >= this
+# participate. Keeps ~12% of rows, and because pairs form per order
+# the edge count drops ~quadratically — measured sf0.1: 17,234 edges
+# over 1,000 suppliers (vs 214k+ unthinned, near-complete).
+TRI_MIN_QTY = 45
+
+# NATION_3 is the lowest nationkey with suppliers at every fixture
+# scale (sf0.001 has only 10 suppliers spread over 25 nations, so most
+# nations seed an empty BFS there).
+KHOP_SEED_NATION = "NATION_3"
+KHOP_HOPS = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _purchase_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c, s) customer-supplier purchase relation.
+
+    orders x lineitem equi-join on the orderkey both sides are
+    clustered by, then a distinct on the pair — one shuffle keyed by
+    (c, s), decomposable, output bounded by |customers| x avg
+    distinct suppliers per customer (~40 at sf0.1), far below the
+    lineitem row count.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (src, dst) bigint edges of the doubled bipartite
+    purchase graph. Customers get nid = 2*custkey, suppliers
+    nid = 2*suppkey + 1."""
+    rel = _purchase_rel(spark, sf_dir)
+    c_nid = (F.col("c") * 2).alias("cn")
+    s_nid = (F.col("s") * 2 + 1).alias("sn")
+    fwd = rel.select(c_nid.alias("src"), s_nid.alias("dst"))
+    bwd = rel.select(s_nid.alias("src"), c_nid.alias("dst"))
+    return fwd.unionAll(bwd)
+
+
+_PAGERANK_ORACLE = f"""
+    WITH rel AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM rel
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM rel),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (
+        SELECT src AS nid, {PR_SCALE} // (SELECT n FROM nn) AS pr
+        FROM deg),
+    {', '.join(
+        f'''p{i + 1} AS (
+        SELECT e.dst AS nid,
+               ({PR_DAMP_DEN - PR_DAMP_NUM}
+                   * ({PR_SCALE} // (SELECT n FROM nn))) // {PR_DAMP_DEN}
+               + ({PR_DAMP_NUM}
+                   * CAST(sum(p.pr // d.outdeg) AS BIGINT))
+                   // {PR_DAMP_DEN} AS pr
+        FROM edges e
+        JOIN p{i} p ON p.nid = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)''' for i in range(PR_ITERS)
+    )}
+    SELECT CASE WHEN nid % 2 = 1 THEN 'supplier' ELSE 'customer' END
+               AS node_kind,
+           nid // 2 AS node_key,
+           CAST(pr AS BIGINT) AS pr_fixed
+    FROM p{PR_ITERS}
+    ORDER BY pr_fixed DESC, node_kind, node_key
+    """
+
+
+@register("graph_pagerank", oracle_sql=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS=5 fixed power iterations) over
+    the bipartite customer-supplier purchase graph, in exact
+    fixed-point bigint arithmetic (see module docstring).
+
+    Plan shape: the edge+outdegree frame is built once and persisted
+    (it is referenced by all 5 unrolled rounds); each round
+    is ONE equi-join of the rank frame onto the edges (shuffle keyed
+    by nid, rank side is |nodes| rows — orders of magnitude smaller
+    than edges) followed by ONE map-side-combinable sum keyed by dst.
+    The node count rides in as a broadcast 1-row scalar
+    (crossJoin(broadcast(count))) — the same whitelisted pattern as
+    doc_unigram_logprob's corpus total. No driver loop state: the
+    builder returns one lazy plan of depth 5, linear lineage
+    (each round references the previous exactly once), so there is no
+    exponential plan blowup and no checkpoint requirement — unlike the
+    open-ended CC fixpoint (dedup.py:_min_label_propagation), the
+    round count is a constant of the operator.
+
+    100 TB: edges shuffle once to build; each round moves |nodes|
+    rank rows + |edges| contributions, both decomposable. Rank mass
+    is integers — merge order never changes a bit, so stage retries /
+    speculative tasks cannot flip the result hash.
+    """
+    # edges feeds both the degree aggregate and the edge+degree join —
+    # persist so the orders x lineitem distinct runs once, not twice.
+    edges = _bipartite_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg): the per-round join input, persisted because
+    # all PR_ITERS rounds scan it.
+    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    init = F.expr(f"{PR_SCALE} DIV n").alias("pr")
+    pr = deg.crossJoin(F.broadcast(nn)).select(F.col("src").alias("nid"), init, "n")
+    for _ in range(PR_ITERS):
+        contribs = ed.join(pr, ed.src == pr.nid).select(
+            F.col("dst"), F.expr("pr DIV outdeg").alias("contrib"), F.col("n")
+        )
+        teleport = F.expr(
+            f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} DIV n)) DIV {PR_DAMP_DEN}"
+        )
+        pr = (
+            contribs.groupBy(F.col("dst").alias("nid"), F.col("n"))
+            .agg(F.sum("contrib").alias("sc"))
+            .select(
+                "nid",
+                (teleport + F.expr(f"({PR_DAMP_NUM} * sc) DIV {PR_DAMP_DEN}")).alias(
+                    "pr"
+                ),
+                "n",
+            )
+        )
+    return pr.select(
+        F.when(F.col("nid") % 2 == 1, "supplier")
+        .otherwise("customer")
+        .alias("node_kind"),
+        F.expr("nid DIV 2").alias("node_key"),
+        F.col("pr").alias("pr_fixed"),
+    ).orderBy(F.desc("pr_fixed"), "node_kind", "node_key")
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_quantity >= {TRI_MIN_QTY}),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_suppkey < b.l_suppkey),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (
+        SELECT a AS s_suppkey FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT s_suppkey, count(*) AS n_triangles
+    FROM corners
+    GROUP BY s_suppkey
+    ORDER BY n_triangles DESC, s_suppkey
+    """
+
+
+@register("graph_triangle_count", oracle_sql=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation counts in the co-supplier
+    graph (suppliers sharing a high-quantity order).
+
+    Spark side uses DEGREE-ORDERED ORIENTATION (the compact-forward /
+    Cohen MapReduce triangle algorithm): each undirected edge is
+    directed from the endpoint with the smaller (degree, id) to the
+    larger, so every node's out-degree is O(sqrt(|E|)) and the wedge
+    join generates sum_u C(outdeg(u), 2) candidates instead of
+    sum_u C(deg(u), 2) — the difference between surviving a power-law
+    degree distribution and not. Each triangle (x, y, z) with
+    x < y < z in orientation order is found exactly once as the wedge
+    (x->y, x->z) closed by the edge y->z, so the per-supplier COUNTS
+    are identical to the oracle's simpler id-ordered enumeration —
+    orientation changes the work, not the answer.
+
+    Plan: thinned lineitem self-join per order (pairs per order are
+    C(items, 2) on ~12% of rows), distinct edge set, one explode for
+    degrees, two equi-joins for wedges + closure, one explode +
+    count for corners. All shuffles keyed, all aggregates
+    decomposable; nothing quadratic in suppliers.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        # Referenced three times (degree both ends + the orientation
+        # join); uncached that re-runs the lineitem self-join per
+        # reference. The edge set itself is graph-sized, tiny.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Undirected degree, then a total order ordv = deg * 2^33 + id
+    # (ids are < 2^33 at any realistic scale; degree < 2^30) so the
+    # orientation comparison is one bigint compare.
+    ends = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ordv = (F.col("deg").cast("long") * (2**33) + F.col("node")).alias("ordv")
+    rank = deg.select("node", ordv)
+    # Orient: src = smaller ordv endpoint.
+    e = (
+        und.join(rank.withColumnRenamed("node", "u").withColumnRenamed("ordv", "ou"), "u")
+        .join(rank.withColumnRenamed("node", "v").withColumnRenamed("ordv", "ov"), "v")
+        .select(
+            F.when(F.col("ou") < F.col("ov"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ou") < F.col("ov"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(F.col("ou") < F.col("ov"), F.col("ov")).otherwise(F.col("ou")).alias("dst_ord"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Wedges from a shared source, ordered so each unordered pair of
+    # out-neighbors appears once; closure probe on the oriented edge.
+    w1, w2 = e.alias("w1"), e.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        .filter(F.col("w1.dst_ord") < F.col("w2.dst_ord"))
+        .select(
+            F.col("w1.src").alias("x"),
+            F.col("w1.dst").alias("y"),
+            F.col("w2.dst").alias("z"),
+        )
+    )
+    closer = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closer, ["y", "z"])
+    corners = (
+        tri.select(F.col("x").alias("s_suppkey"))
+        .unionAll(tri.select(F.col("y")))
+        .unionAll(tri.select(F.col("z")))
+    )
+    return (
+        corners.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "s_suppkey")
+    )
+
+
+def _khop_oracle() -> str:
+    hops = []
+    prev_reach = "r0"
+    hop_tables = ["h0"]
+    for i in range(1, KHOP_HOPS + 1):
+        hops.append(
+            f"""h{i} AS (
+        SELECT DISTINCT e.dst AS nid FROM edges e
+        JOIN h{i - 1} f ON f.nid = e.src
+        WHERE e.dst NOT IN (SELECT nid FROM {prev_reach})),
+    r{i} AS (SELECT nid FROM {prev_reach} UNION ALL SELECT nid FROM h{i})"""
+        )
+        prev_reach = f"r{i}"
+        hop_tables.append(f"h{i}")
+    hop_union = "\n        UNION ALL ".join(
+        f"SELECT nid, {i} AS hop FROM h{i}" for i in range(KHOP_HOPS + 1)
+    )
+    hops_joined = ",\n    ".join(hops)
+    return f"""
+    WITH rel AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM rel
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM rel),
+    h0 AS (
+        SELECT DISTINCT s_suppkey * 2 + 1 AS nid
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = '{KHOP_SEED_NATION}'
+          AND s_suppkey * 2 + 1 IN (SELECT src FROM edges)),
+    r0 AS (SELECT nid FROM h0),
+    {hops_joined}
+    SELECT CASE WHEN nid % 2 = 1 THEN 'supplier' ELSE 'customer' END
+               AS node_kind,
+           nid // 2 AS node_key,
+           hop
+    FROM ({hop_union})
+    ORDER BY hop, node_kind, node_key
+    """
+
+
+@register("graph_khop_reachability", oracle_sql=_khop_oracle())
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distances (<= KHOP_HOPS=3 hops) over the bipartite
+    purchase graph from the suppliers of one nation.
+
+    The frontier expansion is the canonical iterative-shuffle job:
+    each hop is ONE equi-join of the frontier onto the edges plus a
+    distinct, and the visited set grows by a left-anti join (new =
+    neighbors minus reached) — all keyed by nid, all decomposable.
+    Unrolled 3 times into one lazy plan (constant hop count,
+    linear lineage — same rationale as graph_pagerank). Seeds
+    restrict to nodes present in the edge set so the node universe
+    matches the graph the oracle walks.
+
+    100 TB: frontier frames are (bigint, int) pairs; each hop's
+    shuffle is bounded by the reachable edge count, and the anti-join
+    keeps the visited set deduplicated instead of exploding the
+    frontier multiplicatively.
+    """
+    edges = _bipartite_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == KHOP_SEED_NATION)
+    seeds = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select((F.col("s_suppkey") * 2 + 1).alias("nid"))
+        .join(edges.select(F.col("src").alias("nid")).distinct(), "nid", "left_semi")
+        .distinct()
+    )
+    # Each round's frontier is persisted: round i+1 references frontier_i
+    # TWICE (as the expansion source and inside the reached-set
+    # anti-join), so without a cache the plan tree doubles per hop —
+    # the same 2^k lineage blowup _min_label_propagation checkpoints
+    # against, bounded here only by the constant hop count. The cached
+    # frames are node-sized (bigint, int) pairs. ``reached`` itself
+    # stays a cheap union of the cached per-hop frames.
+    frontier = seeds.withColumn("hop", F.lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
+    reached = frontier
+    for i in range(1, KHOP_HOPS + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.nid)
+            .select(F.col("dst").alias("nid"))
+            .distinct()
+        )
+        new = (
+            neighbors.join(reached.select("nid"), "nid", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        reached = reached.unionAll(new)
+        frontier = new
+    return reached.select(
+        F.when(F.col("nid") % 2 == 1, "supplier")
+        .otherwise("customer")
+        .alias("node_kind"),
+        F.expr("nid DIV 2").alias("node_key"),
+        F.col("hop").cast("int").alias("hop"),
+    ).orderBy("hop", "node_kind", "node_key")

@@ -261,7 +261,14 @@ _CHECK_FIRST = [
 # maintenance, operators/cdc.py); events_hypertable_rollup
 # (continuous-aggregate time-hierarchy rollup, operators/temporal.py);
 # doc_quality_buckets (CCNet per-language perplexity terciles,
-# functions/text.py). All are oracle-gated at sf0.001/0.01/0.1 by
+# functions/text.py); the graph-analytics family (operators/graph.py
+# — graph_pagerank in exact fixed-point bigint, graph_triangle_count
+# via degree-ordered orientation, graph_khop_reachability BFS, all
+# unrolled fixed-iteration lazy plans); events_gap_fill (time-series
+# grid densification + forward fill, operators/temporal.py); and
+# sim_knn_sq8 (int8 scalar-quantized ANN with exact re-rank,
+# functions/similarity.py — rows-only + recall/invariant pytest
+# gates). All oracle-gated at sf0.001/0.01/0.1 by
 # tools/check_oracle.py every round while they wait.
 
 
@@ -275,6 +282,7 @@ def load_all() -> dict[str, QuerySpec]:
         temporal,
         advanced,
         cdc,
+        graph,
         relational2,
         relational,
         relational3,

@@ -1,0 +1,128 @@
+"""Property tests for the graph-analytics family (operators/graph.py).
+
+Value-level correctness is covered by the DuckDB oracle gate
+(tools/check_oracle.py oracle-checks all three at three scales); these
+pin the invariants the oracle hash alone doesn't state explicitly:
+PageRank's exact determinism + mass conservation, the degree-ordered
+triangle enumeration's parity with an independent id-ordered
+enumeration, and BFS bipartite/monotonicity structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_spark.operators import graph as G
+from map_reduce_spark.registry import load_all
+from map_reduce_spark.sources import load_table
+
+
+def test_pagerank_fixed_point_is_deterministic_and_conserves_mass(spark, sf_dir):
+    """Two independent runs produce byte-identical fixed-point ranks
+    (the whole point of integer arithmetic — retries and merge order
+    cannot flip a bit), and total rank mass stays within the integer-
+    truncation envelope of PR_SCALE."""
+    build = load_all()["graph_pagerank"].builder
+    a = {(r["node_kind"], r["node_key"]): r["pr_fixed"] for r in build(spark, sf_dir).collect()}
+    b = {(r["node_kind"], r["node_key"]): r["pr_fixed"] for r in build(spark, sf_dir).collect()}
+    assert a == b
+    assert all(v > 0 for v in a.values())
+    n = len(a)
+    total = sum(a.values())
+    # Truncation loss per round: each node's contributions lose up to
+    # outdeg units (one per integer division pr DIV outdeg summed over
+    # its out-edges), i.e. <= |directed edges| graph-wide, plus <= 2
+    # units per node for the teleport and damping divisions. Mass
+    # never increases.
+    n_edges = G._bipartite_edges(spark, sf_dir).count()
+    assert G.PR_SCALE - G.PR_ITERS * (n_edges + 2 * n) <= total <= G.PR_SCALE
+    # Node universe == nodes of the purchase graph, both kinds present
+    kinds = {k for k, _ in a}
+    assert kinds == {"customer", "supplier"}
+
+
+def test_triangle_orientation_matches_id_ordered_enumeration(spark, sf_dir):
+    """The degree-ordered wedge enumeration counts exactly what the
+    naive id-ordered triple join counts — orientation changes the
+    work, not the answer."""
+    out = load_all()["graph_triangle_count"].builder(spark, sf_dir)
+    got = {r["s_suppkey"]: r["n_triangles"] for r in out.collect()}
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= G.TRI_MIN_QTY)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("s"))
+        .unionAll(tri.select(F.col("y")))
+        .unionAll(tri.select(F.col("z")))
+    )
+    want = {
+        r["s"]: r["n"]
+        for r in corners.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    e.unpersist()
+    assert got == want
+    # Sum of corner counts is divisible by 3 (each triangle has 3 corners)
+    assert sum(got.values()) % 3 == 0
+
+
+def test_khop_structure(spark, sf_dir):
+    """Hop labels respect the bipartite structure (suppliers on even
+    hops, customers on odd), hop 0 is exactly the seed nation's
+    in-graph suppliers, and every labeled node is reached through a
+    real edge from the previous hop."""
+    rows = load_all()["graph_khop_reachability"].builder(spark, sf_dir).collect()
+    by_hop: dict[int, set[tuple[str, int]]] = {}
+    for r in rows:
+        by_hop.setdefault(r["hop"], set()).add((r["node_kind"], r["node_key"]))
+    assert set(by_hop) <= set(range(G.KHOP_HOPS + 1))
+    for hop, nodes in by_hop.items():
+        kind = "supplier" if hop % 2 == 0 else "customer"
+        assert {k for k, _ in nodes} == {kind}, f"hop {hop} mixes kinds"
+    # min-hop: a node appears exactly once
+    keys = [(r["node_kind"], r["node_key"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    # hop 0 == seed suppliers present in the purchase graph
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == G.KHOP_SEED_NATION
+    )
+    seeds = {
+        r["s_suppkey"]
+        for r in supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey")
+        .collect()
+    }
+    rel = G._purchase_rel(spark, sf_dir)
+    in_graph = {r["s"] for r in rel.select("s").distinct().collect()}
+    assert {k for _, k in by_hop.get(0, set())} == seeds & in_graph
+    # hop 1 = customers adjacent to a seed, minus nothing (bipartite)
+    adj = {
+        r["c"]
+        for r in rel.filter(F.col("s").isin(list(seeds & in_graph))).select("c").collect()
+    }
+    assert {k for _, k in by_hop.get(1, set())} == adj

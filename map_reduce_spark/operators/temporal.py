@@ -463,3 +463,78 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "y", "m", "d")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle_sql="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               round(avg(value), 6) AS day_avg
+        FROM events GROUP BY user_id, date_trunc('day', ts)),
+    bounds AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi
+        FROM daily GROUP BY user_id),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds),
+    j AS (
+        SELECT g.user_id, g.day, d.day_avg
+        FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day)
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           day_avg IS NOT NULL AS observed
+    FROM j
+    ORDER BY user_id, day
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's daily series onto
+    a continuous day grid and forward-fill missing days with the last
+    observation (TimescaleDB ``time_bucket_gapfill`` + ``locf``, the
+    standard serving-layer shape for dashboards over sparse series).
+
+    Three stages, all keyed by user_id so one exchange serves the
+    grid join AND the fill window: (1) daily averages (decomposable
+    agg, rounded to 6dp BEFORE the fill so both engines propagate the
+    identical double); (2) the per-user day grid via
+    sequence(min_day, max_day) + explode — fan-out bounded by the
+    calendar span, never by event count; (3) last(ignorenulls) over
+    the per-user sorted run. The first grid row per user is its first
+    observed day, so ``filled`` is never NULL.
+
+    100 TB: grid rows are |users| x span-days — calendar-bounded,
+    orders of magnitude below raw events; the window is a sorted run
+    per user, the same layout sessionization already needs. Output
+    day is a yyyy-MM-dd string so both engines hash the same bytes
+    (Spark DateType would surface as python dates vs DuckDB's
+    datetime64 — a dtype-kind mismatch under the driver's canon).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
+        F.col("day_avg").isNotNull().alias("observed"),
+    ).orderBy("user_id", "day")

@@ -99,3 +99,28 @@ def test_quality_buckets_are_language_local_terciles(spark, sf_dir):
         if {"head", "middle", "tail"} <= set(buckets):
             assert buckets["head"]["mn"] >= buckets["middle"]["mx"], lang
             assert buckets["middle"]["mn"] >= buckets["tail"]["mx"], lang
+
+
+def test_gap_fill_grid_is_continuous_and_filled(spark, sf_dir):
+    """Every user's grid covers each day between their first and last
+    observed day exactly once; ``filled`` is never NULL (the first
+    grid row is an observation) and equals the day's own average on
+    observed rows."""
+    import datetime as dt
+
+    rows = load_all()["events_gap_fill"].builder(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        days = [dt.date.fromisoformat(r["day"]) for r in rs]
+        assert days == sorted(days)
+        assert len(set(days)) == len(days)
+        assert (days[-1] - days[0]).days + 1 == len(days), f"user {user} grid has holes"
+        assert rs[0]["observed"] is True
+        assert all(r["filled"] is not None for r in rs)
+        # forward fill: unobserved rows repeat the previous filled value
+        for prev, cur in zip(rs, rs[1:]):
+            if not cur["observed"]:
+                assert cur["filled"] == prev["filled"]

@@ -165,3 +165,36 @@ def test_ivfpq_recall_at_k(spark, sf_dir):
     assert set(exact) == set(approx)
     recalls = [len(exact[p] & approx[p]) / TOP_K for p in exact]
     assert sum(recalls) / len(recalls) >= 0.25, f"mean recall@{TOP_K}: {recalls}"
+
+
+def test_sq8_recall_at_k(spark, sf_dir):
+    """recall@10 of the scalar-quantized + exact-rerank ANN vs exact
+    top-10. 8-bit per-dimension quantization of 64-d vectors keeps
+    relative reconstruction error ~1e-2, and the 4x-k exact re-rank
+    absorbs most ordering flips — expected recall is near 1."""
+    from map_reduce_spark.functions.similarity import sim_knn_sq8
+
+    exact = _by_probe(sim_knn_bruteforce(spark, sf_dir).collect())
+    approx = _by_probe(sim_knn_sq8(spark, sf_dir).collect())
+    assert set(exact) == set(approx)
+    recalls = [len(exact[p] & approx[p]) / TOP_K for p in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, f"mean recall@{TOP_K}: {recalls}"
+
+
+def test_sq8_full_rerank_equals_bruteforce(spark, sf_dir):
+    """rerank >= corpus size means the exact re-rank sees every
+    candidate — SQ8 must then return exactly the brute-force top-k
+    (quantization error can no longer drop a true neighbor)."""
+    from map_reduce_spark.functions.similarity import knn_sq8
+    from map_reduce_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    exact = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.score)
+        for r in sim_knn_bruteforce(spark, sf_dir).collect()
+    }
+    full = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.score)
+        for r in knn_sq8(spark, sf_dir, rerank=n).collect()
+    }
+    assert exact == full

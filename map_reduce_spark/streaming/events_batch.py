@@ -702,3 +702,86 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start string, c_mktsegment string, n_events bigint, total_value double",
         drain,
     )
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle_sql="""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')) AS w),
+    e AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT e.event_id AS error_id,
+           e.user_id AS e_user,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM e JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM e
+    WHERE e.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = e.user_id
+            AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE)
+    ORDER BY error_id, click_id
+    """,
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (errors x same-user
+    follow-up clicks within 30 min) drained through a real streaming
+    query so the outer-NULL eviction path runs on the hash gate.
+
+    Completes the streaming join matrix: inner interval join
+    (``streaming_error_click_join``), stream-static enrichment
+    (``streaming_enrich_static``), and now the outer variant whose
+    NULL rows ARE the state-eviction emission — previously only
+    observed in pytest
+    (tests/test_streaming.py::test_stream_stream_left_outer_join_...).
+    The oracle states the full contract: every true match, plus a
+    NULL-extended row exactly for the unmatched errors whose 30-min
+    horizon the final watermark — min(max error ts, max click ts),
+    applied by AvailableNow's closing no-data batch — passed. Errors
+    inside the last watermark horizon stay in state (absent from both
+    sides), so a hash match certifies the eviction FRONTIER, not just
+    the join content. Join shape + scale notes on
+    ``streams.left_outer_error_click_join``.
+
+    Builder-contract note: DEFERRED — the bounded replay drains on
+    first action, not at build (see streaming_tumbling_type_counts).
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import (
+        left_outer_error_click_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    def drain() -> DataFrame:
+        drained = run_available_now(
+            left_outer_error_click_join(read_events_stream(spark, sf_dir)),
+            "streaming_left_outer_join",
+            output_mode="append",
+        )
+        return drained.select(
+            "error_id",
+            "e_user",
+            F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        ).orderBy("error_id", "click_id")
+
+    return deferred(
+        spark,
+        "error_id bigint, e_user bigint, error_ts string, "
+        "click_id bigint, click_ts string",
+        drain,
+    )

@@ -330,3 +330,53 @@ def checkpoint_recovery_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 from map_reduce_spark.sources import session_cached as _session_cached  # noqa: E402
 
 checkpoint_recovery_totals = _session_cached(checkpoint_recovery_totals)
+
+
+
+def left_outer_error_click_join(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error LEFT OUTER
+    joins same-user clicks in the 30 minutes AFTER it ("was the error
+    followed up?").
+
+    The outer-NULL rows ARE the state-eviction emission: an unmatched
+    error sits in state until the join watermark passes its match
+    horizon (error_ts + 30 min), then emits with NULL click columns.
+    Under Trigger.AvailableNow the final no-data batch advances the
+    watermark to min(max error ts, max click ts) of the whole input
+    and flushes every eviction due by then — measured directly: a
+    two-slice mtime-ordered replay and a single-file drain produce the
+    IDENTICAL row set, so the registered replay uses the plain
+    single-file source like the other gate entries. Errors whose
+    horizon the final watermark never passes (the last ~30 min of the
+    stream) correctly remain in state, exactly as in an unbounded
+    deployment — the oracle states the same frontier.
+
+    Scale: state per side is bounded by the 30-min horizon plus
+    watermark lag regardless of stream length, same as the inner
+    variant (``stream_stream_error_click_join``).
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "0 seconds")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    return errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts"))
+        & (F.col("click_ts") <= F.col("error_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )

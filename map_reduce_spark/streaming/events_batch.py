@@ -785,3 +785,44 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id bigint, click_ts string",
         drain,
     )
+
+
+@register(
+    "streaming_idempotent_sink",
+    oracle_sql="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT w FROM wm)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once parquet sink under a FORCED batch re-execution:
+    foreachBatch writes per-batch-id directories, the last commit
+    marker is deleted, the restarted query retries that batch, and
+    the read-back must still equal the batch aggregate — mechanics,
+    contract, and scale notes on ``streams.idempotent_sink_replay``.
+
+    The oracle is the tumbling aggregate restricted to the append-mode
+    emission frontier (windows whose END the final watermark
+    max(ts) - 2 h reached); a double-append on retry or a lost batch
+    both flip the hash.
+
+    Builder-contract note: DEFERRED — the bounded two-run replay
+    drains on first action, not at build.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.streaming.streams import idempotent_sink_replay
+
+    return deferred(
+        spark,
+        "window_start string, event_type string, n_events bigint, total_value double",
+        lambda: idempotent_sink_replay(spark, sf_dir),
+    )

@@ -380,3 +380,120 @@ def left_outer_error_click_join(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("error_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     )
+
+
+def idempotent_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once FILE sink contract, exercised with a forced batch
+    re-execution: a watermarked tumbling aggregate streams into a
+    ``foreachBatch`` sink that overwrites a per-batch directory
+    (out/batch=<id>), the canonical idempotent upsert-by-batch-id
+    pattern for object-store sinks; then the LAST batch's commit
+    marker is deleted from the checkpoint and the query restarted, so
+    the engine genuinely RE-EXECUTES that batch — same batch id, same
+    source offsets, state restored to the pre-batch version — and the
+    sink's overwrite absorbs the retry. The read-back of the output
+    directory equals the batch aggregate exactly iff (a) no batch
+    double-appended and (b) the retry reproduced identical rows.
+
+    This is the third leg of the exactly-once story on the hash gate:
+    source-offset skip + state restore (streaming_checkpoint_recovery),
+    eviction emission (streaming_left_outer_join), and now sink
+    idempotence under re-execution — the failure mode a naive append
+    sink fails (it would double-count the retried batch and flip the
+    hash).
+
+    Emission frontier: append mode emits a window when the watermark
+    passes its END; AvailableNow's closing no-data batch advances the
+    watermark to max(ts) - 2 h, so the read-back holds exactly the
+    windows with end <= that — the oracle states the same frontier.
+
+    Scale: the per-batch-directory pattern is how production Spark
+    jobs land exactly-once parquet on S3/GCS without a transactional
+    table format; state and emission bounds are ``tumbling_counts``'s.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}|sink".encode()
+    ).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/mrs_idem_sink_{key}"
+    shutil.rmtree(root, ignore_errors=True)
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    os.makedirs(out, exist_ok=True)
+
+    def run_once() -> set:
+        executed: set = set()
+        agg = tumbling_counts(read_events_stream(spark, sf_dir))
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            executed.add(int(batch_id))
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # The restarted run reuses the SAME checkpoint; make sure
+            # this query has fully left the session's active set first
+            # or the conflict detector rejects the restart.
+            q.stop()
+            import time as _time
+
+            while any(a.id == q.id for a in spark.streams.active):
+                _time.sleep(0.05)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return executed
+
+    run_once()
+    # Forced retry: drop the newest commit marker (leaving its offsets
+    # entry) — on restart the engine re-executes that batch id against
+    # the same offsets with the state store rolled back to the
+    # pre-batch version, exactly the crash-between-write-and-commit
+    # window a retry must survive.
+    commits = sorted(
+        (f for f in os.listdir(f"{ckpt}/commits") if f.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    # Hadoop's ChecksumFs pairs every commit file with a .<name>.crc
+    # sidecar; leaving it behind makes the retried commit's rename
+    # collide (surfacing as a bogus concurrent-queries error).
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    retried = run_once()
+    # The retry must have genuinely RE-EXECUTED the uncommitted batch —
+    # otherwise the read-back's correctness proves nothing about sink
+    # idempotence (run 1's output alone would already satisfy the
+    # oracle). A skipped batch here means the contract went untested:
+    # fail loudly rather than report a hollow pass.
+    assert int(commits[-1]) in retried, (
+        f"restart did not re-execute batch {commits[-1]}; got {retried}"
+    )
+
+    got = (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/batch=*")
+        .drop("batch")
+        .orderBy("window_start", "event_type")
+    )
+    # Materialize before the scratch dir is removed.
+    rows = got.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start string, event_type string, n_events bigint, total_value double",
+    ).orderBy("window_start", "event_type")
+
+
+idempotent_sink_replay = _session_cached(idempotent_sink_replay)

@@ -287,6 +287,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         cdc,
         graph,
+        layout,
         relational2,
         relational,
         relational3,

@@ -224,6 +224,8 @@ class MediaDecoder:
             return "png"
         if payload[:3] == b"\xff\xd8\xff":
             return "jpeg"
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
         return None
 
     @staticmethod
@@ -468,6 +470,10 @@ class MediaDecoder:
             from map_reduce_spark.functions.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if container == "gif":
+            from map_reduce_spark.functions.gif import decode_gif
+
+            return decode_gif(payload)
         raise NotImplementedError(
             f"image container {container!r} requires a media library not "
             "in this image (PIL slot)"
@@ -509,7 +515,7 @@ class MediaDecoder:
         rate, peak, 10-bin |amplitude| histogram]. Both L2-normalized.
         """
         container = MediaDecoder.sniff(payload)
-        if kind == "image" and container in ("bmp", "ppm", "pgm", "png", "jpeg"):
+        if kind == "image" and container in ("bmp", "ppm", "pgm", "png", "jpeg", "gif"):
             px = MediaDecoder.decode_image(payload).astype(np.float64) / 255.0
             h, w = px.shape[:2]
             lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
@@ -557,8 +563,9 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     Image rows carry REAL containers — rotating through 24-bit BMP,
     binary PPM (P6), binary PGM (P5), zlib-compressed PNG in
     truecolor, Adam7-INTERLACED truecolor, and 4-bit PALETTE variants,
-    plus baseline JPEG at 4:4:4 and restart-marked 4:2:0 (r7: the
-    compressed-container family) so every decoder in ``MediaDecoder``
+    baseline JPEG at 4:4:4 and restart-marked 4:2:0, and LZW GIF in
+    sequential and interlaced row order (r7: the compressed-container
+    family) so every decoder in ``MediaDecoder``
     runs on genuine payloads — and audio rows REAL
     16-bit PCM WAVs (all encoded by this module's own encoders); video
     rows stay opaque random bytes — no pure-Python video codec exists,
@@ -575,7 +582,8 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             container = [
                 "bmp", "ppm", "pgm", "png", "png_i", "png_pal", "jpeg", "jpeg420",
-            ][(i // 3) % 8]
+                "gif", "gif_i",
+            ][(i // 3) % 10]
             if container == "bmp":
                 payload = encode_bmp(px)
             elif container == "ppm":
@@ -600,6 +608,16 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
                 idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
                 payload = encode_png_palette(idx, palette, depth=4)
+            elif container in ("gif", "gif_i"):
+                # few-color source so the GIF palette is exact and the
+                # feature path sees lossless pixels (the 332-quantized
+                # regime is covered by tests/test_gif.py)
+                from map_reduce_spark.functions.gif import encode_gif
+
+                few = (
+                    rng.integers(0, 8, size=(h, w, 3), dtype=np.uint8) * 36
+                ).astype(np.uint8)
+                payload = encode_gif(few, interlace=(container == "gif_i"))
             else:
                 # grayscale source: luminance of the random pixels
                 payload = encode_pgm(px.mean(axis=2).astype(np.uint8))

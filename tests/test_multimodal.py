@@ -512,21 +512,24 @@ def test_png_16bit_is_still_a_stub():
 
 def test_synthetic_corpus_rotates_compressed_containers(spark):
     """The media corpus now carries sequential, interlaced, and
-    palette PNGs alongside BMP/PPM/PGM — and every image row still
+    palette PNGs, both JPEG sampling modes, and sequential +
+    interlaced GIFs alongside BMP/PPM/PGM — and every image row still
     decodes (feature extraction drops nothing but video)."""
     from map_reduce_spark.functions.multimodal import (
         extract_features,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=48)
+    media = synthetic_media(spark, n=60)
     img = media.filter("kind = 'image'")
     payloads = [bytes(r.payload) for r in img.collect()]
-    # 16 image rows cycle through all eight containers twice
-    assert len(payloads) == 16
+    # 20 image rows cycle through all ten containers twice
+    assert len(payloads) == 20
     n_png = sum(p.startswith(b"\x89PNG\r\n\x1a\n") for p in payloads)
     n_jpeg = sum(p.startswith(b"\xff\xd8\xff") for p in payloads)
+    n_gif = sum(p.startswith(b"GIF89a") for p in payloads)
     assert n_png == 6  # png + png_i + png_pal, two cycles
     assert n_jpeg == 4  # jpeg(444) + jpeg420+restarts, two cycles
+    assert n_gif == 4  # gif + gif_i, two cycles
     feats = extract_features(media)
-    assert feats.filter("kind = 'image'").count() == 16
+    assert feats.filter("kind = 'image'").count() == 20

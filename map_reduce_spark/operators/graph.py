@@ -105,20 +105,20 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAGERANK_ORACLE = f"""
-    WITH rel AS (
+    WITH rel AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT c * 2 AS src, s * 2 + 1 AS dst FROM rel
         UNION ALL
         SELECT s * 2 + 1 AS src, c * 2 AS dst FROM rel),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-    nn AS (SELECT count(*) AS n FROM deg),
-    p0 AS (
+    deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    p0 AS MATERIALIZED (
         SELECT src AS nid, {PR_SCALE} // (SELECT n FROM nn) AS pr
         FROM deg),
     {', '.join(
-        f'''p{i + 1} AS (
+        f'''p{i + 1} AS MATERIALIZED (
         SELECT e.dst AS nid,
                ({PR_DAMP_DEN - PR_DAMP_NUM}
                    * ({PR_SCALE} // (SELECT n FROM nn))) // {PR_DAMP_DEN}
@@ -203,10 +203,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_ORACLE = f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
         SELECT l_orderkey, l_suppkey FROM lineitem
         WHERE l_quantity >= {TRI_MIN_QTY}),
-    e AS (
+    e AS MATERIALIZED (
         SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
         FROM li a JOIN li b USING (l_orderkey)
         WHERE a.l_suppkey < b.l_suppkey),
@@ -319,11 +319,11 @@ def _khop_oracle() -> str:
     hop_tables = ["h0"]
     for i in range(1, KHOP_HOPS + 1):
         hops.append(
-            f"""h{i} AS (
+            f"""h{i} AS MATERIALIZED (
         SELECT DISTINCT e.dst AS nid FROM edges e
         JOIN h{i - 1} f ON f.nid = e.src
         WHERE e.dst NOT IN (SELECT nid FROM {prev_reach})),
-    r{i} AS (SELECT nid FROM {prev_reach} UNION ALL SELECT nid FROM h{i})"""
+    r{i} AS MATERIALIZED (SELECT nid FROM {prev_reach} UNION ALL SELECT nid FROM h{i})"""
         )
         prev_reach = f"r{i}"
         hop_tables.append(f"h{i}")
@@ -332,14 +332,14 @@ def _khop_oracle() -> str:
     )
     hops_joined = ",\n    ".join(hops)
     return f"""
-    WITH rel AS (
+    WITH rel AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT c * 2 AS src, s * 2 + 1 AS dst FROM rel
         UNION ALL
         SELECT s * 2 + 1 AS src, c * 2 AS dst FROM rel),
-    h0 AS (
+    h0 AS MATERIALIZED (
         SELECT DISTINCT s_suppkey * 2 + 1 AS nid
         FROM supplier JOIN nation ON n_nationkey = s_nationkey
         WHERE n_name = '{KHOP_SEED_NATION}'

@@ -881,3 +881,94 @@ def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact verification
+# ---------------------------------------------------------------------------
+
+HH_K = 50  # heavy-hitter threshold: tokens with count > N / HH_K
+_MG_COUNTERS = 2 * HH_K  # per-partition counter budget
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle_sql=_sql_tokens_cte()
+    + f"""
+    , occ AS MATERIALIZED (
+        SELECT unnest(toks) AS tok FROM toks_t),
+    tot AS (SELECT count(*) AS n FROM occ)
+    SELECT tok, count(*) AS n_occ
+    FROM occ
+    GROUP BY tok
+    HAVING count(*) * {HH_K} > (SELECT n FROM tot)
+    ORDER BY n_occ DESC, tok
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with > N/{k} of all occurrences)
+    through the two-phase MERGEABLE-SKETCH pattern: a Misra-Gries
+    summary per partition proposes candidates, one exact counting pass
+    over the candidate set verifies — the standard way to compute
+    exact heavy hitters over a stream too wide to hash-aggregate in
+    one shot (Misra & Gries 1982; the "MG merge" mergeability result
+    is Agarwal et al., Mergeable Summaries, PODS'12).
+
+    Guarantee making the result EXACT (and therefore oracle-checkable
+    despite the sketch): any token with global count > N/k exceeds
+    n_p/k on at least one partition (pigeonhole), and an MG summary
+    with m >= k counters retains every token whose partition count
+    exceeds n_p/(m+1) — so the union of per-partition survivors is a
+    SUPERSET of the true heavy hitters (pinned independently in
+    tests/test_r7_ops.py). The exact pass then counts only candidates:
+    a semi-join whose left side is the token stream and whose right
+    side is a few hundred candidate tokens, broadcast.
+
+    Scale: the MG phase is ``mapInPandas`` with per-BATCH pandas
+    value_counts folded into a bounded dict (never per-row Python, at
+    most 2k counters per partition); shuffle volume is |partitions| x
+    2k candidate rows plus the final candidate-only aggregate —
+    independent of the token-stream width. The one full re-read for
+    the verify pass is the price of EXACTNESS; pipelines content with
+    epsilon-approximate counts skip it and read the merged sketch.
+    """
+    import pandas as pd
+
+    occ = (
+        load_spread(spark, sf_dir, "documents")
+        .withColumn("toks", tokens_col())
+        .select(F.explode("toks").alias("tok"))
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                if tok in counters:
+                    counters[tok] += int(cnt)
+                elif len(counters) < _MG_COUNTERS:
+                    counters[tok] = int(cnt)
+                else:
+                    # decrement-all by the largest amount that keeps
+                    # every counter >= 0 (batched MG decrement)
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        t: c - dec for t, c in counters.items() if c - dec > 0
+                    }
+                    if int(cnt) > dec:
+                        counters[tok] = int(cnt) - dec
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = occ.mapInPandas(mg_partition, "tok string").distinct()
+    exact = (
+        occ.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occ") * HH_K > F.col("n"))
+        .select("tok", "n_occ")
+        .orderBy(F.desc("n_occ"), "tok")
+    )

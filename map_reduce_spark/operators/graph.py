@@ -56,6 +56,10 @@ from map_reduce_spark.sources import load_table
 PR_SCALE = 10**12
 PR_ITERS = 5
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+# Broadcast-ranks regime cutoff: a (bigint, bigint, bigint) rank row
+# is ~24 bytes, so 5M nodes is a ~120 MB broadcast — the upper edge of
+# comfortable. Beyond it the shuffle form takes over (see docstring).
+PR_BROADCAST_MAX_NODES = 5_000_000
 
 # Co-supplier graph thinning: only lineitems with quantity >= this
 # participate. Keeps ~12% of rows, and because pairs form per order
@@ -159,24 +163,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-ended CC fixpoint (dedup.py:_min_label_propagation), the
     round count is a constant of the operator.
 
-    100 TB: edges shuffle once to build; each round moves |nodes|
-    rank rows + |edges| contributions, both decomposable. Rank mass
-    is integers — merge order never changes a bit, so stage retries /
-    speculative tasks cannot flip the result hash.
+    100 TB, two regimes (same cutoff pattern as the retrieval
+    probe-side broadcast, retrieval.py): when the node upper bound
+    (customer + supplier parquet footer row counts — a metadata read,
+    builder stays lazy) fits PR_BROADCAST_MAX_NODES, the edge frame is
+    pre-partitioned by DST and each round BROADCASTS the node-sized
+    rank frame — the per-round shuffle then vanishes entirely (the
+    join is map-side, and the dst aggregate reuses the cache's
+    HashPartitioning(dst), zero Exchange; pinned by
+    tests/test_graph.py::test_pagerank_broadcast_regime_plan). Beyond
+    the cutoff (billions of nodes — ranks no longer broadcastable) it
+    falls back to the co-partitioned shuffle form: edges cached
+    partitioned by src so only the |nodes|-sized rank frame shuffles
+    into the join, plus the one unavoidable |edges| contribution
+    shuffle into the dst aggregate. Rank mass is integers — merge
+    order never changes a bit, so stage retries / speculative tasks
+    cannot flip the result hash.
     """
+    from map_reduce_spark.sources.tables import parquet_num_rows
+
+    n_upper = parquet_num_rows(f"{sf_dir}/customer.parquet") + parquet_num_rows(
+        f"{sf_dir}/supplier.parquet"
+    )
+    broadcast_ranks = n_upper <= PR_BROADCAST_MAX_NODES
+
     # edges feeds both the degree aggregate and the edge+degree join —
     # persist so the orders x lineitem distinct runs once, not twice.
     edges = _bipartite_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg): the per-round join input, persisted because
-    # all PR_ITERS rounds scan it.
-    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # all PR_ITERS rounds scan it — partitioned by the round
+    # aggregate's key (dst) in the broadcast regime, by the round
+    # join's key (src) in the shuffle regime.
+    ed = edges.join(deg, "src")
+    ed = (ed.repartition("dst") if broadcast_ranks else ed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
 
     init = F.expr(f"{PR_SCALE} DIV n").alias("pr")
     pr = deg.crossJoin(F.broadcast(nn)).select(F.col("src").alias("nid"), init, "n")
     for _ in range(PR_ITERS):
-        contribs = ed.join(pr, ed.src == pr.nid).select(
+        rank_side = F.broadcast(pr) if broadcast_ranks else pr
+        contribs = ed.join(rank_side, ed.src == pr.nid).select(
             F.col("dst"), F.expr("pr DIV outdeg").alias("contrib"), F.col("n")
         )
         teleport = F.expr(

@@ -126,3 +126,20 @@ def test_khop_structure(spark, sf_dir):
         for r in rel.filter(F.col("s").isin(list(seeds & in_graph))).select("c").collect()
     }
     assert {k for _, k in by_hop.get(1, set())} == adj
+
+
+def test_pagerank_broadcast_regime_plan(spark, sf_dir):
+    """In the broadcast-ranks regime the unrolled rounds add NO
+    shuffle: the only Exchanges in the physical plan are the one-time
+    edge-frame build (inside the cached subtree) and the final
+    orderBy — each round is a BroadcastHashJoin + a partial/final
+    aggregate riding the cache's HashPartitioning(dst)."""
+    df = load_all()["graph_pagerank"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # Exchanges outside the InMemoryRelation cache subtree: the cached
+    # edge build's exchanges are frozen inside the cache; the live
+    # plan should shuffle only for the final global sort.
+    live = plan.split("InMemoryRelation")[0]
+    n_live_exchanges = live.count("Exchange ")
+    assert n_live_exchanges <= 1, f"per-round shuffles crept back in:\n{live}"

@@ -83,6 +83,7 @@ ALLOWED_NESTED_LOOP = {
     "doc_quality_buckets",  # same scalar, inherited via doc_unigram_logprob
     "graph_pagerank",  # broadcast 1-row node-count scalar (teleport term)
     "layout_zorder_stats",  # broadcast 1-row dimension-extrema scalar
+    "agg_heavy_hitters",  # broadcast 1-row token-total scalar
     "window_rank_dense_ntile",  # broadcast 1-row (min,max,n) stats scalar
     "doc_mixture_sample",  # broadcast 1-row mixture-budget scalar
     "events_ordered_funnel",  # two broadcast 1-row stage-count scalars

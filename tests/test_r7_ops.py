@@ -124,3 +124,29 @@ def test_gap_fill_grid_is_continuous_and_filled(spark, sf_dir):
         for prev, cur in zip(rs, rs[1:]):
             if not cur["observed"]:
                 assert cur["filled"] == prev["filled"]
+
+
+def test_misra_gries_candidates_superset_of_heavy_hitters(spark, sf_dir):
+    """The MG candidate union must contain every true heavy hitter
+    (the guarantee that makes the two-pass result exact), and the
+    final result must equal the direct exact computation."""
+    from map_reduce_spark.functions.text import HH_K, agg_heavy_hitters
+    from map_reduce_spark.operators.text_rel import tokens_col
+
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tokens_col())
+        .select(F.explode("toks").alias("tok"))
+    )
+    total = occ.count()
+    exact = {
+        r["tok"]: r["n"]
+        for r in occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] * HH_K > total
+    }
+    got = {
+        r["tok"]: r["n_occ"]
+        for r in agg_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert got == exact
+    assert exact, "fixture should produce at least one heavy hitter"

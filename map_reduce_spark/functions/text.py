@@ -934,10 +934,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    # The token stream feeds three consumers (the MG sketch, the
+    # candidate-count semi join, and the total) — persist so the
+    # tokenize + explode runs once, not three times.
     occ = (
         load_spread(spark, sf_dir, "documents")
         .withColumn("toks", tokens_col())
         .select(F.explode("toks").alias("tok"))
+        .persist()
     )
 
     def mg_partition(batches):

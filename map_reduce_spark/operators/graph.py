@@ -409,7 +409,9 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select((F.col("s_suppkey") * 2 + 1).alias("nid"))
-        .join(edges.select(F.col("src").alias("nid")).distinct(), "nid", "left_semi")
+        # semi join needs no distinct on either side — duplicates in
+        # the edge projection don't multiply a semi's output
+        .join(edges.select(F.col("src").alias("nid")), "nid", "left_semi")
         .distinct()
     )
     # Each round's frontier is persisted: round i+1 references frontier_i
@@ -422,13 +424,19 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = seeds.withColumn("hop", F.lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
     reached = frontier
     for i in range(1, KHOP_HOPS + 1):
+        # Frontier and visited set are node-sized — BROADCAST both, so
+        # a hop never shuffles the |edges| frame: the expansion is a
+        # map-side hash join over the cached edges and the dedup/anti
+        # steps work on the (much smaller) neighbor projection. The
+        # billion-node regime would flip these to shuffle joins, the
+        # same cutoff argument as graph_pagerank's rank broadcast.
         neighbors = (
-            edges.join(frontier, edges.src == frontier.nid)
+            edges.join(F.broadcast(frontier), edges.src == frontier.nid)
             .select(F.col("dst").alias("nid"))
             .distinct()
         )
         new = (
-            neighbors.join(reached.select("nid"), "nid", "left_anti")
+            neighbors.join(F.broadcast(reached.select("nid")), "nid", "left_anti")
             .withColumn("hop", F.lit(i))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )

@@ -267,3 +267,90 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_regression_stats",
+    oracle_sql="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics / linear-regression aggregate surface:
+    corr, covar_samp, and the SQL-standard REGR_* family
+    (slope / intercept / r2 / count) of extendedprice on quantity per
+    return flag — the in-database-analytics shape (one pass, no ML
+    library) both engines implement natively.
+
+    Scale: every one of these is a decomposable streaming-moment
+    aggregate (sum, sum of squares, sum of cross-products combine
+    associatively), so the plan is one map-side-combined hash
+    aggregate over the scan — shuffle volume is |groups| x 6 doubles.
+    Rounding (6/4 dp) absorbs the last-ulp moment-merge-order drift
+    between engines, the same convention as every avg in the registry.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+            ).alias("intercept"),
+            F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+            F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_hll_rollup", oracle_sql=None)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HyperLogLog sketches of
+    distinct users, unioned upward into a month estimate — the
+    pre-aggregated-serving-layer pattern (sketch once at ingest
+    grain, merge for any coarser rollup, never re-scan raw data).
+    Built on Spark 3.5+'s Apache-DataSketches exprs
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+
+    No SQL oracle (sketch bytes are engine-specific); the gate is
+    rows-only plus two pytest invariants (tests/test_r7_ops.py):
+    estimates within rigorous HLL error of exact per-day counts, and
+    the MERGEABILITY identity — estimate(union(per-day sketches)) ==
+    estimate(sketch(whole month)) EXACTLY, because HLL registers
+    merge by max, so any partition of the input yields the identical
+    sketch.
+
+    Scale: the whole point — per-day sketch state is KB regardless of
+    user count, the rollup shuffles |days| sketch blobs instead of
+    |users| rows, and the same sketches serve every coarser grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    per_day = daily.select(
+        "day", F.expr("hll_sketch_estimate(sk)").alias("est_users")
+    )
+    total = daily.agg(
+        F.lit("<ALL>").alias("day"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+    )
+    return per_day.unionAll(total).orderBy("day")

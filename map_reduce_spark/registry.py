@@ -268,12 +268,16 @@ _CHECK_FIRST = [
 # grid densification + forward fill, operators/temporal.py); and
 # sim_knn_sq8 (int8 scalar-quantized ANN with exact re-rank,
 # functions/similarity.py — rows-only + recall/invariant pytest
-# gates); and streaming_left_outer_join (the stream-stream outer
+# gates); streaming_left_outer_join (the stream-stream outer
 # eviction join, streaming/events_batch.py — its oracle pins the
 # eviction frontier, the last streaming behavior that rested on
-# pytest alone). All but the rows-only entries oracle-gated at
-# sf0.001/0.01/0.1 by tools/check_oracle.py every round while they
-# wait.
+# pytest alone); streaming_idempotent_sink (exactly-once foreachBatch
+# file sink under a forced batch retry — the sink leg of the
+# exactly-once story); layout_zorder_stats (Morton multi-dimensional
+# clustering, operators/layout.py); and agg_heavy_hitters (mergeable
+# Misra-Gries candidates + exact verify, functions/text.py). All but
+# the rows-only entries oracle-gated at sf0.001/0.01/0.1 by
+# tools/check_oracle.py every round while they wait.
 
 
 def load_all() -> dict[str, QuerySpec]:

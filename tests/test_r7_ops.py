@@ -150,3 +150,29 @@ def test_misra_gries_candidates_superset_of_heavy_hitters(spark, sf_dir):
     }
     assert got == exact
     assert exact, "fixture should produce at least one heavy hitter"
+
+
+def test_hll_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """Per-day HLL estimates sit within the sketch's error envelope of
+    exact counts, and the union of per-day sketches estimates EXACTLY
+    what one sketch over the whole table estimates (register-max merge
+    is partition-invariant — the mergeability identity)."""
+    rows = load_all()["agg_hll_rollup"].builder(spark, sf_dir).collect()
+    got = {r["day"]: r["est_users"] for r in rows}
+    ev = load_table(spark, sf_dir, "events")
+    exact_by_day = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact_by_day) | {"<ALL>"}
+    for day, exact in exact_by_day.items():
+        # default lgConfigK=12 -> relative error ~1.6%; allow 5 sigma
+        assert abs(got[day] - exact) <= max(2, 0.08 * exact), (day, got[day], exact)
+    whole = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
+    ).collect()[0]["e"]
+    assert got["<ALL>"] == whole

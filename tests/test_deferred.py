@@ -23,31 +23,40 @@ from pyspark.sql import DataFrame
 from map_reduce_spark.plans.deferred import DeferredDataFrame, deferred
 from map_reduce_spark.registry import load_all
 
-DEFERRED_ENTRIES = [
+# Families whose builders MUST return a DeferredDataFrame (streaming
+# replays, trained-index ANN, iterative fixpoints). Used as a floor —
+# the probe below discovers the actual deferred set from the registry
+# so newly added replays can't silently drop out of coverage (the
+# r7 additions did exactly that under the old static list).
+DEFERRED_FLOOR = {
     "streaming_tumbling_type_counts",
     "streaming_error_click_join",
     "streaming_stateful_user_totals",
-    "streaming_session_windows",
-    "streaming_dedup_exactly_once",
     "sim_knn_ivf",
     "sim_knn_pq",
     "sim_knn_ivfpq",
     "dedup_duplicate_clusters",
-    "dedup_cluster_keep_best",
-    "dedup_semantic_clusters",
-]
+}
 
 
-def test_all_deferred_builders_run_zero_jobs_at_build(spark, sf_dir):
-    """Building the entire deferred family must schedule no Spark jobs
-    at all — not even schema inference (the declared schema is a
-    literal)."""
+def test_all_builders_run_zero_jobs_at_build(spark, sf_dir):
+    """Discover the deferred set from the ENTIRE registry (a hand-kept
+    list rotted in r7), then probe that building + introspecting every
+    deferred entry schedules zero Spark jobs. Plain builders are
+    allowed their parquet schema-inference metadata jobs (the
+    documented QuerySpec contract), so the zero-jobs assertion applies
+    to the deferred family only — built a second time here, which is
+    free because a deferred build only stores a thunk."""
     specs = load_all()
+    built = {n: s.builder(spark, sf_dir) for n, s in specs.items()}
+    deferred_names = {
+        n for n, df in built.items() if isinstance(df, DeferredDataFrame)
+    }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     sc.setJobGroup("deferred_build_probe", "deferred laziness probe")
     try:
-        built = {n: specs[n].builder(spark, sf_dir) for n in DEFERRED_ENTRIES}
+        built = {n: specs[n].builder(spark, sf_dir) for n in deferred_names}
         for df in built.values():
             _ = df.columns  # introspection must stay free
             _ = df.schema
@@ -56,8 +65,17 @@ def test_all_deferred_builders_run_zero_jobs_at_build(spark, sf_dir):
         sc.setJobGroup("", "")
     jobs = tracker.getJobIdsForGroup("deferred_build_probe") or []
     assert not jobs, f"deferred builders ran {len(jobs)} jobs at build: {jobs}"
-    for name, df in built.items():
-        assert isinstance(df, DeferredDataFrame), name
+    assert DEFERRED_FLOOR <= deferred_names, (
+        f"missing deferred entries: {DEFERRED_FLOOR - deferred_names}"
+    )
+    # every streaming replay must be deferred (a drained AvailableNow
+    # query has no lazily-returnable batch result)
+    streaming = {n for n in specs if n.startswith("streaming_")}
+    assert streaming <= deferred_names, (
+        f"non-deferred streaming replays: {streaming - deferred_names}"
+    )
+    for name in deferred_names:
+        df = built[name]
         assert isinstance(df, DataFrame), name
         assert not df.is_materialized, name
 

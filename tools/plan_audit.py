@@ -139,6 +139,41 @@ AUDIT = {
         "side is one scan + map-side md5-deal filter — zero corpus "
         "shuffles."
     ),
+    "graph_pagerank": (
+        "broadcast-ranks regime: the cached edge+degree frame is "
+        "HashPartitioning(dst); each of the 5 unrolled rounds is a "
+        "BroadcastHashJoin (node-sized rank frame broadcast) + a "
+        "partial/final sum that reuses the cache partitioning — ZERO "
+        "live Exchanges outside the final orderBy. All arithmetic is "
+        "bigint (pr DIV outdeg), so no float expression anywhere."
+    ),
+    "graph_triangle_count": (
+        "degree-ordered orientation: the oriented edge cache feeds a "
+        "wedge self-join on src and a closure equi-join on (y, z) — "
+        "both shuffle the graph-sized edge/wedge frames, never the "
+        "lineitem scan; the quantity filter is pushed to the scan "
+        "(PushedFilters) so only ~12% of lineitem reaches the pair "
+        "self-join."
+    ),
+    "layout_zorder_stats": (
+        "one projection computes quantize + Morton interleave as pure "
+        "bigint expressions inside WholeStageCodegen (no UDF); the "
+        "dimension extrema ride in as a whitelisted 1-row broadcast; "
+        "the bucket aggregate is map-side combinable with "
+        "calendar-free bounded output (256 buckets)."
+    ),
+    "events_gap_fill": (
+        "daily aggregate -> per-user bounds -> sequence+explode grid "
+        "-> left join observations -> last(ignorenulls) fill window; "
+        "grid fan-out is calendar-bounded, and the join + window both "
+        "key on user_id."
+    ),
+    "agg_heavy_hitters": (
+        "token stream persisted once and read three times (MG sketch "
+        "mapInPandas, candidate semi-join, total); candidates "
+        "broadcast into a left-semi so the exact pass shuffles only "
+        "candidate rows; total rides a whitelisted 1-row broadcast."
+    ),
 }
 
 HIGHLIGHT = re.compile(

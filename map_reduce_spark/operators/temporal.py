@@ -516,9 +516,12 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime64 — a dtype-kind mismatch under the driver's canon).
     """
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds BOTH the grid bounds and the observation join (a
+    # diamond) — persist so the events scan + aggregate runs once.
+    # The frame is (users x observed days), far smaller than events.
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg")).persist()
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

@@ -976,3 +976,83 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "n_occ")
         .orderBy(F.desc("n_occ"), "tok")
     )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor: drop noise pairs
+
+
+@register(
+    "doc_bigram_pmi",
+    oracle_sql=_sql_tokens_cte()
+    + f"""
+    , occ AS MATERIALIZED (
+        SELECT unnest(toks) AS tok FROM toks_t),
+    uni AS MATERIALIZED (SELECT tok, count(*) AS c1 FROM occ GROUP BY tok),
+    ntok AS (SELECT sum(c1) AS nt FROM uni),
+    bgc AS MATERIALIZED (
+        SELECT bg, count(*) AS n_pair
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM toks_t)
+        GROUP BY bg
+        HAVING count(*) >= {PMI_MIN_COUNT}),
+    nbg_t AS (
+        SELECT sum(len(toks) - 1) AS nbg FROM toks_t WHERE len(toks) >= 2)
+    SELECT bg,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           round(ln((n_pair * 1.0 / (SELECT nbg FROM nbg_t))
+                    / ((u1.c1 * 1.0 / (SELECT nt FROM ntok))
+                       * (u2.c1 * 1.0 / (SELECT nt FROM ntok)))), 6) AS pmi
+    FROM bgc
+    JOIN uni u1 ON u1.tok = split_part(bg, ' ', 1)
+    JOIN uni u2 ON u2.tok = split_part(bg, ' ', 2)
+    ORDER BY pmi DESC, bg
+    """,
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(w1, w2) = ln(p(w1 w2) / (p(w1) p(w2))) over the corpus's own
+    unigram/bigram statistics, support-filtered at PMI_MIN_COUNT —
+    the classic Church & Hanks collocation measure, and the standard
+    pre-tokenizer pass for merging multi-word expressions in training
+    pipelines (word2vec's phrase pass uses exactly this score shape).
+
+    Plan: reuses the session-cached term-frequency and
+    bigram-frequency tables (one explode each per session, shared
+    with the LM-scoring and heavy-hitter queries); the bigram counts
+    reduce to a vocabulary²-bounded, support-filtered frame; the two
+    unigram joins hit a vocabulary-sized table that broadcasts; the
+    two grand totals ride whitelisted 1-row broadcasts. Nothing
+    data-sized crosses an exchange after the two base aggregations.
+    """
+    uni = doc_term_freq(spark, sf_dir).groupBy("tok").agg(
+        F.sum("tf").alias("c1")
+    )
+    ntok = uni.agg(F.sum("c1").alias("nt"))
+    bgc = (
+        doc_bigram_freq(spark, sf_dir)
+        .groupBy("bg")
+        .agg(F.sum("tf").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    nbg = doc_bigram_freq(spark, sf_dir).agg(F.sum("tf").alias("nbg"))
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c1").alias("c1_1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c1").alias("c1_2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("nbg"))
+            / ((F.col("c1_1") / F.col("nt")) * (F.col("c1_2") / F.col("nt")))
+        ),
+        6,
+    )
+    return (
+        bgc.withColumn("t1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("t2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(nbg))
+        .select("bg", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bg")
+    )

@@ -84,6 +84,7 @@ ALLOWED_NESTED_LOOP = {
     "graph_pagerank",  # broadcast 1-row node-count scalar (teleport term)
     "layout_zorder_stats",  # broadcast 1-row dimension-extrema scalar
     "agg_heavy_hitters",  # broadcast 1-row token-total scalar
+    "doc_bigram_pmi",  # broadcast 1-row unigram/bigram grand totals
     "window_rank_dense_ntile",  # broadcast 1-row (min,max,n) stats scalar
     "doc_mixture_sample",  # broadcast 1-row mixture-budget scalar
     "events_ordered_funnel",  # two broadcast 1-row stage-count scalars

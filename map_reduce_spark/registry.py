@@ -274,10 +274,15 @@ _CHECK_FIRST = [
 # pytest alone); streaming_idempotent_sink (exactly-once foreachBatch
 # file sink under a forced batch retry — the sink leg of the
 # exactly-once story); layout_zorder_stats (Morton multi-dimensional
-# clustering, operators/layout.py); and agg_heavy_hitters (mergeable
-# Misra-Gries candidates + exact verify, functions/text.py). All but
-# the rows-only entries oracle-gated at sf0.001/0.01/0.1 by
-# tools/check_oracle.py every round while they wait.
+# clustering, operators/layout.py); agg_heavy_hitters (mergeable
+# Misra-Gries candidates + exact verify, functions/text.py);
+# agg_regression_stats (SQL-standard corr/covar/REGR_* family,
+# operators/advanced.py); agg_hll_rollup (mergeable HyperLogLog
+# sketch rollup — rows-only, mergeability identity pinned in pytest);
+# and doc_bigram_pmi (Church-Hanks collocations over the cached
+# n-gram tables, functions/text.py). All but the rows-only entries
+# oracle-gated at sf0.001/0.01/0.1 by tools/check_oracle.py every
+# round while they wait.
 
 
 def load_all() -> dict[str, QuerySpec]:

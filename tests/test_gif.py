@@ -117,3 +117,33 @@ def test_media_pipeline_decodes_gif_rows(spark):
         f = by_id[r["media_id"]]
         assert f is not None and len(f) == 16
         assert abs(sum(v * v for v in f) - 1.0) < 1e-5
+
+
+def test_gif_roundtrip_property():
+    """Hypothesis fuzz over image shapes, palette sizes, and row
+    orders: decode(encode(img)) is pixel-exact whenever the palette is
+    exact (<= 256 unique colors) and equals the deterministic 332
+    quantization otherwise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 23),
+        st.integers(1, 19),
+        st.integers(2, 300),
+        st.booleans(),
+        st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, n_colors, interlace, seed):
+        rng = np.random.default_rng(seed)
+        colors = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        px = colors[rng.integers(0, n_colors, size=(h, w))]
+        idx, pal = palette_for(px)
+        want = pal[idx].reshape(px.shape)
+        got = decode_gif(encode_gif(px, interlace=interlace))
+        assert np.array_equal(got, want)
+        if len(np.unique(px.reshape(-1, 3), axis=0)) <= 256:
+            assert np.array_equal(got, px)
+
+    check()

@@ -75,3 +75,42 @@ def test_zorder_interleave_is_bijective_and_monotone_on_grid(spark, sf_dir):
     for r in cells:
         assert (r["zval"] == 0) == (r["qx"] == 0 and r["qy"] == 0)
         assert r["zval"] >= 0
+
+
+def test_morton_interleave_is_invertible_property():
+    """Pure-Python property check of the generated interleave SQL's
+    semantics: interleaving then de-interleaving recovers any 16-bit
+    coordinate pair (so distinct grid cells can never collide), and
+    the curve preserves the quadrant order that makes range pruning
+    work."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def interleave(qx: int, qy: int) -> int:
+        z = 0
+        for i in range(L.ZBITS):
+            z += ((qx >> i) & 1) << (2 * i)
+            z += ((qy >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        qx = qy = 0
+        for i in range(L.ZBITS):
+            qx |= ((z >> (2 * i)) & 1) << i
+            qy |= ((z >> (2 * i + 1)) & 1) << i
+        return qx, qy
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(0, (1 << L.ZBITS) - 1), st.integers(0, (1 << L.ZBITS) - 1)
+    )
+    def check(qx, qy):
+        z = interleave(qx, qy)
+        assert deinterleave(z) == (qx, qy)
+        # top-bit quadrant order: the leading interleaved bits are the
+        # coordinates' leading bits, so the 4 quadrants are contiguous
+        # z ranges — the property bucket pruning relies on
+        assert (z >> (2 * L.ZBITS - 1)) & 1 == (qy >> (L.ZBITS - 1)) & 1
+        assert (z >> (2 * L.ZBITS - 2)) & 1 == (qx >> (L.ZBITS - 1)) & 1
+
+    check()

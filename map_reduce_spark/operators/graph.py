@@ -108,6 +108,56 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(bwd)
 
 
+def pagerank_fixed(edges: DataFrame, broadcast_ranks: bool = True) -> DataFrame:
+    """(nid, pr) fixed-point PageRank over an arbitrary directed
+    (src, dst) bigint edge frame — the engine core behind
+    ``graph_pagerank``, factored out so the randomized differential
+    test (tests/test_graph.py) can run it against a pure-Python
+    reference on arbitrary graphs. Node universe = nodes with at
+    least one OUT edge (matches the registered oracle's ``deg``
+    universe; for the doubled bipartite graph that is every node).
+
+    Plan shape and the two regimes are documented on
+    ``graph_pagerank``.
+    """
+    # edges feeds both the degree aggregate and the edge+degree join —
+    # persist so the upstream subplan runs once, not twice.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg): the per-round join input, persisted because
+    # all PR_ITERS rounds scan it — partitioned by the round
+    # aggregate's key (dst) in the broadcast regime, by the round
+    # join's key (src) in the shuffle regime.
+    ed = edges.join(deg, "src")
+    ed = (ed.repartition("dst") if broadcast_ranks else ed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    init = F.expr(f"{PR_SCALE} DIV n").alias("pr")
+    pr = deg.crossJoin(F.broadcast(nn)).select(F.col("src").alias("nid"), init, "n")
+    for _ in range(PR_ITERS):
+        rank_side = F.broadcast(pr) if broadcast_ranks else pr
+        contribs = ed.join(rank_side, ed.src == pr.nid).select(
+            F.col("dst"), F.expr("pr DIV outdeg").alias("contrib"), F.col("n")
+        )
+        teleport = F.expr(
+            f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} DIV n)) DIV {PR_DAMP_DEN}"
+        )
+        pr = (
+            contribs.groupBy(F.col("dst").alias("nid"), F.col("n"))
+            .agg(F.sum("contrib").alias("sc"))
+            .select(
+                "nid",
+                (teleport + F.expr(f"({PR_DAMP_NUM} * sc) DIV {PR_DAMP_DEN}")).alias(
+                    "pr"
+                ),
+                "n",
+            )
+        )
+    return pr.select("nid", "pr")
+
+
 _PAGERANK_ORACLE = f"""
     WITH rel AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -185,43 +235,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_upper = parquet_num_rows(f"{sf_dir}/customer.parquet") + parquet_num_rows(
         f"{sf_dir}/supplier.parquet"
     )
-    broadcast_ranks = n_upper <= PR_BROADCAST_MAX_NODES
-
-    # edges feeds both the degree aggregate and the edge+degree join —
-    # persist so the orders x lineitem distinct runs once, not twice.
-    edges = _bipartite_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg): the per-round join input, persisted because
-    # all PR_ITERS rounds scan it — partitioned by the round
-    # aggregate's key (dst) in the broadcast regime, by the round
-    # join's key (src) in the shuffle regime.
-    ed = edges.join(deg, "src")
-    ed = (ed.repartition("dst") if broadcast_ranks else ed).persist(
-        StorageLevel.MEMORY_AND_DISK
+    pr = pagerank_fixed(
+        _bipartite_edges(spark, sf_dir),
+        broadcast_ranks=n_upper <= PR_BROADCAST_MAX_NODES,
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-
-    init = F.expr(f"{PR_SCALE} DIV n").alias("pr")
-    pr = deg.crossJoin(F.broadcast(nn)).select(F.col("src").alias("nid"), init, "n")
-    for _ in range(PR_ITERS):
-        rank_side = F.broadcast(pr) if broadcast_ranks else pr
-        contribs = ed.join(rank_side, ed.src == pr.nid).select(
-            F.col("dst"), F.expr("pr DIV outdeg").alias("contrib"), F.col("n")
-        )
-        teleport = F.expr(
-            f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} DIV n)) DIV {PR_DAMP_DEN}"
-        )
-        pr = (
-            contribs.groupBy(F.col("dst").alias("nid"), F.col("n"))
-            .agg(F.sum("contrib").alias("sc"))
-            .select(
-                "nid",
-                (teleport + F.expr(f"({PR_DAMP_NUM} * sc) DIV {PR_DAMP_DEN}")).alias(
-                    "pr"
-                ),
-                "n",
-            )
-        )
     return pr.select(
         F.when(F.col("nid") % 2 == 1, "supplier")
         .otherwise("customer")
@@ -342,6 +359,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bfs_min_hops(edges: DataFrame, seeds: DataFrame, hops: int) -> DataFrame:
+    """(nid, hop) min-hop BFS distances (<= ``hops``) over an
+    arbitrary directed (src, dst) bigint edge frame from a (nid) seed
+    frame — the engine core behind ``graph_khop_reachability``,
+    factored out so the randomized differential test can run it
+    against a pure-Python BFS on arbitrary graphs.
+
+    Each round's frontier is persisted: round i+1 references frontier_i
+    TWICE (as the expansion source and inside the reached-set
+    anti-join), so without a cache the plan tree doubles per hop —
+    the same 2^k lineage blowup _min_label_propagation checkpoints
+    against, bounded here only by the constant hop count. The cached
+    frames are node-sized (bigint, int) pairs. ``reached`` itself
+    stays a cheap union of the cached per-hop frames. Frontier and
+    visited set are node-sized — BROADCAST both, so a hop never
+    shuffles the |edges| frame: the expansion is a map-side hash join
+    over the (caller-persisted) edges and the dedup/anti steps work on
+    the much smaller neighbor projection. The billion-node regime
+    would flip these to shuffle joins, the same cutoff argument as
+    graph_pagerank's rank broadcast.
+    """
+    frontier = seeds.withColumn("hop", F.lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
+    reached = frontier
+    for i in range(1, hops + 1):
+        neighbors = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.nid)
+            .select(F.col("dst").alias("nid"))
+            .distinct()
+        )
+        new = (
+            neighbors.join(F.broadcast(reached.select("nid")), "nid", "left_anti")
+            .withColumn("hop", F.lit(i))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        reached = reached.unionAll(new)
+        frontier = new
+    return reached
+
+
 def _khop_oracle() -> str:
     hops = []
     prev_reach = "r0"
@@ -414,34 +470,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(edges.select(F.col("src").alias("nid")), "nid", "left_semi")
         .distinct()
     )
-    # Each round's frontier is persisted: round i+1 references frontier_i
-    # TWICE (as the expansion source and inside the reached-set
-    # anti-join), so without a cache the plan tree doubles per hop —
-    # the same 2^k lineage blowup _min_label_propagation checkpoints
-    # against, bounded here only by the constant hop count. The cached
-    # frames are node-sized (bigint, int) pairs. ``reached`` itself
-    # stays a cheap union of the cached per-hop frames.
-    frontier = seeds.withColumn("hop", F.lit(0)).persist(StorageLevel.MEMORY_AND_DISK)
-    reached = frontier
-    for i in range(1, KHOP_HOPS + 1):
-        # Frontier and visited set are node-sized — BROADCAST both, so
-        # a hop never shuffles the |edges| frame: the expansion is a
-        # map-side hash join over the cached edges and the dedup/anti
-        # steps work on the (much smaller) neighbor projection. The
-        # billion-node regime would flip these to shuffle joins, the
-        # same cutoff argument as graph_pagerank's rank broadcast.
-        neighbors = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.nid)
-            .select(F.col("dst").alias("nid"))
-            .distinct()
-        )
-        new = (
-            neighbors.join(F.broadcast(reached.select("nid")), "nid", "left_anti")
-            .withColumn("hop", F.lit(i))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        reached = reached.unionAll(new)
-        frontier = new
+    reached = bfs_min_hops(edges, seeds, KHOP_HOPS)
     return reached.select(
         F.when(F.col("nid") % 2 == 1, "supplier")
         .otherwise("customer")

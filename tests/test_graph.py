@@ -143,3 +143,77 @@ def test_pagerank_broadcast_regime_plan(spark, sf_dir):
     live = plan.split("InMemoryRelation")[0]
     n_live_exchanges = live.count("Exchange ")
     assert n_live_exchanges <= 1, f"per-round shuffles crept back in:\n{live}"
+
+
+def _py_pagerank(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python mirror of pagerank_fixed's integer semantics."""
+    from collections import defaultdict
+
+    outdeg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    n = len(outdeg)
+    pr = {s: G.PR_SCALE // n for s in outdeg}
+    teleport = (
+        (G.PR_DAMP_DEN - G.PR_DAMP_NUM) * (G.PR_SCALE // n)
+    ) // G.PR_DAMP_DEN
+    for _ in range(G.PR_ITERS):
+        acc: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            if s in pr:
+                acc[d] += pr[s] // outdeg[s]
+        pr = {
+            d: teleport + (G.PR_DAMP_NUM * sc) // G.PR_DAMP_DEN
+            for d, sc in acc.items()
+        }
+    return dict(pr)
+
+
+def _py_bfs(edges: list[tuple[int, int]], seeds: set[int], hops: int) -> dict[int, int]:
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj[u]
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_pagerank_and_bfs_match_python_reference_on_random_graphs(spark):
+    """Randomized differential: the factored Spark cores reproduce a
+    pure-Python implementation of the same integer semantics on
+    arbitrary directed graphs (self-loops, multi-components,
+    source-only and sink-only nodes included) — exact equality, no
+    tolerance, which is the point of fixed-point arithmetic."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(4, 18)
+        m = rng.randint(n, 4 * n)
+        edges = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        )
+        edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+        got_pr = {
+            r["nid"]: r["pr"]
+            for r in G.pagerank_fixed(edf, broadcast_ranks=bool(trial % 2)).collect()
+        }
+        assert got_pr == _py_pagerank(edges), f"pagerank trial {trial}: {edges}"
+
+        seeds = {rng.randrange(n) for _ in range(rng.randint(1, 3))}
+        sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "nid bigint")
+        got_bfs = {
+            r["nid"]: r["hop"] for r in G.bfs_min_hops(edf, sdf, 3).collect()
+        }
+        assert got_bfs == _py_bfs(edges, seeds, 3), f"bfs trial {trial}: {edges}"

@@ -164,3 +164,126 @@ def merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_IVM_ORACLE = f"""
+    WITH changes AS (
+        SELECT o_orderkey AS c_key, 'U' AS op, o_custkey AS c_custkey,
+               o_totalprice AS c_totalprice, o_orderdate AS c_orderdate,
+               '9-MERGED' AS c_priority
+        FROM orders WHERE o_orderkey % 10 = {_UPD_RES}
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, NULL, NULL, NULL
+        FROM orders WHERE o_orderkey % 10 = {_DEL_RES}
+        UNION ALL
+        SELECT -o_orderkey, 'I', o_custkey, o_totalprice,
+               o_orderdate + INTERVAL 1 DAY, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = {_INS_RES}
+    ),
+    merged AS (
+        SELECT CASE WHEN c.op = 'I' THEN c.c_totalprice
+                    ELSE t.o_totalprice END AS price,
+               CASE WHEN c.op = 'I' THEN c.c_orderdate
+                    ELSE t.o_orderdate END AS odate,
+               CASE WHEN c.op IN ('U', 'I') THEN c.c_priority
+                    ELSE t.o_orderpriority END AS priority
+        FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.c_key
+        WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT strftime(date_trunc('month', odate), '%Y-%m') AS month,
+           priority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_price
+    FROM merged
+    GROUP BY 1, 2
+    ORDER BY month, priority
+"""
+
+
+@register("ivm_orders_daily_totals", oracle_sql=_IVM_ORACLE)
+def ivm_orders_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-(month, priority) order
+    totals view is MAINTAINED from the base aggregate plus a SIGNED
+    delta aggregate of the change batch — never by rescanning the
+    merged table. The oracle computes the view by full recompute over
+    the merged result, so a hash match proves base ⊕ delta ==
+    recompute, which is the IVM correctness contract (the
+    materialized-view / DBSP delta rule for decomposable aggregates).
+
+    Delta expansion per change class (same fixture batch as
+    ``merge_orders_upsert``): UPDATE retracts (-1, -price) at the
+    row's OLD group and asserts (+1, +price) at its NEW group (the
+    priority rewrite moves it across groups); DELETE retracts;
+    INSERT asserts at its (date + 1 day) group. Sums run in
+    DECIMAL(18,4) so retract/assert arithmetic is exact — a double
+    sum could differ from the recompute by an ulp and flip the hash.
+
+    Scale: this is the pattern that makes a 100 TB serving view
+    maintainable — per batch the work is O(|changes|) + a
+    groups-sized outer join, instead of an O(|base|) rescan; count
+    and decimal-sum are self-inverse under retraction, so no other
+    state is needed (MIN/MAX would need the full per-group multiset —
+    the known IVM non-decomposable caveat).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    month = lambda c: F.date_format(F.date_trunc("month", c), "yyyy-MM")  # noqa: E731
+    price_dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+
+    base_agg = orders.groupBy(
+        month(F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price_dec("o_totalprice")).alias("tp"),
+    )
+
+    def signed(df: DataFrame, sign: int, date_col, prio_col) -> DataFrame:
+        return df.select(
+            month(date_col).alias("month"),
+            prio_col.alias("priority"),
+            F.lit(sign).cast("long").alias("dn"),
+            (F.lit(sign) * price_dec("o_totalprice")).alias("dtp"),
+        )
+
+    upd = orders.filter(k % 10 == _UPD_RES)
+    dele = orders.filter(k % 10 == _DEL_RES)
+    ins = orders.filter(k % 10 == _INS_RES)
+    deltas = (
+        signed(upd, -1, F.col("o_orderdate"), F.col("o_orderpriority"))
+        .unionAll(signed(upd, +1, F.col("o_orderdate"), F.lit("9-MERGED")))
+        .unionAll(signed(dele, -1, F.col("o_orderdate"), F.col("o_orderpriority")))
+        .unionAll(
+            signed(
+                ins,
+                +1,
+                F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+                F.col("o_orderpriority"),
+            )
+        )
+    )
+    delta_agg = deltas.groupBy("month", "priority").agg(
+        F.sum("dn").alias("dn"), F.sum("dtp").alias("dtp")
+    )
+    maintained = (
+        base_agg.join(delta_agg, ["month", "priority"], "full_outer")
+        .select(
+            "month",
+            "priority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce(F.col("tp"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("dtp"), F.lit(0).cast("decimal(18,4)"))
+            ).alias("tp_new"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained.select(
+        "month",
+        "priority",
+        "n_orders",
+        F.round(F.col("tp_new"), 2).cast("double").alias("total_price"),
+    ).orderBy("month", "priority")

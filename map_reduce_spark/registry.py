@@ -279,8 +279,11 @@ _CHECK_FIRST = [
 # agg_regression_stats (SQL-standard corr/covar/REGR_* family,
 # operators/advanced.py); agg_hll_rollup (mergeable HyperLogLog
 # sketch rollup — rows-only, mergeability identity pinned in pytest);
-# and doc_bigram_pmi (Church-Hanks collocations over the cached
-# n-gram tables, functions/text.py). All but the rows-only entries
+# doc_bigram_pmi (Church-Hanks collocations over the cached
+# n-gram tables, functions/text.py); and ivm_orders_daily_totals
+# (incremental view maintenance by signed deltas, operators/cdc.py —
+# the oracle's full recompute makes the hash match the IVM
+# contract). All but the rows-only entries
 # oracle-gated at sf0.001/0.01/0.1 by tools/check_oracle.py every
 # round while they wait.
 

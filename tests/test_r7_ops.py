@@ -176,3 +176,29 @@ def test_hll_rollup_accuracy_and_mergeability(spark, sf_dir):
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("e")
     ).collect()[0]["e"]
     assert got["<ALL>"] == whole
+
+
+def test_ivm_maintained_equals_recompute_and_moves_groups(spark, sf_dir):
+    """The delta-maintained view equals a recompute over the merged
+    table (IVM contract), and the update class genuinely MOVES rows
+    across groups (the '9-MERGED' priority exists only via deltas)."""
+    out = load_all()["ivm_orders_daily_totals"].builder(spark, sf_dir)
+    rows = {(r["month"], r["priority"]): (r["n_orders"], r["total_price"])
+            for r in out.collect()}
+    merged = load_all()["merge_orders_upsert"].builder(spark, sf_dir)
+    want = {
+        (r["m"], r["p"]): (r["n"], r["t"])
+        for r in merged.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("t"),
+        )
+        .collect()
+    }
+    assert rows == want
+    assert any(p == "9-MERGED" for _, p in rows), "update deltas must move groups"

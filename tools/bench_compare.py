@@ -95,6 +95,7 @@ def main() -> int:
     duck_times: dict[str, float] = {}
     if not args.skip_duck:
         con = duckdb.connect()
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")  # keep spills out of the repo
         duck_views(con, args.sf_dir)
         for name in names:
             spec = specs[name]

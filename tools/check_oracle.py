@@ -88,6 +88,7 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # keep spills out of the repo
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 

@@ -239,29 +239,48 @@ def ivm_orders_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price_dec("o_totalprice")).alias("tp"),
     )
 
-    def signed(df: DataFrame, sign: int, date_col, prio_col) -> DataFrame:
-        return df.select(
+    # ONE scan for every delta class: residue predicates on
+    # expressions don't push into the parquet scan, so a union of
+    # per-class filters would read the fact table once per class. Each
+    # changed row instead expands ARRAY-side into its signed
+    # (month, priority, dn, dtp) contributions — updates into a
+    # retract+assert pair, deletes into one retract, inserts into one
+    # assert — and a single explode flattens them.
+    def entry(sign: int, date_col, prio_col):
+        return F.struct(
             month(date_col).alias("month"),
             prio_col.alias("priority"),
             F.lit(sign).cast("long").alias("dn"),
             (F.lit(sign) * price_dec("o_totalprice")).alias("dtp"),
         )
 
-    upd = orders.filter(k % 10 == _UPD_RES)
-    dele = orders.filter(k % 10 == _DEL_RES)
-    ins = orders.filter(k % 10 == _INS_RES)
-    deltas = (
-        signed(upd, -1, F.col("o_orderdate"), F.col("o_orderpriority"))
-        .unionAll(signed(upd, +1, F.col("o_orderdate"), F.lit("9-MERGED")))
-        .unionAll(signed(dele, -1, F.col("o_orderdate"), F.col("o_orderpriority")))
-        .unionAll(
-            signed(
-                ins,
-                +1,
-                F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
-                F.col("o_orderpriority"),
+    res = k % 10
+    contributions = (
+        F.when(
+            res == _UPD_RES,
+            F.array(
+                entry(-1, F.col("o_orderdate"), F.col("o_orderpriority")),
+                entry(+1, F.col("o_orderdate"), F.lit("9-MERGED")),
+            ),
+        )
+        .when(
+            res == _DEL_RES,
+            F.array(entry(-1, F.col("o_orderdate"), F.col("o_orderpriority"))),
+        )
+        .otherwise(
+            F.array(
+                entry(
+                    +1,
+                    F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+                    F.col("o_orderpriority"),
+                )
             )
         )
+    )
+    deltas = (
+        orders.filter(res.isin(_UPD_RES, _DEL_RES, _INS_RES))
+        .select(F.explode(contributions).alias("e"))
+        .select("e.month", "e.priority", "e.dn", "e.dtp")
     )
     delta_agg = deltas.groupBy("month", "priority").agg(
         F.sum("dn").alias("dn"), F.sum("dtp").alias("dtp")

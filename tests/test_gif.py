@@ -147,3 +147,49 @@ def test_gif_roundtrip_property():
             assert np.array_equal(got, px)
 
     check()
+
+
+def test_lzw_decoder_tolerates_deferred_clear():
+    """Third-party encoders may keep emitting frozen-table codes after
+    the dictionary hits 4096 instead of sending CLEAR ("deferred
+    clear"). Build such a stream with an inline literal-only encoder
+    that mirrors the decoder's width rule (width bumps as the table
+    fills, caps at 12, NEVER clears) and check the decoder stays in
+    sync through the frozen region."""
+    rng = np.random.default_rng(21)
+    n = 6000  # > 4096 - 258 additions -> the tail runs on a frozen table
+    data = rng.integers(0, 256, size=n, dtype=np.uint8)
+
+    clear, eoi = 256, 257
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = 9
+    emit(clear, width)
+    table_len = clear + 2
+    prev_emitted = False
+    for px in data.tolist():
+        emit(int(px), width)
+        # decoder mirror: from the 2nd data code on it adds one entry
+        # per code until the table is full, then bumps width when
+        # len(table) reaches 2^width
+        if prev_emitted and table_len < (1 << 12):
+            table_len += 1
+            if table_len >= (1 << width) and width < 12:
+                width += 1
+        prev_emitted = True
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    got = lzw_decode(bytes(out), 8, n)
+    assert np.array_equal(got, data)

@@ -1101,3 +1101,79 @@ def quality_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+N_SHARDS = 8  # rendezvous shard count for the registered assignment
+
+
+def rendezvous_shard_col(key: F.Column, n_shards: int) -> F.Column:
+    """Highest-random-weight (rendezvous) shard id for ``key``:
+    argmax over shards s of md5(key || ':' || s). Pure built-in
+    expressions, engine-portable (md5 of identical bytes is identical
+    everywhere)."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{s}"))).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(scores)["s"]
+
+
+@register(
+    "doc_shard_rendezvous",
+    oracle_sql=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               (SELECT s FROM (
+                    SELECT unnest(range({N_SHARDS})) AS s,
+                           md5(doc_id || ':' || unnest(range({N_SHARDS}))) AS h)
+                ORDER BY h DESC, s DESC LIMIT 1) AS shard
+        FROM documents)
+    SELECT shard,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM scored
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of the
+    corpus — the consistent-placement upgrade of the reference's
+    FNV-mod-N partitioning (/root/reference/src/mr/worker.go:32-36):
+    mod-N reassigns ~(N-1)/N of all keys when a shard is added, HRW
+    reassigns exactly the ~1/(N+1) that move to the new shard (the
+    minimal-movement property, pinned by
+    tests/test_r7_ops.py::test_rendezvous_minimal_movement). That is
+    the property that makes shard-count changes survivable for a
+    100 TB corpus laid out by shard: a resize touches only the moved
+    fraction instead of rewriting everything.
+
+    Plan: one narrow projection computing N_SHARDS md5s per row inside
+    whole-stage codegen (no UDF, no shuffle until the shard-level
+    count aggregate); the registered result is the per-shard census
+    (count + key extent), which is what a placement audit reads.
+    Ties on the hash are broken toward the higher shard id on BOTH
+    engines (array_max compares (h, s) structs lexicographically;
+    the oracle orders by h DESC, s DESC) — unreachable in practice
+    (md5 collisions) but stated so the contract is total.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        "doc_id",
+        rendezvous_shard_col(F.col("doc_id"), N_SHARDS).alias("shard"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -202,3 +202,24 @@ def test_ivm_maintained_equals_recompute_and_moves_groups(spark, sf_dir):
     }
     assert rows == want
     assert any(p == "9-MERGED" for _, p in rows), "update deltas must move groups"
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """HRW's defining property: growing N_SHARDS -> N_SHARDS+1 moves
+    ONLY keys whose new-shard score wins — ~1/(N+1) of the corpus —
+    and every moved key lands on the NEW shard (nothing reshuffles
+    among the old shards, unlike mod-N)."""
+    from map_reduce_spark.functions.prep import N_SHARDS, rendezvous_shard_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard_col(F.col("doc_id"), N_SHARDS).alias("old"),
+        rendezvous_shard_col(F.col("doc_id"), N_SHARDS + 1).alias("new"),
+    ).collect()
+    n = len(both)
+    moved = [r for r in both if r["old"] != r["new"]]
+    assert all(r["new"] == N_SHARDS for r in moved), "moves must target the new shard only"
+    frac = len(moved) / n
+    expected = 1 / (N_SHARDS + 1)
+    assert abs(frac - expected) < 0.6 * expected, (frac, expected)

@@ -541,3 +541,60 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
         F.col("day_avg").isNotNull().alias("observed"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "events_pattern_detect",
+    oracle_sql="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id, event_type) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT)
+               AS n_funnels,
+           regexp_matches(seq, 'eee') AS has_error_burst
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event histories — the
+    SQL:2016 MATCH_RECOGNIZE workload expressed as regex over an
+    ordered type-initial string: each user's events collapse (ordered
+    by ts, event_id) into a string like 'scvvpe...', then
+    's[cv]*p' counts clean signup→(clicks/views)→purchase funnels and
+    'eee' flags triple-error bursts. Event-type initials are unique in
+    the fixture (click/error/purchase/signup/view), so the encoding is
+    lossless; both patterns use only constructs with identical
+    semantics in Java regex and RE2, and non-overlapping left-to-right
+    extraction matches across engines.
+
+    Scale: ONE shuffle keyed by user_id; the per-user state is the
+    ordered event run — the same layout sessionization needs — and the
+    regex scan is linear in history length. The string encoding is the
+    trick that turns an arbitrary sequence pattern into one codegen'd
+    expression instead of a self-join chain per pattern stage (compare
+    events_ordered_funnel, which builds the 3-stage funnel from
+    aggregates); its limit is histories long enough that a per-user
+    string is unreasonable — at that point the per-stage aggregate
+    form wins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    seq = F.concat_ws(
+        "", F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1))
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(seq, 's[cv]*p', 0)"))
+        .cast("long")
+        .alias("n_funnels"),
+        F.col("seq").rlike("eee").alias("has_error_burst"),
+    ).orderBy("user_id")

@@ -283,9 +283,11 @@ _CHECK_FIRST = [
 # n-gram tables, functions/text.py); and ivm_orders_daily_totals
 # (incremental view maintenance by signed deltas, operators/cdc.py —
 # the oracle's full recompute makes the hash match the IVM
-# contract); and doc_shard_rendezvous (highest-random-weight shard
+# contract); doc_shard_rendezvous (highest-random-weight shard
 # placement with the minimal-movement invariant pinned,
-# functions/prep.py). All but the rows-only entries
+# functions/prep.py); and events_pattern_detect (MATCH_RECOGNIZE-
+# style sequence regex over ordered per-user histories,
+# operators/temporal.py). All but the rows-only entries
 # oracle-gated at sf0.001/0.01/0.1 by tools/check_oracle.py every
 # round while they wait.
 

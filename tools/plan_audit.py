@@ -174,6 +174,24 @@ AUDIT = {
         "broadcast into a left-semi so the exact pass shuffles only "
         "candidate rows; total rides a whitelisted 1-row broadcast."
     ),
+    "ivm_orders_daily_totals": (
+        "base aggregate + SIGNED delta aggregate joined full-outer on "
+        "the group key; all change classes expand ARRAY-side from ONE "
+        "fact scan (explode of per-row contribution arrays), so the "
+        "maintenance cost is O(changes) + a groups-sized join — no "
+        "second scan of orders for the deltas."
+    ),
+    "doc_shard_rendezvous": (
+        "one narrow projection computes all N_SHARDS md5 scores + "
+        "array_max argmax inside WholeStageCodegen (no UDF, no "
+        "shuffle before the 8-row shard census aggregate)."
+    ),
+    "events_pattern_detect": (
+        "one shuffle keyed by user_id; collect_list + array_sort "
+        "builds the ordered type string per user and both regex "
+        "patterns evaluate in the same projection — sequence "
+        "matching with no self-joins."
+    ),
 }
 
 HIGHLIGHT = re.compile(

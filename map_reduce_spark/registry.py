@@ -310,6 +310,8 @@ def load_all() -> dict[str, QuerySpec]:
         relational4,
         windows,
         sql_queries,
+        quality,
+        runtime_filter,
     )
 
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]

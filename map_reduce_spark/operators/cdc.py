@@ -306,3 +306,82 @@ def ivm_orders_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("tp_new"), 2).cast("double").alias("total_price"),
     ).orderBy("month", "priority")
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_state_history — type-2 slowly-changing dimension build
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+        SELECT user_id, state, ts
+        FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id,
+           row_number() OVER w AS version,
+           state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM transitions
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ORDER BY user_id, version
+"""
+
+
+@register("scd2_user_state_history", oracle_sql=_SCD2_ORACLE)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: the
+    events stream is read as observations of each user's state
+    (event_type); consecutive repeats collapse, and each retained
+    transition becomes a versioned validity interval
+    [valid_from, valid_to) with the open row flagged ``is_current``.
+
+    This is the dimension-history layout every warehouse keeps for
+    point-in-time joins — and the batch twin of the as-of join
+    already registered (``asof_error_after_signup``): an as-of probe
+    into this table is ``BETWEEN valid_from AND valid_to``.
+
+    Plan: ONE hash partition on ``user_id`` serves both window layers
+    (lag to find transitions, lead/row_number to close intervals) —
+    Catalyst reuses the Exchange because the second window's
+    partition key is a prefix of the first's sort order. No second
+    shuffle, no driver state; scales as pure per-user window work.
+
+    Determinism: the event order tiebreaks on ``event_id`` (unique),
+    so the transition set is total-order stable; timestamps render to
+    seconds (the fixture's granularity) for a text-exact compare.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w_scan = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        events.select("user_id", F.col("event_type").alias("state"), "ts",
+                      "event_id")
+        .withColumn("prev_state", F.lag("state").over(w_scan))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        transitions.select(
+            "user_id",
+            F.row_number().over(w_ver).alias("version"),
+            "state",
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(F.lead("ts").over(w_ver), fmt).alias("valid_to"),
+            F.lead("ts").over(w_ver).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

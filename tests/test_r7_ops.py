@@ -223,3 +223,25 @@ def test_rendezvous_minimal_movement(spark, sf_dir):
     frac = len(moved) / n
     expected = 1 / (N_SHARDS + 1)
     assert abs(frac - expected) < 0.6 * expected, (frac, expected)
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    """SCD2 invariants the oracle hash doesn't name: versions are
+    dense from 1, intervals chain exactly (valid_to == next
+    valid_from), exactly one open (is_current) row per user, and no
+    two consecutive versions share a state (true type-2 — repeats
+    collapsed)."""
+    out = load_all()["scd2_user_state_history"].builder(spark, sf_dir)
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(1 for r in hist if r["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]

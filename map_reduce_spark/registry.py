@@ -312,6 +312,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_queries,
         quality,
         runtime_filter,
+        skyline,
     )
 
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]

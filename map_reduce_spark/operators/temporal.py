@@ -598,3 +598,122 @@ def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_funnels"),
         F.col("seq").rlike("eee").alias("has_error_burst"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_touch — first/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_LOOKBACK_DAYS = 7
+_TOUCH_TYPES = ("click", "view")
+
+_ATTRIB_ORACLE = f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS lt_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS lt_ts,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                   OVER w AS ft_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+        SELECT CASE WHEN lt_ts IS NOT NULL
+                     AND lt_ts >= ts - INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY
+                    THEN lt_type ELSE 'none' END AS last_touch,
+               coalesce(ft_type, 'none') AS first_touch
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT model, channel, count(*) AS n_conversions
+    FROM (
+        SELECT 'first_touch' AS model, first_touch AS channel FROM conv
+        UNION ALL
+        SELECT 'last_touch', last_touch FROM conv
+    )
+    GROUP BY model, channel
+    ORDER BY model, channel
+"""
+
+
+@register("events_attribution_touch", oracle_sql=_ATTRIB_ORACLE)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: every purchase credits a marketing
+    channel under two models — FIRST touch (earliest click/view in
+    the user's whole journey before the purchase) and LAST touch
+    (most recent click/view, but only within a {7}-day lookback;
+    stale or absent touches credit 'none').
+
+    The windowed ``last(..., ignorenulls)`` over
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING is the running
+    "most recent qualifying event" idiom — the same state a streaming
+    attribution job would keep per user, expressed as one batch
+    window. Strictness matters: the 1-PRECEDING frame end excludes
+    the purchase row itself, and the (ts, event_id) order makes
+    same-timestamp runs deterministic.
+
+    Plan: one hash Exchange on user_id serves the window; the final
+    (model x channel) aggregate is ~10 rows. No joins, no driver
+    state — scales as pure per-user window work.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+        F.first(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("ft_type"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_ts").isNotNull()
+            & (
+                F.col("lt_ts")
+                >= F.col("ts") - F.expr(
+                    f"INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY"
+                )
+            ),
+            F.col("lt_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("last_touch"),
+        F.coalesce("ft_type", F.lit("none")).alias("first_touch"),
+    )
+    credited = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_touch").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.col("last_touch").alias("channel"),
+                ),
+            )
+        ).alias("c")
+    )
+    return (
+        credited.groupBy("c.model", "c.channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("model", "channel")
+    )

@@ -245,3 +245,27 @@ def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
         for a, b in zip(hist, hist[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["state"] != b["state"]
+
+
+def test_attribution_conserves_conversions(spark, sf_dir):
+    """Each model distributes exactly one credit per purchase; the
+    last-touch lookback can only move credit to 'none', never create
+    or destroy it."""
+    out = load_all()["events_attribution_touch"].builder(spark, sf_dir)
+    rows = out.collect()
+    events = load_table(spark, sf_dir, "events")
+    n_purchases = events.filter(F.col("event_type") == "purchase").count()
+    by_model: dict[str, int] = {}
+    none_by_model: dict[str, int] = {}
+    for r in rows:
+        by_model[r["model"]] = by_model.get(r["model"], 0) + r["n_conversions"]
+        if r["channel"] == "none":
+            none_by_model[r["model"]] = r["n_conversions"]
+    assert by_model == {
+        "first_touch": n_purchases,
+        "last_touch": n_purchases,
+    }
+    assert none_by_model.get("first_touch", 0) <= none_by_model.get(
+        "last_touch", 0
+    )
+    assert {r["channel"] for r in rows} <= {"click", "view", "none"}

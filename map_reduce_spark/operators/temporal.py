@@ -717,3 +717,93 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy("model", "channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_indices — day-of-week seasonal decomposition
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               dayofweek(ts) AS dow,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,4))) AS day_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    by_dow AS (
+        SELECT dow,
+               count(*) AS n_days,
+               sum(n_events) AS total_events,
+               avg(n_events * 1.0) AS avg_daily_events,
+               CAST(sum(day_value) AS DOUBLE) / count(*) AS avg_daily_value
+        FROM daily GROUP BY dow
+    ),
+    overall AS (
+        SELECT sum(total_events * 1.0) / sum(n_days) AS grand_avg
+        FROM by_dow
+    )
+    SELECT CAST(dow AS INT) AS dow, n_days,
+           CAST(total_events AS BIGINT) AS total_events,
+           round(avg_daily_events, 6) AS avg_daily_events,
+           round(avg_daily_value, 6) AS avg_daily_value,
+           round(avg_daily_events / grand_avg, 6) AS seasonal_index
+    FROM by_dow CROSS JOIN overall
+    ORDER BY dow
+"""
+
+
+@register("events_seasonal_indices", oracle_sql=_SEASONAL_ORACLE)
+def events_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices: each weekday's average daily
+    event count relative to the all-days average (the multiplicative
+    seasonal factor a capacity planner or anomaly detector divides
+    out), plus the weekday's average daily summed value.
+
+    Decomposition is fully hierarchical: events roll up to (day, dow)
+    partials (map-side combinable), days roll up to the 7-row dow
+    table, and the grand mean derives from THAT table — the raw scan
+    happens exactly once and nothing downstream exceeds 7 rows.
+    Day sums run in DECIMAL(18,4) so the per-day partials are exact;
+    only the final 7-row ratios are floats (round(6) convention).
+
+    DuckDB's dayofweek() is 0=Sunday..6=Saturday; Spark's dayofweek()
+    is 1=Sunday..7=Saturday, so the Spark side shifts by one to match
+    the oracle's numbering.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("day_value"),
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("total_events"),
+        F.avg(F.col("n_events") * 1.0).alias("avg_daily_events"),
+        (
+            F.sum("day_value").cast("double") / F.count(F.lit(1))
+        ).alias("avg_daily_value"),
+    )
+    overall = by_dow.agg(
+        (
+            F.sum(F.col("total_events") * 1.0) / F.sum("n_days")
+        ).alias("grand_avg")
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            "total_events",
+            F.round("avg_daily_events", 6).alias("avg_daily_events"),
+            F.round("avg_daily_value", 6).alias("avg_daily_value"),
+            F.round(
+                F.col("avg_daily_events") / F.col("grand_avg"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

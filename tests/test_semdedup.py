@@ -1,0 +1,100 @@
+"""Differential tests for SemDeDup (functions/semdedup.py): the Spark
+pipeline must match a numpy twin that re-runs clustering + the
+within-cluster drop rule end-to-end — on the fixture embeddings
+(near-orthogonal: everything survives, which the twin confirms) and
+on randomized data with PLANTED near-duplicates, where the drop rule
+actually fires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_spark.functions.clustering import KM_ITERS, KM_K
+from map_reduce_spark.functions.semdedup import (
+    SEMDEDUP_TAU,
+    semdedup_verdicts,
+)
+from map_reduce_spark.functions.similarity import with_norm
+from map_reduce_spark.registry import load_all
+
+
+def _numpy_semdedup(ids, x, k, iters, tau):
+    """Twin: Lloyd's (same init/tie/empty rules as clustering.py),
+    then drop any vector with a lower-id same-cluster neighbor at
+    cosine >= tau."""
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+        lab = d2.argmin(axis=1)
+        for j in range(k):
+            if (lab == j).any():
+                cents[j] = x[lab == j].mean(axis=0)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+    lab = d2.argmin(axis=1)
+    norms = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(norms, norms)
+    dropped = set()
+    for bi in range(len(ids)):
+        for ai in range(bi):
+            if lab[ai] == lab[bi] and cos[ai, bi] >= tau:
+                dropped.add(int(ids[bi]))
+                break
+    return {int(i): int(lb) for i, lb in zip(ids, lab)}, dropped
+
+
+def _check(spark, ids, x, k, iters, tau, expect_drops):
+    rows_in = [
+        (int(i), [float(v) for v in x[j]]) for j, i in enumerate(ids)
+    ]
+    df = with_norm(
+        spark.createDataFrame(rows_in, "vec_id bigint, embedding array<double>"),
+        "embedding",
+        "dv",
+        "norm",
+    )
+    got = semdedup_verdicts(df, k=k, iters=iters, tau=tau).collect()
+    ref_lab, ref_dropped = _numpy_semdedup(ids, x, k, iters, tau)
+    assert len(got) == len(ids)
+    for r in got:
+        assert ref_lab[r["vec_id"]] == r["cluster_id"], r
+        assert r["kept"] == (r["vec_id"] not in ref_dropped), r
+    if expect_drops:
+        assert ref_dropped  # the scenario must exercise the drop rule
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_semdedup_drops_planted_duplicates(spark, seed):
+    """Random base vectors plus planted near-copies (tiny noise):
+    the Spark pipeline and the numpy twin agree vector-for-vector,
+    and the planted copies actually drop."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(40, 6))
+    dups = base[:10] + rng.normal(scale=1e-3, size=(10, 6))
+    x = np.vstack([base, dups]).round(6)
+    ids = np.arange(len(x)) * 3 + 1  # sparse id space
+    _check(spark, ids, x.astype(np.float64), k=4, iters=3,
+           tau=0.98, expect_drops=True)
+
+
+def test_semdedup_fixture_near_orthogonal_all_survive(spark, sf_dir):
+    """On the fixture embeddings (max pairwise cosine ~0.48) nothing
+    clears TAU: the registered manifest keeps every vector, and the
+    cluster labels match the twin exactly."""
+    out = load_all()["dedup_semdedup_embeddings"].builder(spark, sf_dir)
+    rows = out.collect()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    order = np.argsort(ids)
+    x = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )[order]
+    ref_lab, ref_dropped = _numpy_semdedup(
+        ids[order], x, KM_K, KM_ITERS, SEMDEDUP_TAU
+    )
+    assert not ref_dropped
+    assert all(r["kept"] for r in rows)
+    assert {r["vec_id"]: r["cluster_id"] for r in rows} == ref_lab

@@ -1,0 +1,301 @@
+"""Operational-analytics operators: drift detection, ABC analysis,
+rolling actives.
+
+Three dashboard/monitoring classics over the fixture tables:
+
+- ``events_cusum_drift`` — one-sided CUSUM drift detection per event
+  type. The textbook recursion S_t = max(0, S_{t-1} + (x_t - k)) is
+  sequential, but it has a closed form the engine can distribute:
+      S_t = P_t - min(P_0..P_t),   P_t = prefix-sum of (x - k)
+  so CUSUM is exactly two window passes (running sum + running min)
+  over the daily series — no recursion, no UDF, no driver loop.
+- ``orders_abc_classes`` — ABC / Pareto revenue classification. The
+  global revenue-ordered cumulative share would serialize into one
+  partition, so customers aggregate to a FIXED revenue-bucket grain
+  first; the cumulative share runs over the bounded bucket table
+  (the same bounded-prefix trick as part_skyline_pareto), and class
+  boundaries are defined AT bucket grain — deterministic, oracle-
+  expressible, and scale-honest.
+- ``events_rolling_7d_actives`` — trailing-7-day distinct active
+  users per day (the canonical WAU-style metric). Exact sliding
+  distinct is not frame-expressible, so the plan materializes the
+  (day, user) distinct grid once and fans each row out to the <= 7
+  calendar days it supports via sequence+explode — a bounded 7x
+  row expansion feeding one count-distinct aggregate; no self-join,
+  no window over raw events.
+
+Scale notes: CUSUM's windows partition by event_type over a
+calendar-bounded series (same boundedness argument as
+events_gap_fill); ABC's only full-order structure is the ~1000-row
+bucket table; rolling-actives' expansion factor is the window length
+(7), constant in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_table
+
+CUSUM_SLACK = 0.5  # k = mean + slack * stddev (allowance)
+CUSUM_H = 3.0  # alarm at h = H * stddev
+
+_CUSUM_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(round(avg(n * 1.0) + {CUSUM_SLACK} * stddev_samp(n * 1.0), 6)
+                    AS DECIMAL(18,6)) AS k6,
+               CAST(round({CUSUM_H} * stddev_samp(n * 1.0), 6)
+                    AS DECIMAL(18,6)) AS h6
+        FROM daily GROUP BY event_type
+    ),
+    series AS (
+        SELECT d.event_type, d.day, d.n, s.h6,
+               sum(CAST(d.n AS DECIMAL(18,6)) - s.k6) OVER w AS p
+        FROM daily d JOIN stats s USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round(CAST(p - least(min(p) OVER w2, CAST(0 AS DECIMAL(18,6)))
+                      AS DOUBLE), 6) AS cusum,
+           p - least(min(p) OVER w2, CAST(0 AS DECIMAL(18,6))) > h6
+               AS alarm
+    FROM series
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+"""
+
+
+@register("events_cusum_drift", oracle_sql=_CUSUM_ORACLE)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per (event_type, day), with an
+    alarm flag at h = 3 sigma. Uses the prefix-sum/running-min
+    closed form (module docstring) so the sequential recursion
+    becomes two ordered-frame windows — running frames evaluate
+    incrementally in order on both engines, so the float stream is
+    addition-order identical and the round(6) outputs match exactly.
+
+    k (allowance) = mean + 0.5 sigma of the type's own daily series,
+    rounded ONCE to 6dp and cast to DECIMAL(18,6): every prefix sum,
+    running min, and threshold compare then runs in exact decimal
+    arithmetic, immune to window-aggregate addition order (DuckDB's
+    segment-tree frames reorder float sums — a 1-ulp boundary flip
+    the first float version of this oracle actually hit). The min(P)
+    clamps at 0 because S_0 starts at zero — the standard CUSUM
+    boundary.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dec = "decimal(18,6)"
+    stats = daily.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.col("n") * 1.0)
+            + CUSUM_SLACK * F.stddev_samp(F.col("n") * 1.0),
+            6,
+        )
+        .cast(dec)
+        .alias("k6"),
+        F.round(CUSUM_H * F.stddev_samp(F.col("n") * 1.0), 6)
+        .cast(dec)
+        .alias("h6"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    series = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "p", F.sum(F.col("n").cast(dec) - F.col("k6")).over(w)
+    )
+    cusum_dec = F.col("p") - F.least(
+        F.min("p").over(w), F.lit(0).cast(dec)
+    )
+    return series.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(cusum_dec.cast("double"), 6).alias("cusum"),
+        (cusum_dec > F.col("h6")).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# orders_abc_classes — Pareto / ABC revenue classification
+# ---------------------------------------------------------------------------
+
+ABC_BUCKET_CENTS = 100_000  # $1000 customer-revenue buckets
+ABC_A, ABC_B = 0.5, 0.8  # cumulative-share boundaries
+
+_ABC_ORACLE = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    bucketed AS (
+        SELECT o_custkey, cents, cents // {ABC_BUCKET_CENTS} AS bucket
+        FROM rev
+    ),
+    buckets AS (
+        SELECT bucket, sum(cents) AS bcents, count(*) AS bn
+        FROM bucketed GROUP BY bucket
+    ),
+    ranked AS (
+        SELECT bucket,
+               sum(bcents) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * 1.0 / sum(bcents) OVER () AS cum_share
+        FROM buckets
+    ),
+    classed AS (
+        SELECT b.o_custkey, b.cents,
+               CASE WHEN r.cum_share <= {ABC_A} THEN 'A'
+                    WHEN r.cum_share <= {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM bucketed b JOIN ranked r USING (bucket)
+    )
+    SELECT abc, count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(sum(cents) * 1.0 / (SELECT sum(cents) FROM rev), 6)
+               AS revenue_share
+    FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+@register("orders_abc_classes", oracle_sql=_ABC_ORACLE)
+def orders_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by lifetime revenue:
+    class A = the top buckets holding the first 50% of revenue,
+    B = next 30%, C = the tail, with boundaries defined at a FIXED
+    $1000 revenue-bucket grain so the cumulative share runs over a
+    bounded bucket table instead of a global customer sort (the
+    skyline's bounded-prefix trick). Revenue in exact cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    bucketed = rev.withColumn(
+        "bucket", (F.col("cents") / ABC_BUCKET_CENTS).cast("long")
+    )
+    buckets = bucketed.groupBy("bucket").agg(F.sum("cents").alias("bcents"))
+    w_desc = W.orderBy(F.desc("bucket")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = buckets.select(
+        "bucket",
+        (
+            F.sum("bcents").over(w_desc) * 1.0
+            / F.sum("bcents").over(w_all)
+        ).alias("cum_share"),
+    )
+    classed = bucketed.join(F.broadcast(ranked), "bucket").select(
+        "o_custkey",
+        "cents",
+        F.when(F.col("cum_share") <= ABC_A, "A")
+        .when(F.col("cum_share") <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    total = rev.agg(F.sum("cents").alias("total"))
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc",
+            "n_customers",
+            "revenue_cents",
+            F.round(
+                F.col("revenue_cents") * 1.0 / F.col("total"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_7d_actives — trailing-window distinct users
+# ---------------------------------------------------------------------------
+
+ROLLING_DAYS = 7
+
+_ROLLING_ORACLE = f"""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    fanout AS (
+        SELECT unnest(generate_series(day,
+                   day + INTERVAL {ROLLING_DAYS - 1} DAY,
+                   INTERVAL 1 DAY)) AS target_day,
+               user_id
+        FROM du
+    ),
+    bounds AS (SELECT min(date_trunc('day', ts)) AS lo,
+                      max(date_trunc('day', ts)) AS hi FROM events)
+    SELECT strftime(target_day, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS active_users_7d
+    FROM fanout, bounds
+    WHERE target_day BETWEEN lo AND hi
+    GROUP BY target_day
+    ORDER BY target_day
+"""
+
+
+@register("events_rolling_7d_actives", oracle_sql=_ROLLING_ORACLE)
+def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. Sliding distinct
+    has no window-frame form, so each (day, user) distinct row fans
+    out to the <= 7 target days it supports (sequence + explode — a
+    constant 7x expansion of the already-day-grain frame), then one
+    count-distinct aggregate per target day. Days outside the
+    observed range are clipped so leading/trailing partial windows
+    stay honest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    fanout = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {ROLLING_DAYS - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("target_day"),
+        "user_id",
+    )
+    bounds = events.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    )
+    return (
+        fanout.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+        .orderBy("day")
+    )

@@ -313,6 +313,7 @@ def load_all() -> dict[str, QuerySpec]:
         quality,
         runtime_filter,
         skyline,
+        monitoring,
     )
 
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]

@@ -93,6 +93,12 @@ ALLOWED_NESTED_LOOP = {
     "rag_bm25_search",  # broadcast 1-row (n, avgdl) corpus-stats scalars
     "rag_rrf_fusion_search",  # inherits both base searches' 1-row scalars
     "q11ish_concentrated_part_values",  # broadcast 1-row (n, total) threshold
+    "doc_dsir_select",  # broadcast 1-row (n_raw, n_target) LM totals
+    "events_seasonal_indices",  # broadcast 1-row grand-mean scalar
+    "events_rolling_7d_actives",  # broadcast 1-row (lo, hi) day bounds
+    "orders_abc_classes",  # broadcast 1-row revenue grand total
+    "dq_validate_constraints",  # 1-row check-scalar assembly crossjoins
+    "stats_table_profile",  # 1-row per-table stats frames
 }
 
 

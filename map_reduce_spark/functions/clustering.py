@@ -86,6 +86,13 @@ def lloyd_kmeans(
     of (assign, dimension-wise mean). Returns the trained centroids;
     callers re-assign with ``kmeans_assign`` for the final labeling.
     Per round: one distributed assign + one K x D-cell avg collect."""
+    # Every iteration (and the caller's final assignment) re-reads
+    # this frame; persist so the parquet scan + vector widening run
+    # once instead of iters+1 times (lazy — the builder contract
+    # holds). The frame is the training set itself: at real scale
+    # this is the standard cache-the-training-frame move, with
+    # MEMORY_AND_DISK spill semantics by default.
+    df = df.persist()
     init = df.select(id_col, dv_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, corpus has {len(init)}")

@@ -299,3 +299,218 @@ def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order journey transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    ORDER BY from_type, to_type
+"""
+
+
+@register("events_markov_transitions", oracle_sql=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys:
+    P(next event type | current event type), estimated from every
+    consecutive in-user pair. The session-analysis companion of
+    ``events_pattern_detect`` — the pattern op matches known shapes,
+    this one LEARNS the transition structure.
+
+    Plan: one user_id Exchange for the lead() window, then a
+    (from, to) aggregate whose result is |types|^2 rows (25 here) —
+    the normalizing per-from-state window runs on that bounded
+    matrix, never on event rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_from), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# orders_cohort_ltv — cohort lifetime-value triangle
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+    WITH firsts AS (
+        SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+        SELECT f.cohort,
+               (year(o.o_orderdate) - year(f.cohort)) * 12
+                 + (month(o.o_orderdate) - month(f.cohort)) AS age,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cohort_sizes AS (
+        SELECT cohort, count(*) AS n_customers FROM firsts GROUP BY cohort
+    ),
+    tri AS (
+        SELECT cohort, age, count(*) AS n_orders, sum(cents) AS cents
+        FROM facts GROUP BY cohort, age
+    )
+    SELECT strftime(t.cohort, '%Y-%m') AS cohort,
+           CAST(t.age AS INT) AS age,
+           s.n_customers,
+           CAST(t.n_orders AS BIGINT) AS n_orders,
+           CAST(t.cents AS BIGINT) AS revenue_cents,
+           CAST(sum(t.cents) OVER (PARTITION BY t.cohort ORDER BY t.age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents
+    FROM tri t JOIN cohort_sizes s ON t.cohort = s.cohort
+    ORDER BY cohort, age
+"""
+
+
+@register("orders_cohort_ltv", oracle_sql=_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by first
+    order month, revenue accumulated by cohort age in months — the
+    revenue twin of ``events_retention_cohorts``. Exact cents.
+
+    Plan: first-order months are a per-customer min aggregate that
+    joins back to orders on custkey (both hash-partition on the
+    key); the triangle is (months x months) rows, so the cumulative
+    window runs on a calendar-bounded frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).cast("int").alias("age"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    tri = facts.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    w_cum = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "age",
+            "n_customers",
+            "n_orders",
+            F.col("cents").alias("revenue_cents"),
+            F.sum("cents").over(w_cum).alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_linear — least-squares trend + 7-day forecast
+# ---------------------------------------------------------------------------
+
+FORECAST_ANCHOR = "2024-01-01"  # fixture epoch; keeps t small and exact
+FORECAST_DAYS = 7
+
+_FORECAST_ORACLE = f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{FORECAST_ANCHOR}',
+                         CAST(date_trunc('day', ts) AS DATE)) AS t,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    fit AS (
+        SELECT round(regr_slope(n, t), 6) AS b,
+               round(regr_intercept(n, t), 6) AS a,
+               max(t) AS t_max
+        FROM daily
+    )
+    SELECT CAST(t_max + step AS INT) AS t,
+           strftime(DATE '{FORECAST_ANCHOR}'
+                    + to_days(CAST(t_max + step AS INT)), '%Y-%m-%d') AS day,
+           round(a + b * (t_max + step), 6) AS forecast
+    FROM fit, (SELECT unnest(generate_series(1, {FORECAST_DAYS})) AS step)
+    ORDER BY t
+"""
+
+
+@register("events_forecast_linear", oracle_sql=_FORECAST_ORACLE)
+def events_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares linear trend over the daily event-count series,
+    extrapolated {7} days past the observed range — the REGR_*
+    aggregate family (agg_regression_stats) applied to forecasting.
+
+    t is day offsets from a fixed fixture anchor, keeping the
+    regressor small and integer-exact at any scale; slope/intercept
+    round(6) once so both engines extrapolate identical lines. The
+    daily series is calendar-bounded, so the fit aggregate and the
+    7-row forecast are constant-size regardless of corpus scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit(FORECAST_ANCHOR).cast("date")
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fit = daily.agg(
+        F.round(F.expr("regr_slope(n, t)"), 6).alias("b"),
+        F.round(F.expr("regr_intercept(n, t)"), 6).alias("a"),
+        F.max("t").alias("t_max"),
+    )
+    steps = spark.range(1, FORECAST_DAYS + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    return (
+        fit.crossJoin(F.broadcast(steps))
+        .select(
+            (F.col("t_max") + F.col("step")).cast("int").alias("t"),
+            F.date_format(
+                F.date_add(
+                    F.lit(FORECAST_ANCHOR).cast("date"),
+                    (F.col("t_max") + F.col("step")).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.round(
+                F.col("a") + F.col("b") * (F.col("t_max") + F.col("step")),
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("t")
+    )

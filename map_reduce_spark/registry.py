@@ -290,6 +290,26 @@ _CHECK_FIRST = [
 # operators/temporal.py). All but the rows-only entries
 # oracle-gated at sf0.001/0.01/0.1 by tools/check_oracle.py every
 # round while they wait.
+#
+# r7 third-session waiters (same capacity amendment, promoted at the
+# r8 rotation): dq_validate_constraints + stats_table_profile
+# (operators/quality.py — fused constraint suite, ANALYZE stats);
+# join_bloom_prefilter (operators/runtime_filter.py — Bloom join
+# pruning, oracle certifies zero false negatives);
+# scd2_user_state_history (operators/cdc.py — type-2 dimension
+# history); part_skyline_pareto (operators/skyline.py — 2-D skyline
+# via the bounded prefix-max rewrite, quadratic NOT EXISTS oracle);
+# doc_dsir_select (functions/selection.py — DSIR importance
+# selection, oracle-green at three scales); ml_kmeans_embeddings
+# (functions/clustering.py — Lloyd's, numpy-differential) and
+# dedup_semdedup_embeddings (functions/semdedup.py — per-cluster
+# GEMM SemDeDup), both rows-only; events_attribution_touch,
+# events_seasonal_indices, events_cusum_drift (decimal-exact CUSUM
+# closed form), events_rolling_7d_actives, events_markov_transitions,
+# events_forecast_linear (operators/temporal.py + monitoring.py);
+# orders_abc_classes + orders_cohort_ltv (monitoring.py — Pareto
+# classes, LTV triangle). 16 entries, every oracle-expressible one
+# green at sf0.001 + sf0.01 in this session's full-registry runs.
 
 
 def load_all() -> dict[str, QuerySpec]:

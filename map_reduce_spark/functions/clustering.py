@@ -45,13 +45,28 @@ _KM_SCHEMA = (
 )
 
 
+# Above this K the per-row expression tree (one 64-term fold per
+# centroid) stops being the right kernel: codegen size and per-row
+# cost grow linearly in K, while a batched numpy distance matrix is
+# one vectorized pass. Measured at sf10 (200k vectors, K=80 via
+# SemDeDup's corpus-scaled K): 92 s -> see BASELINE note.
+KM_EXPR_MAX = 16
+
+
 def kmeans_assign(
     df: DataFrame, dv_col: str, centroids: list[list[float]], out: str
 ) -> DataFrame:
     """Add ``out`` = nearest-centroid id under squared L2 (ties to the
-    lowest id via lexicographic struct-min) and ``{out}_d2`` = the
-    winning squared distance. One zip_with fold per centroid; the
-    centroid constants fold into codegen."""
+    lowest id) and ``{out}_d2`` = the winning squared distance.
+
+    Two kernels, same semantics: K <= KM_EXPR_MAX uses one zip_with
+    fold per centroid (constants fold into codegen, zero Python);
+    larger K switches to an Arrow-batched numpy distance matrix via
+    ``mapInPandas`` (argmin ties to the lowest id, matching the
+    struct-min convention — both paths are fuzzed against the same
+    numpy twin in tests/test_clustering.py)."""
+    if len(centroids) > KM_EXPR_MAX:
+        return _kmeans_assign_np(df, dv_col, centroids, out)
     scored = F.array(
         *[
             F.struct(
@@ -73,6 +88,45 @@ def kmeans_assign(
     return df.withColumn(out, best["cluster"]).withColumn(
         f"{out}_d2", best["d2"]
     )
+
+
+def _kmeans_assign_np(
+    df: DataFrame, dv_col: str, centroids: list[list[float]], out: str
+) -> DataFrame:
+    """Large-K assignment kernel: per Arrow batch, the full (rows x K)
+    squared-distance matrix in float64 numpy, argmin per row. Distance
+    is computed as (x - c)^2 summed over dims — the same expression
+    shape as the fold path and the test twin, so the float streams
+    agree term-for-term."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out, T.IntegerType()),
+            T.StructField(f"{out}_d2", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[dv_col]]
+            )
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+            lab = d2.argmin(axis=1)
+            outp = pdf.copy()
+            outp[out] = lab.astype("int32")
+            outp[f"{out}_d2"] = d2[np.arange(len(lab)), lab]
+            yield pd.DataFrame(outp)
+
+    return df.mapInPandas(assign, schema=schema)
 
 
 def lloyd_kmeans(
@@ -98,18 +152,75 @@ def lloyd_kmeans(
         raise ValueError(f"need >= {k} vectors, corpus has {len(init)}")
     centroids = [[float(x) for x in r[dv_col]] for r in init]
     for _ in range(iters):
-        assigned = kmeans_assign(df, dv_col, centroids, "cluster")
-        rows = (
-            assigned.select("cluster", F.posexplode(dv_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
+        if k > KM_EXPR_MAX:
+            # Large-K round: assignment + per-batch (K x D) partial
+            # sums fused in ONE mapInPandas pass — the shuffle then
+            # carries ~batches x K model-sized rows instead of the
+            # n x D posexplode stream (the PQ trainer's partial-sum
+            # shape; 12.8M shuffled rows/round -> ~160k at sf10).
+            part = _centroid_partials(df, dv_col, centroids)
+            rows = (
+                part.select(
+                    "cluster", "cnt", F.posexplode("sums").alias("pos", "s")
+                )
+                .groupBy("cluster", "pos")
+                .agg((F.sum("s") / F.sum("cnt")).alias("m"))
+                .collect()
+            )
+        else:
+            assigned = kmeans_assign(df, dv_col, centroids, "cluster")
+            rows = (
+                assigned.select(
+                    "cluster", F.posexplode(dv_col).alias("pos", "v")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
         new = {r["cluster"]: centroids[r["cluster"]][:] for r in rows}
         for r in rows:
             new[r["cluster"]][r["pos"]] = float(r["m"])
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
+
+
+def _centroid_partials(
+    df: DataFrame, dv_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """One fused pass for a large-K training round: per Arrow batch,
+    assign every vector (numpy distance matrix) and emit the batch's
+    per-cluster count + dimension-sum vector — at most K rows per
+    batch, whatever the batch size."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k, d = cents.shape
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[dv_col]]
+            )
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+            lab = d2.argmin(axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, lab, x)
+            cnt = np.bincount(lab, minlength=k)
+            live = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "cluster": live.astype("int32"),
+                    "cnt": cnt[live].astype("int64"),
+                    "sums": [sums[i].tolist() for i in live],
+                }
+            )
+
+    return df.mapInPandas(
+        part, "cluster int, cnt bigint, sums array<double>"
+    )
 
 
 def kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

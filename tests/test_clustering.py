@@ -37,6 +37,7 @@ def _np_lloyd(x: np.ndarray, k: int, iters: int):
     (0, 60, 4, 3, 3),
     (1, 100, 8, 5, 2),
     (2, 40, 2, 4, 4),
+    (3, 120, 4, 20, 2),  # K > KM_EXPR_MAX: the numpy assignment kernel
 ])
 def test_lloyd_matches_numpy_twin(spark, seed, n, dim, k, iters):
     rng = np.random.default_rng(seed)

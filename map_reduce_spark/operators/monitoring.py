@@ -514,3 +514,100 @@ def events_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_bot_flags — behavioral bot / automation heuristics
+# ---------------------------------------------------------------------------
+
+BOT_BURST_PER_MIN = 5  # any minute with >= this many events
+BOT_MIN_EVENTS = 20  # low-activity users are never flagged
+
+_BOT_ORACLE = f"""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS gap
+        FROM events
+    ),
+    stats AS (
+        SELECT p.user_id,
+               sum(p.n) AS n_events,
+               count(*) AS active_minutes,
+               max(p.n) AS peak_per_minute,
+               min(g.min_gap) AS min_gap_us
+        FROM per_min p
+        JOIN (SELECT user_id, min(gap) AS min_gap FROM gaps
+              WHERE gap IS NOT NULL GROUP BY user_id) g
+          ON p.user_id = g.user_id
+        GROUP BY p.user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(active_minutes AS BIGINT) AS active_minutes,
+           CAST(peak_per_minute AS BIGINT) AS peak_per_minute,
+           CAST(min_gap_us AS BIGINT) AS min_gap_us,
+           n_events >= {BOT_MIN_EVENTS}
+             AND (peak_per_minute >= {BOT_BURST_PER_MIN} OR min_gap_us = 0)
+             AS bot_suspect
+    FROM stats
+    ORDER BY user_id
+"""
+
+
+@register("events_bot_flags", oracle_sql=_BOT_ORACLE)
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot heuristics per user: burst rate (max events in
+    any single minute), minimum inter-event gap (exact microseconds — whole-second
+    truncation straddles sub-second parts differently per engine,
+    caught by the oracle), and an integer-exact suspect flag — the user-side twin of the document-side quality
+    gates (doc_profile): training pipelines drop traffic that no
+    human could generate before it poisons engagement-derived labels.
+
+    Plan: one user_id-partitioned minute rollup + one lag window,
+    both on the same hash partitioning; every statistic is an exact
+    integer so the oracle comparison is exact.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_min = events.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    min_gaps = (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("gap").alias("min_gap_us"))
+    )
+    stats = (
+        per_min.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("active_minutes"),
+            F.max("n").alias("peak_per_minute"),
+        )
+        .join(min_gaps, "user_id")
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        "active_minutes",
+        "peak_per_minute",
+        "min_gap_us",
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (
+                (F.col("peak_per_minute") >= BOT_BURST_PER_MIN)
+                | (F.col("min_gap_us") == 0)
+            )
+        ).alias("bot_suspect"),
+    ).orderBy("user_id")

@@ -334,6 +334,7 @@ def load_all() -> dict[str, QuerySpec]:
         runtime_filter,
         skyline,
         monitoring,
+        entity_resolution,
     )
 
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]

@@ -99,6 +99,7 @@ ALLOWED_NESTED_LOOP = {
     "orders_abc_classes",  # broadcast 1-row revenue grand total
     "dq_validate_constraints",  # 1-row check-scalar assembly crossjoins
     "stats_table_profile",  # 1-row per-table stats frames
+    "events_forecast_linear",  # 1-row fit x 7-row forecast grid
 }
 
 

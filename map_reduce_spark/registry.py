@@ -335,6 +335,7 @@ def load_all() -> dict[str, QuerySpec]:
         skyline,
         monitoring,
         entity_resolution,
+        basket,
     )
 
     missing = [n for n in _CHECK_FIRST if n not in QUERIES]

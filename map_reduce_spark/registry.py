@@ -308,8 +308,15 @@ _CHECK_FIRST = [
 # closed form), events_rolling_7d_actives, events_markov_transitions,
 # events_forecast_linear (operators/temporal.py + monitoring.py);
 # orders_abc_classes + orders_cohort_ltv (monitoring.py — Pareto
-# classes, LTV triangle). 16 entries, every oracle-expressible one
-# green at sf0.001 + sf0.01 in this session's full-registry runs.
+# classes, LTV triangle); doc_keywords_rake (functions/keywords.py —
+# RAKE phrases via gaps-and-islands); events_bot_flags
+# (monitoring.py — behavioral bot heuristics, exact-microsecond
+# gaps); er_resolve_parts (operators/entity_resolution.py —
+# block→score→closure→canonicalize on the bounded name domain;
+# WITH RECURSIVE closure oracle); basket_part_association
+# (operators/basket.py — market-basket support/confidence/lift).
+# 20 entries, every oracle-expressible one green at sf0.001 +
+# sf0.01 in this session's full-registry runs.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -100,6 +100,7 @@ ALLOWED_NESTED_LOOP = {
     "dq_validate_constraints",  # 1-row check-scalar assembly crossjoins
     "stats_table_profile",  # 1-row per-table stats frames
     "events_forecast_linear",  # 1-row fit x 7-row forecast grid
+    "basket_part_association",  # broadcast 1-row basket-count scalar
 }
 
 

@@ -611,3 +611,141 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bot_suspect"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# events_ab_test — two-proportion experiment readout
+# ---------------------------------------------------------------------------
+
+AB_SALT = "exp1"
+AB_Z_CRIT = 1.959964  # two-sided 5%
+
+_AB_ORACLE = f"""
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(user_id || '/{AB_SALT}'), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    outcomes AS (
+        SELECT a.variant,
+               count(*) AS n_users,
+               sum(CASE WHEN coalesce(c.converted, FALSE) THEN 1 ELSE 0 END)
+                   AS n_converted
+        FROM assign a
+        LEFT JOIN (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 5
+                     > count(*) AS converted
+            FROM events GROUP BY user_id
+        ) c ON a.user_id = c.user_id
+        GROUP BY a.variant
+    ),
+    wide AS (
+        SELECT max(CASE WHEN variant = 'control' THEN n_users END) AS n1,
+               max(CASE WHEN variant = 'control' THEN n_converted END) AS c1,
+               max(CASE WHEN variant = 'treatment' THEN n_users END) AS n2,
+               max(CASE WHEN variant = 'treatment' THEN n_converted END) AS c2
+        FROM outcomes
+    )
+    SELECT CAST(n1 AS BIGINT) AS control_users,
+           CAST(c1 AS BIGINT) AS control_conversions,
+           CAST(n2 AS BIGINT) AS treatment_users,
+           CAST(c2 AS BIGINT) AS treatment_conversions,
+           round(c1 * 1.0 / n1, 6) AS p_control,
+           round(c2 * 1.0 / n2, 6) AS p_treatment,
+           round((c2 * 1.0 / n2 - c1 * 1.0 / n1)
+                 / nullif(sqrt(((c1 + c2) * 1.0 / (n1 + n2))
+                        * (1 - (c1 + c2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 0.0), 6) AS z_stat,
+           coalesce(abs((c2 * 1.0 / n2 - c1 * 1.0 / n1)
+               / nullif(sqrt(((c1 + c2) * 1.0 / (n1 + n2))
+                      * (1 - (c1 + c2) * 1.0 / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2)), 0.0)) > {AB_Z_CRIT}, FALSE)
+               AS significant
+    FROM wide
+"""
+
+
+@register("events_ab_test", oracle_sql=_AB_ORACLE)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout: users deal into
+    control/treatment by the engine-stable md5 hash (the same salted
+    deal as the split/sample family — assignment is reproducible
+    across runs, engines, and data growth, the property a real
+    experimentation system needs), the outcome is an integer-exact
+    "elevated error share" flag (a user's error events exceed 1/5 of
+    their activity — purchase-based conversion saturates at 100% on
+    this fixture, a degenerate-denominator trap the first version
+    actually hit);
+    the pooled two-proportion z-statistic and a 5% significance flag
+    come out of one 2-row aggregate. A/A-shaped by construction on
+    this fixture (the deal is independent of behavior), so the
+    EXPECTED readout is "not significant" — pinned in pytest.
+
+    Plan: distinct users -> hash deal (narrow map) -> broadcast-sized
+    2-row rollup; the z arithmetic happens on that 1-row frame.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    assign = users.withColumn(
+        "variant",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("/", F.col("user_id"), F.lit(AB_SALT))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            "control",
+        ).otherwise("treatment"),
+    )
+    converted = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 5
+            > F.count(F.lit(1))
+        ).alias("converted")
+    )
+    outcomes = (
+        assign.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.coalesce(F.col("converted"), F.lit(False)), 1)
+                .otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+    wide = outcomes.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == "control", F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_converted"))).alias("c2"),
+    )
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    p2 = F.col("c2") * 1.0 / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    denom = F.nullif(
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+        F.lit(0.0),
+    )
+    z = (p2 - p1) / denom
+    return wide.select(
+        F.col("n1").cast("long").alias("control_users"),
+        F.col("c1").cast("long").alias("control_conversions"),
+        F.col("n2").cast("long").alias("treatment_users"),
+        F.col("c2").cast("long").alias("treatment_conversions"),
+        F.round(p1, 6).alias("p_control"),
+        F.round(p2, 6).alias("p_treatment"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > AB_Z_CRIT, F.lit(False)).alias(
+            "significant"
+        ),
+    )

@@ -88,3 +88,16 @@ def test_rolling_actives_bounds(spark, sf_dir):
     assert set(daily) <= set(rows)
     for day, n1 in daily.items():
         assert n1 <= rows[day] <= n_users
+
+
+def test_ab_test_is_aa_shaped(spark, sf_dir):
+    """The hash deal is independent of behavior, so the experiment is
+    A/A by construction: headcounts roughly balance and the readout
+    must NOT be significant (a significant A/A = broken assignment)."""
+    row = load_all()["events_ab_test"].builder(spark, sf_dir).collect()[0]
+    total = row["control_users"] + row["treatment_users"]
+    events = load_table(spark, sf_dir, "events")
+    assert total == events.select("user_id").distinct().count()
+    assert not row["significant"]
+    assert row["control_conversions"] <= row["control_users"]
+    assert row["treatment_conversions"] <= row["treatment_users"]

@@ -749,3 +749,118 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_rfm_segments — recency / frequency / monetary segmentation
+# ---------------------------------------------------------------------------
+
+RFM_ANCHOR = "2002-01-01"  # scoring date: just past the fixture range
+RFM_MONEY_BUCKET = 100_000  # $1000 monetary buckets
+
+_RFM_ORACLE = f"""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '{RFM_ANCHOR}') AS rec,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   // {RFM_MONEY_BUCKET} AS monb
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT count(*) AS n FROM base),
+    r_sc AS (
+        SELECT rec, CASE WHEN 3 * cum <= n THEN 3
+                         WHEN 3 * cum <= 2 * n THEN 2 ELSE 1 END AS r
+        FROM (SELECT rec, sum(cnt) OVER (ORDER BY rec) AS cum
+              FROM (SELECT rec, count(*) AS cnt FROM base GROUP BY rec)),
+             tot
+    ),
+    f_sc AS (
+        SELECT freq, CASE WHEN 3 * cum <= n THEN 3
+                          WHEN 3 * cum <= 2 * n THEN 2 ELSE 1 END AS f
+        FROM (SELECT freq, sum(cnt) OVER (ORDER BY freq DESC) AS cum
+              FROM (SELECT freq, count(*) AS cnt FROM base GROUP BY freq)),
+             tot
+    ),
+    m_sc AS (
+        SELECT monb, CASE WHEN 3 * cum <= n THEN 3
+                          WHEN 3 * cum <= 2 * n THEN 2 ELSE 1 END AS m
+        FROM (SELECT monb, sum(cnt) OVER (ORDER BY monb DESC) AS cum
+              FROM (SELECT monb, count(*) AS cnt FROM base GROUP BY monb)),
+             tot
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(b.freq) AS BIGINT) AS min_orders,
+           CAST(max(b.freq) AS BIGINT) AS max_orders
+    FROM base b
+    JOIN r_sc USING (rec) JOIN f_sc USING (freq) JOIN m_sc USING (monb)
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register("customer_rfm_segments", oracle_sql=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers score 1-3 on Recency, Frequency,
+    and Monetary value, with tercile boundaries computed AT VALUE
+    GRAIN (distinct recency days / order counts / $1000 monetary
+    buckets) — cumulative customer counts over those bounded value
+    tables, compared as exact integers (3*cum <= n), never a global
+    per-customer sort. The ABC/skyline bounded-prefix trick applied
+    three times and composed into the classic "3-2-1" segment codes.
+
+    Plan: one orders scan -> per-customer rollup; three value-grain
+    count tables (calendar-, small-int-, and bucket-bounded) score
+    via windows over bounded frames and broadcast back.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / RFM_MONEY_BUCKET
+        ).cast("long").alias("monb"),
+    ).persist()
+    n_total = base.agg(F.count(F.lit(1)).alias("n"))
+
+    def tercile(col: str, better_low: bool, out: str) -> DataFrame:
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        order = F.asc(col) if better_low else F.desc(col)
+        w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return (
+            counts.withColumn("cum", F.sum("cnt").over(w))
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                col,
+                F.when(3 * F.col("cum") <= F.col("n"), 3)
+                .when(3 * F.col("cum") <= 2 * F.col("n"), 2)
+                .otherwise(1)
+                .alias(out),
+            )
+        )
+
+    r_sc = tercile("rec", True, "r")
+    f_sc = tercile("freq", False, "f")
+    m_sc = tercile("monb", False, "m")
+    return (
+        base.join(F.broadcast(r_sc), "rec")
+        .join(F.broadcast(f_sc), "freq")
+        .join(F.broadcast(m_sc), "monb")
+        .groupBy(
+            F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("freq").alias("min_orders"),
+            F.max("freq").alias("max_orders"),
+        )
+        .orderBy("segment")
+    )

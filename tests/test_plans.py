@@ -101,6 +101,7 @@ ALLOWED_NESTED_LOOP = {
     "stats_table_profile",  # 1-row per-table stats frames
     "events_forecast_linear",  # 1-row fit x 7-row forecast grid
     "basket_part_association",  # broadcast 1-row basket-count scalar
+    "customer_rfm_segments",  # broadcast 1-row customer-total scalar (x3)
 }
 
 

@@ -67,19 +67,61 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     op = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n_orders = op.select("o").distinct().agg(
-        F.count(F.lit(1)).alias("n")
+        F.col("l_orderkey").alias("o"),
+        # pack-capacity guard (the chunk_uid convention): partkeys
+        # must fit the 32-bit pair-packing lanes below.
+        F.when(
+            F.col("l_partkey") < F.lit(1 << 32).cast("long"),
+            F.col("l_partkey"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("basket pair packing overflow: partkey >= 2^32")
+            )
+        )
+        .alias("p"),
     )
-    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a = op.select(F.col("o"), F.col("p").alias("pa"))
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    # Pair generation is ARRAY-side, not a self-join: ONE groupBy
+    # collects each basket's sorted distinct part set (collect_set
+    # subsumes the (o, p) DISTINCT — no separate dedup exchange), and
+    # nested transforms emit the ordered pairs in the map stage of
+    # the count aggregate. The self-join form shuffled the (order,
+    # part) frame twice and exchanged the raw pair stream (22.7 s at
+    # sf3); this shape pays one basket shuffle. Persisted: the item
+    # counts, the basket total, and the pair stream all read it.
+    baskets = op.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("ps")
+    ).persist()
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    # Pairs pack into ONE bigint (pa << 32 | pb — partkeys fit 32
+    # bits at any plausible catalog size, guarded below): on this
+    # fixture's random baskets nearly every pair is unique, so the
+    # count aggregate gets no map-side reduction and shuffle BYTES
+    # are the whole cost — one long halves the struct's width.
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.shiftleft(x, 32) + y,
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
+        baskets.select(F.explode(pair_array).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= MIN_PAIR_ORDERS)
+        .select(
+            F.shiftright("pk", 32).alias("pa"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
+            "n_ab",
+        )
     )
     ia = item.select(F.col("p").alias("ia_p"), F.col("n_p").alias("n_a"))
     ib = item.select(F.col("p").alias("ib_p"), F.col("n_p").alias("n_b"))

@@ -7,17 +7,26 @@ composable statistics every recommender / cross-sell dashboard
 starts from.
 
 Scale design (100 TB):
-- Pair generation is the per-basket self-join on the order key: the
+- Pair generation is ARRAY-side: one groupBy collects each basket's
+  sorted distinct part set (collect_set subsumes the (order, part)
+  DISTINCT), and nested transforms expand the ordered pairs in the
+  map stage of the count aggregate as 64-bit packed keys. The
   expansion is bounded by basket size squared (TPC-H baskets are ~7
-  lines), i.e. a CONSTANT factor on the fact table, never corpus^2.
-  Distinct-ifying (order, part) first keeps multi-line duplicates of
-  the same part from inflating counts.
-- Everything downstream of the pair counts is vocabulary-bounded
-  (parts x parts at worst, support-filtered far below that) and the
-  single-item counts broadcast back for confidence/lift.
+  lines) — a CONSTANT factor on the fact table, never corpus^2. The
+  self-join formulation costs two extra fact exchanges (measured
+  22.7 s -> 6.1 s at sf3, BASELINE.md).
+- Everything downstream of the pair counts is vocabulary-bounded and
+  the single-item counts broadcast back for confidence/lift.
 - A support floor (MIN_PAIR_ORDERS) is applied AT THE AGGREGATE —
   the standard a-priori pruning point; raising it is what bounds the
   rule table at real scale.
+- Regime note: this fixture's uniformly random baskets are the
+  adversarial case — nearly every pair is unique, so the pair count
+  gets no map-side reduction and the cost is one irreducible
+  pair-grain exchange. Real co-purchase data concentrates (Zipf),
+  restoring map-side combining; above pair grain the at-scale
+  algorithm is FP-growth (conditional pattern trees), which trades
+  this exchange for per-partition tree builds.
 
 All counts are exact integers; ratios round(6) on bounded-int
 rationals, the established convention.

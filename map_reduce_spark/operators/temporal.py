@@ -807,3 +807,146 @@ def events_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_peak_concurrency — interval-overlap sweep over sessions
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts
+        FROM marked
+    ),
+    intervals AS (
+        SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    sweep AS (
+        SELECT s AS t, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT e, -1 FROM intervals
+    ),
+    bucketed AS (
+        SELECT t, delta, date_trunc('day', t) AS day FROM sweep
+    ),
+    day_net AS (
+        SELECT day, sum(delta) AS net,
+               sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts
+        FROM bucketed GROUP BY day
+    ),
+    offsets AS (
+        SELECT day, starts,
+               coalesce(sum(net) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS carry
+        FROM day_net
+    ),
+    running AS (
+        SELECT b.day,
+               sum(b.delta) OVER (PARTITION BY b.day
+                   ORDER BY b.t, b.delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + o.carry AS conc
+        FROM bucketed b JOIN offsets o ON b.day = o.day
+    )
+    SELECT strftime(r.day, '%Y-%m-%d') AS day,
+           CAST(o.starts AS BIGINT) AS sessions_started,
+           CAST(max(r.conc) AS BIGINT) AS peak_concurrency
+    FROM running r JOIN offsets o ON r.day = o.day
+    GROUP BY r.day, o.starts
+    ORDER BY day
+"""
+
+
+@register("events_peak_concurrency", oracle_sql=_PEAK_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic +1/-1 sweep:
+    each 30-min-gap session (same definition as
+    ``sessionize_user_events``) contributes +1 at its start and -1 at
+    its end (closed intervals: ties order +1 first, so touching
+    sessions count as overlapping), and concurrency is the running
+    sum over the time-ordered deltas. Peak = max per day.
+
+    The global time order would serialize into one partition, so the
+    sweep splits two-level (the skyline/ABC bounded-prefix trick, on
+    TIME): within-day running sums partition by day, and cross-day
+    carryover — sessions legitimately span midnight — is the running
+    NET delta over the bounded day table, broadcast back. Exact
+    integers end to end. Among equal (t, delta) rows the partial-sum
+    multiset is permutation-invariant (same-sign deltas), so the max
+    is deterministic in both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_scan = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_scan).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_scan))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn("sid", F.sum("new_session").over(w_run))
+    intervals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    sweep = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    bucketed = sweep.withColumn("day", F.date_trunc("day", "t"))
+    day_net = bucketed.groupBy("day").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("starts"),
+    )
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_net.select(
+        "day",
+        "starts",
+        F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("carry"),
+    )
+    w_sweep = (
+        W.partitionBy("day")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = bucketed.join(F.broadcast(offsets), "day").select(
+        "day",
+        "starts",
+        (F.sum("delta").over(w_sweep) + F.col("carry")).alias("conc"),
+    )
+    return (
+        running.groupBy("day", "starts")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("starts").cast("long").alias("sessions_started"),
+            F.col("peak_concurrency").cast("long"),
+        )
+        .orderBy("day")
+    )

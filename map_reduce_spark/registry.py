@@ -314,9 +314,14 @@ _CHECK_FIRST = [
 # gaps); er_resolve_parts (operators/entity_resolution.py —
 # block→score→closure→canonicalize on the bounded name domain;
 # WITH RECURSIVE closure oracle); basket_part_association
-# (operators/basket.py — market-basket support/confidence/lift).
-# 20 entries, every oracle-expressible one green at sf0.001 +
-# sf0.01 in this session's full-registry runs.
+# (operators/basket.py — market-basket support/confidence/lift,
+# array-side pair expansion); events_ab_test (monitoring.py —
+# two-proportion z readout, A/A-shaped pinned);
+# customer_rfm_segments (monitoring.py — value-grain RFM terciles);
+# events_peak_concurrency (operators/temporal.py — +1/-1 interval
+# sweep with bounded cross-day carry). 23 entries, every
+# oracle-expressible one green at sf0.001 + sf0.01 in this
+# session's full-registry runs (the late adds also at sf0.1).
 
 
 def load_all() -> dict[str, QuerySpec]:

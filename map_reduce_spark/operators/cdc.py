@@ -385,3 +385,101 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_point_in_time_join — PIT probe into the type-2 history
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+        SELECT user_id, state, ts FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    hist AS (
+        SELECT user_id, state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM transitions
+    ),
+    probes AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT h.state AS state_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(p.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+    FROM probes p
+    JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    GROUP BY h.state
+    ORDER BY state_at_purchase
+"""
+
+
+@register("scd2_point_in_time_join", oracle_sql=_PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase probes the SCD2 state
+    history (``scd2_user_state_history``'s intervals) for the state
+    that was CURRENT at the purchase instant — the dimension lookup
+    every temporal warehouse does against a type-2 table, and the
+    batch analogue of a feature-store PIT read. Purchases land in
+    their own interval (the closed-open [valid_from, valid_to) rule
+    makes the probe's anchoring transition win), so the result is the
+    purchase count and decimal-exact value by concurrent state.
+
+    Plan: the history build and the probe share ONE user_id hash
+    partitioning — the interval predicate evaluates inside the
+    co-partitioned join, never as a cross product; the result is
+    |states| rows. At 100 TB the history side would be the already-
+    materialized SCD2 table bucketed by the key, making the PIT read
+    a co-located join plus an interval filter.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w_scan = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        events.filter(F.col("event_type") != "purchase")
+        .select("user_id", F.col("event_type").alias("state"), "ts",
+                "event_id")
+        .withColumn("prev_state", F.lag("state").over(w_scan))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("ts")
+    hist = transitions.select(
+        F.col("user_id").alias("h_user"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_ver).alias("valid_to"),
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = probes.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy(F.col("state").alias("state_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("state_at_purchase")
+    )

@@ -294,3 +294,48 @@ def test_er_entities_partition_the_catalog(spark, sf_dir):
     for r in rows:
         assert canon[r["canonical_name"]] == r["entity_id"]
         assert r["min_price"] <= r["max_price"]
+
+
+def test_basket_rule_identities(spark, sf_dir):
+    """Association-rule identities: confidence = support_pair /
+    support_a, lift = confidence / support_b, pairs are ordered
+    (pa < pb), and every pair clears the support floor."""
+    from map_reduce_spark.operators.basket import MIN_PAIR_ORDERS
+
+    out = load_all()["basket_part_association"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "fixture has co-ordered pairs above the floor"
+    li = load_table(spark, sf_dir, "lineitem")
+    n_orders = li.select("l_orderkey").distinct().count()
+    n_p = {
+        r["p"]: r["n"]
+        for r in li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["pa"] < r["pb"]
+        assert r["n_both"] >= MIN_PAIR_ORDERS
+        assert abs(r["support"] - r["n_both"] / n_orders) < 1e-6
+        assert abs(r["confidence_a_to_b"] - r["n_both"] / n_p[r["pa"]]) < 1e-6
+        expected_lift = (r["n_both"] / n_p[r["pa"]]) / (n_p[r["pb"]] / n_orders)
+        assert abs(r["lift"] - expected_lift) < 1e-4
+
+
+def test_peak_concurrency_bounds(spark, sf_dir):
+    """The sweep's daily peak is at least 1 on any day with a session
+    start, never exceeds the number of users, and sessions_started
+    sums to the corpus session count."""
+    out = load_all()["events_peak_concurrency"].builder(spark, sf_dir)
+    rows = out.collect()
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.select("user_id").distinct().count()
+    sess = load_all()["sessionize_user_events"].builder(spark, sf_dir)
+    n_sessions = sum(r["n_sessions"] for r in sess.collect())
+    assert sum(r["sessions_started"] for r in rows) == n_sessions
+    for r in rows:
+        assert 0 < r["peak_concurrency"] <= n_users

@@ -1056,3 +1056,73 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg", "n_pair", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "bg")
     )
+
+
+# --- Corpus-statistics QA: Zipf-law fit -----------------------------
+
+ZIPF_TOP_RANKS = 1000  # fit over the head of the frequency curve
+
+
+_ZIPF_FIT_ORACLE = f"""
+    WITH wc AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+              FROM documents)
+        WHERE length(tok) > 0
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk
+        FROM wc
+    ),
+    head AS (
+        SELECT ln(rnk * 1.0) AS lr, ln(n * 1.0) AS lf
+        FROM ranked WHERE rnk <= {ZIPF_TOP_RANKS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           round(-regr_slope(lf, lr), 6) AS zipf_exponent,
+           round(regr_intercept(lf, lr), 6) AS log_c,
+           round(regr_r2(lf, lr), 6) AS r2
+    FROM head
+"""
+
+
+@register("doc_zipf_fit", oracle_sql=_ZIPF_FIT_ORACLE)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus word-frequency curve: the
+    log-log regression ln(freq) ~ ln(rank) over the top-K ranks,
+    reporting the Zipf exponent (natural text ~1.0; this synthetic
+    fixture's near-uniform vocabulary fits much flatter), the
+    intercept, and r² — the corpus-health check a data-QA pipeline
+    runs to catch template spam / truncation / vocabulary collapse
+    before training.
+
+    Plan: the session-cached TF table rolls up to corpus word counts
+    (vocabulary-bounded), ONE window over that bounded table ranks
+    them, and the REGR_* aggregates reduce the K-row head to a 1-row
+    fit — nothing beyond the word counts ever exceeds K rows. The
+    rank window orders a vocabulary-sized frame, the same bounded
+    single-partition shape as the other value-grain windows.
+    """
+    from pyspark.sql import Window as W
+
+    wc = (
+        doc_term_freq(spark, sf_dir)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("n"))
+    )
+    w_rank = W.orderBy(F.desc("n"), F.asc("tok"))
+    head = (
+        wc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= ZIPF_TOP_RANKS)
+        .select(
+            F.log(F.col("rnk") * 1.0).alias("lr"),
+            F.log(F.col("n") * 1.0).alias("lf"),
+        )
+    )
+    return head.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(-F.expr("regr_slope(lf, lr)"), 6).alias("zipf_exponent"),
+        F.round(F.expr("regr_intercept(lf, lr)"), 6).alias("log_c"),
+        F.round(F.expr("regr_r2(lf, lr)"), 6).alias("r2"),
+    )

@@ -864,3 +864,69 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_profile — behavioral diversity per user
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH tc AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, sum(n) AS total, count(*) AS n_types FROM tc
+        GROUP BY user_id
+    )
+    SELECT t.user_id,
+           CAST(t.total AS BIGINT) AS n_events,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           round(-sum((tc.n * 1.0 / t.total) * ln(tc.n * 1.0 / t.total)), 6)
+               AS type_entropy,
+           round(-sum((tc.n * 1.0 / t.total) * ln(tc.n * 1.0 / t.total))
+                 / ln(t.n_types), 6) AS normalized_entropy
+    FROM tc JOIN tot t USING (user_id)
+    WHERE t.n_types > 1
+    GROUP BY t.user_id, t.total, t.n_types
+    ORDER BY t.user_id
+"""
+
+
+@register("events_entropy_profile", oracle_sql=_ENTROPY_ORACLE)
+def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution, raw and
+    normalized by ln(#types) — the behavioral-diversity signal that
+    complements ``events_bot_flags``: scripted traffic concentrates on
+    few types (entropy near 0), organic use spreads (near 1
+    normalized). Single-type users drop (normalization undefined).
+
+    Plan: one (user, type) count aggregate — the bounded |users| x
+    |types| frame — and a per-user rollup; the entropy sum has at most
+    |types| (5) float terms per user, well inside the round(6)
+    convention.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tc = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tc.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n") * 1.0 / F.col("total")
+    return (
+        tc.join(tot, "user_id")
+        .filter(F.col("n_types") > 1)
+        .groupBy("user_id", "total", "n_types")
+        .agg(F.sum(p * F.log(p)).alias("negent"))
+        .select(
+            "user_id",
+            F.col("total").alias("n_events"),
+            "n_types",
+            F.round(-F.col("negent"), 6).alias("type_entropy"),
+            F.round(
+                -F.col("negent") / F.log(F.col("n_types") * 1.0), 6
+            ).alias("normalized_entropy"),
+        )
+        .orderBy("user_id")
+    )

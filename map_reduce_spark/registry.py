@@ -319,9 +319,13 @@ _CHECK_FIRST = [
 # two-proportion z readout, A/A-shaped pinned);
 # customer_rfm_segments (monitoring.py — value-grain RFM terciles);
 # events_peak_concurrency (operators/temporal.py — +1/-1 interval
-# sweep with bounded cross-day carry). 23 entries, every
-# oracle-expressible one green at sf0.001 + sf0.01 in this
-# session's full-registry runs (the late adds also at sf0.1).
+# sweep with bounded cross-day carry); scd2_point_in_time_join
+# (operators/cdc.py — PIT probe into the type-2 history);
+# doc_zipf_fit (functions/text.py — Zipf-exponent corpus-health
+# fit) and events_entropy_profile (monitoring.py — behavioral
+# Shannon entropy). 26 entries, every one oracle- or
+# differential-gated, and the ENTIRE registry is oracle-green at
+# sf0.001, sf0.01, AND sf0.1 in this session's closing sweeps.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -930,3 +930,70 @@ def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# part_supplier_hhi — market-concentration index per part
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+    WITH sq AS (
+        SELECT l_partkey AS part, l_suppkey AS supp,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT part, sum(q) AS tq, count(*) AS n_suppliers FROM sq
+        GROUP BY part
+    )
+    SELECT s.part AS p_partkey,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(round(
+                     (CAST(s.q AS DOUBLE) / CAST(t.tq AS DOUBLE))
+                     * (CAST(s.q AS DOUBLE) / CAST(t.tq AS DOUBLE)), 12)
+                 AS DECIMAL(18,12))) AS DOUBLE), 6) AS hhi
+    FROM sq s JOIN tot t USING (part)
+    WHERE t.n_suppliers >= 2
+    GROUP BY s.part, t.n_suppliers
+    ORDER BY p_partkey
+"""
+
+
+@register("part_supplier_hhi", oracle_sql=_HHI_ORACLE)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part: the
+    sum of squared supplier quantity shares (1.0 = sole supplier,
+    1/n = perfectly split) — the procurement-risk metric a supply
+    dashboard computes over the whole catalog. Single-supplier parts
+    drop (HHI trivially 1).
+
+    Plan: two stacked decomposable aggregates on one partitioning —
+    (part, supplier) quantity sums, then per-part rollup; quantity
+    sums in exact DECIMAL so each share-squared term is
+    engine-identical, and the terms round(12) into DECIMAL before
+    summing — the order-free accumulation the CUSUM fix established
+    (a plain float sum here flipped three round(6) boundaries at
+    sf0.01, caught by the oracle).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sq = lineitem.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+    tot = sq.groupBy("part").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("q").cast("double") / F.col("tq").cast("double")
+    return (
+        sq.join(tot, "part")
+        .filter(F.col("n_suppliers") >= 2)
+        .groupBy(F.col("part").alias("p_partkey"), F.col("n_suppliers"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(share * share, 12).cast("decimal(18,12)")
+                ).cast("double"),
+                6,
+            ).alias("hhi")
+        )
+        .orderBy("p_partkey")
+    )

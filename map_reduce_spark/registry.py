@@ -323,7 +323,9 @@ _CHECK_FIRST = [
 # (operators/cdc.py — PIT probe into the type-2 history);
 # doc_zipf_fit (functions/text.py — Zipf-exponent corpus-health
 # fit) and events_entropy_profile (monitoring.py — behavioral
-# Shannon entropy). 26 entries, every one oracle- or
+# Shannon entropy); part_supplier_hhi (monitoring.py — HHI supply
+# concentration, order-free decimal term sums). 27 entries, every
+# one oracle- or
 # differential-gated, and the ENTIRE registry is oracle-green at
 # sf0.001, sf0.01, AND sf0.1 in this session's closing sweeps.
 

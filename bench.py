@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from map_reduce_spark.plans.transient import release_transient
 from map_reduce_spark.registry import load_all
 from map_reduce_spark.session import get_spark
 
@@ -37,6 +38,11 @@ def sf_from_dir(path: str) -> float:
 
 def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # Release the query's plan-internal persists (basket arrays,
+    # DSIR bucket counts, ...) so a 160+-query session never leans on
+    # LRU eviction; session-scoped index caches are not enrolled and
+    # survive, as intended.
+    release_transient()
 
 
 def trim_line(result: dict, timings: dict[str, float], budget: int = 1800) -> dict:

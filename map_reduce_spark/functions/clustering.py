@@ -95,9 +95,15 @@ def _kmeans_assign_np(
 ) -> DataFrame:
     """Large-K assignment kernel: per Arrow batch, the full (rows x K)
     squared-distance matrix in float64 numpy, argmin per row. Distance
-    is computed as (x - c)^2 summed over dims — the same expression
-    shape as the fold path and the test twin, so the float streams
-    agree term-for-term."""
+    is computed as (x - c)^2 summed over dims — the same TERMS as the
+    fold path and the test twin, but NOT the same summation order:
+    numpy's ``.sum(axis=-1)`` reduces pairwise while the zip_with fold
+    is strict left-to-right, so the two kernels can disagree by an ulp
+    and flip an assignment exactly on a distance tie at the
+    K<=KM_EXPR_MAX boundary (ADVICE r7). Acceptable by design: ties in
+    CLUSTER ids still break deterministically within each kernel, and
+    no registered result crosses the boundary mid-query — the kernel
+    choice is a constant of K."""
     import numpy as np
     import pandas as pd
 
@@ -140,13 +146,25 @@ def lloyd_kmeans(
     of (assign, dimension-wise mean). Returns the trained centroids;
     callers re-assign with ``kmeans_assign`` for the final labeling.
     Per round: one distributed assign + one K x D-cell avg collect."""
-    # Every iteration (and the caller's final assignment) re-reads
-    # this frame; persist so the parquet scan + vector widening run
-    # once instead of iters+1 times (lazy — the builder contract
-    # holds). The frame is the training set itself: at real scale
-    # this is the standard cache-the-training-frame move, with
-    # MEMORY_AND_DISK spill semantics by default.
+    # Every training iteration re-reads this frame; persist so the
+    # parquet scan + vector widening run once instead of iters times.
+    # The frame is the training set itself: at real scale this is the
+    # standard cache-the-training-frame move, with MEMORY_AND_DISK
+    # spill semantics by default. Scoped with try/finally (ADVICE r7:
+    # the cache used to outlive the call): training is the ONLY eager
+    # consumer — the caller's final assignment pays one recompute of
+    # the scan, a deliberate trade of one extra pass for a
+    # leak-free session.
     df = df.persist()
+    try:
+        return _lloyd_rounds(df, id_col, dv_col, k, iters)
+    finally:
+        df.unpersist()
+
+
+def _lloyd_rounds(
+    df: DataFrame, id_col: str, dv_col: str, k: int, iters: int
+) -> list[list[float]]:
     init = df.select(id_col, dv_col).orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, corpus has {len(init)}")

@@ -9,6 +9,17 @@ scores the sum of its words' scores. The top phrases per document are
 its keywords — the classic cheap keyword baseline a curation pipeline
 runs before anything model-based.
 
+Fidelity deviation (documented, ADVICE r7): the published algorithm
+also breaks phrases at punctuation/sentence delimiters; this
+implementation's tokenizer splits on ``[^a-z]+`` and keeps only the
+surviving token positions, so a phrase can span a sentence boundary
+("...the end. Great start..." yields the candidate "end great
+start"). Both the Spark side and the oracle implement the SAME
+convention (token index runs over the post-split array on both
+engines — see the mirrored ``idx`` derivations), so the differential
+gate is unaffected; the deviation trades a second delimiter pass for
+one tokenize, which is the right trade for a cheap curation baseline.
+
 Scale design (100 TB):
 - Phrase segmentation is the gaps-and-islands idiom (posexplode with
   index, island id = idx - dense run position) — two windows on ONE

@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -117,9 +118,9 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 8.0 s -> 1.66 s at sf1, 4.9x -> 1.06x DuckDB). persist() is lazy,
     # so the builder contract holds; the frame is (doc, bucket)-grain,
     # far smaller than the token stream it replaces.
-    docb = feat.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    ).persist()
+    docb = transient_persist(
+        feat.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
     raw_lm = docb.groupBy("b").agg(F.sum("c").alias("cr"))
     tgt_lm = (
         docb.filter(F.col("lang") == TARGET_LANG)

@@ -51,6 +51,21 @@ SEMDEDUP_TAU = 0.93
 # clusters for LAION). The registered query derives K from the
 # corpus row count at this target.
 SEMDEDUP_TARGET_CLUSTER = 2500
+# Hard per-TASK cap (r7 verdict item 6): K scaling bounds the AVERAGE
+# cluster, but a collapsed clustering (real embedding corpora do
+# this) can make one cluster corpus-sized, landing an n_c^2 GEMM on
+# ONE task. Clusters above this cap are deterministically SUB-SPLIT
+# (sub = vec_id mod ceil(size/cap)) before the grouped kernel, so no
+# task ever owns more than ~cap vectors (~cap^2 * 8 B of cosine
+# blocks, ~800 MB at 10k — bounded further by the kernel's row
+# blocking). RECALL IMPLICATION (documented, deliberate): the keep
+# rule then applies within sub-blocks only — a duplicate pair split
+# across sub-blocks of an OVERSIZED cluster is not dropped, the same
+# accepted trade as every banding family here (recall loss only
+# in the regime where exactness would mean a corpus-sized task).
+# Clusters at or under the cap are byte-identical to the uncapped
+# path (n_sub == 1), which keeps the numpy-twin differential exact.
+SEMDEDUP_MAX_CLUSTER = 4 * SEMDEDUP_TARGET_CLUSTER
 
 _SD_SCHEMA = (
     "vec_id BIGINT NOT NULL, cluster_id INT NOT NULL, "
@@ -60,29 +75,48 @@ _SD_SCHEMA = (
 
 def semdedup_verdicts(
     emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
-    tau: float = SEMDEDUP_TAU,
+    tau: float = SEMDEDUP_TAU, max_cluster: int = SEMDEDUP_MAX_CLUSTER,
 ) -> DataFrame:
     """Core pipeline on any (vec_id, dv, norm) frame: cluster with
     Lloyd's, then within-cluster drop-higher-id at cosine >= tau.
-    The planted-duplicate fuzz (tests/test_semdedup.py) runs here;
-    the registered query wraps it over the embeddings fixture."""
+    Clusters larger than ``max_cluster`` are sub-split first (see
+    SEMDEDUP_MAX_CLUSTER for the skew guard and its documented recall
+    trade). The planted-duplicate fuzz (tests/test_semdedup.py) runs
+    here; the registered query wraps it over the embeddings fixture."""
     import pandas as pd
 
     centroids = lloyd_kmeans(emb, "vec_id", "dv", k, iters)
     assigned = kmeans_assign(emb, "dv", centroids, "cluster").select(
         "vec_id", "dv", "norm", "cluster"
     )
+    # Skew guard: K-sized cluster-size frame broadcasts back; an
+    # oversized cluster deterministically sub-splits on vec_id so no
+    # task's group exceeds ~max_cluster rows. n_sub == 1 (the normal
+    # regime) reduces to the exact uncapped grouping.
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("csz")
+    )
+    n_sub = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("csz") / F.lit(max_cluster))
+    )
+    assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+        "sub", F.pmod(F.col("vec_id"), n_sub).cast("int")
+    )
 
     # Within-cluster dedup as one BLAS pass per cluster: each cluster's
     # members gather on one executor (groupBy cluster — this locality
-    # is exactly what the clustering bought), the full cosine matrix is
-    # one float64 GEMM, and b drops iff some lower-id member covers it
+    # is exactly what the clustering bought), the cosine matrix is
+    # float64 GEMM in row blocks (peak memory ~block x n_c, never
+    # n_c^2 at once), and b drops iff some lower-id member covers it
     # at >= tau. numpy GEMM replaces the expression-fold pair join
     # (measured 31.8 s -> see BASELINE note at sf1): ~n_c^2·D fused
     # multiply-adds instead of 25M codegen'd array folds. Same kernel
     # family as the dense-regime dedup (dedup.py blocked GEMM); the
     # per-cluster matrix is bounded because K scales with corpus size
-    # (SEMDEDUP_TARGET_CLUSTER below), the paper's own knob.
+    # (SEMDEDUP_TARGET_CLUSTER), the paper's own knob, with
+    # SEMDEDUP_MAX_CLUSTER as the hard per-task backstop. The blocked
+    # cosine keeps the r7 kernel's exact float stream: each block row
+    # is the same x@x.T dot products and elementwise norm division.
     def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -91,8 +125,18 @@ def semdedup_verdicts(
             [np.asarray(v, dtype=np.float64) for v in pdf["dv"]]
         )
         norms = pdf["norm"].to_numpy(dtype=np.float64)
-        cos = (x @ x.T) / np.outer(norms, norms)
-        covered = np.triu(cos >= tau, 1).any(axis=0)  # lower-id cover
+        n = len(pdf)
+        covered = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            cos = (x[lo:hi] @ x.T) / np.outer(norms[lo:hi], norms)
+            # row i covers every STRICTLY LATER (higher-id) column j
+            # with cos >= tau — the triu(.., 1).any(axis=0) rule,
+            # blocked.
+            upper = cols[None, :] > np.arange(lo, hi)[:, None]
+            covered |= ((cos >= tau) & upper).any(axis=0)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -102,7 +146,7 @@ def semdedup_verdicts(
         )
 
     return (
-        assigned.groupBy("cluster")
+        assigned.groupBy("cluster", "sub")
         .applyInPandas(
             dedup_cluster,
             schema="vec_id bigint, cluster_id int, kept boolean",

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -97,10 +98,11 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the count aggregate. The self-join form shuffled the (order,
     # part) frame twice and exchanged the raw pair stream (22.7 s at
     # sf3); this shape pays one basket shuffle. Persisted: the item
-    # counts, the basket total, and the pair stream all read it.
-    baskets = op.groupBy("o").agg(
-        F.array_sort(F.collect_set("p")).alias("ps")
-    ).persist()
+    # counts, the basket total, and the pair stream all read it
+    # (transient — released by the harness after materialization).
+    baskets = transient_persist(
+        op.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
     item = (
         baskets.select(F.explode("ps").alias("p"))
@@ -108,10 +110,14 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_p"))
     )
     # Pairs pack into ONE bigint (pa << 32 | pb — partkeys fit 32
-    # bits at any plausible catalog size, guarded below): on this
+    # bits at any plausible catalog size, guarded above): on this
     # fixture's random baskets nearly every pair is unique, so the
     # count aggregate gets no map-side reduction and shuffle BYTES
-    # are the whole cost — one long halves the struct's width.
+    # are the whole cost — one long halves the struct's width. The
+    # packed key goes NEGATIVE for pa >= 2^31 (bit 63 set) — still a
+    # bijection on the 32-bit lanes, and the unpack below uses
+    # shiftrightunsigned so pa never sign-extends (ADVICE r7: the
+    # plain shiftright form silently corrupted pa in [2^31, 2^32)).
     pair_array = F.flatten(
         F.transform(
             F.col("ps"),
@@ -127,7 +133,7 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= MIN_PAIR_ORDERS)
         .select(
-            F.shiftright("pk", 32).alias("pa"),
+            F.shiftrightunsigned("pk", 32).alias("pa"),
             F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
             "n_ab",
         )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -262,37 +263,89 @@ _ROLLING_ORACLE = f"""
 
 @register("events_rolling_7d_actives", oracle_sql=_ROLLING_ORACLE)
 def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per day. Sliding distinct
-    has no window-frame form, so each (day, user) distinct row fans
-    out to the <= 7 target days it supports (sequence + explode — a
-    constant 7x expansion of the already-day-grain frame), then one
-    count-distinct aggregate per target day. Days outside the
-    observed range are clipped so leading/trailing partial windows
-    stay honest.
+    """Trailing-7-day distinct active users per day, via an exact
+    per-user INTERVAL SWEEP instead of the textbook 7x fanout +
+    count-distinct (rewritten r8 — the fanout form was the r7
+    verdict's third `weak` entry at 2.63x DuckDB, sf3).
+
+    Identity: user u is active in the trailing window of day d iff u
+    has an event in [d-6, d] — i.e. iff d falls in the union of
+    [day, day+6] coverage intervals over u's active days. So per
+    user: merge active days whose gaps are <= 6 into coverage runs
+    (gaps-and-islands, one window), each run [s, e] covers target
+    days [s, e+6]; a run contributes +1 at s and -1 at min(e+6, hi)+1
+    (end clipped to the observed range, honest partial windows); the
+    per-day active count is the running sum of day-deltas over the
+    bounded calendar — the ABC/skyline bounded-prefix trick.
+
+    Why this scales where the fanout didn't: the fanout's cost was a
+    7x expansion of the (day, user) frame into a count-distinct
+    (itself a second full dedup exchange at (day, user) grain). The
+    sweep touches the (day, user) frame twice at 1x grain — one
+    distinct, one user-keyed window whose downstream aggregate reuses
+    the window's partitioning (grouping keys superset) — and
+    everything after the run merge is calendar-bounded. Counts are
+    exact integers; no approximation.
     """
     events = load_table(spark, sf_dir, "events")
     du = events.select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
     ).distinct()
-    fanout = du.select(
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.col("day") + F.expr(f"INTERVAL {ROLLING_DAYS - 1} DAY"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("target_day"),
-        "user_id",
-    )
     bounds = events.agg(
-        F.min(F.date_trunc("day", "ts")).alias("lo"),
-        F.max(F.date_trunc("day", "ts")).alias("hi"),
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("lo"),
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("hi"),
+    )
+    w_user = W.partitionBy("user_id").orderBy("day")
+    gap = F.datediff(F.col("day"), F.lag("day").over(w_user))
+    new_run = F.when(
+        gap.isNull() | (gap > ROLLING_DAYS - 1), 1
+    ).otherwise(0)
+    runs = (
+        du.withColumn("run_id", F.sum(new_run).over(w_user))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("day").alias("s"),
+            F.date_add(F.max("day"), ROLLING_DAYS - 1).alias("e"),
+        )
+    )
+    deltas = (
+        runs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add(F.least("e", "hi"), 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.d").alias("d"))
+        .agg(F.sum("x.delta").alias("dd"))
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("target_day")
+    )
+    # Running sum over the bounded calendar: single-partition window
+    # on a days-in-range-sized frame, the documented bounded-prefix
+    # pattern (WindowExec's no-partition warning is expected and
+    # harmless here).
+    w_cal = W.orderBy("target_day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
     )
     return (
-        fanout.crossJoin(F.broadcast(bounds))
-        .filter(F.col("target_day").between(F.col("lo"), F.col("hi")))
-        .groupBy("target_day")
-        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        calendar.join(deltas, calendar.target_day == deltas.d, "left")
+        .select(
+            "target_day", F.coalesce("dd", F.lit(0)).alias("dd")
+        )
+        .select(
+            "target_day",
+            F.sum("dd").over(w_cal).alias("active_users_7d"),
+        )
+        .filter(F.col("active_users_7d") > 0)
         .select(
             F.date_format("target_day", "yyyy-MM-dd").alias("day"),
             "active_users_7d",
@@ -826,7 +879,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
             / RFM_MONEY_BUCKET
         ).cast("long").alias("monb"),
-    ).persist()
+    )
+    base = transient_persist(base)
     n_total = base.agg(F.count(F.lit(1)).alias("n"))
 
     def tercile(col: str, better_low: bool, out: str) -> DataFrame:

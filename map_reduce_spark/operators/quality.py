@@ -70,13 +70,20 @@ _DQ_ORACLE = f"""
                         THEN 0 ELSE 1 END) AS bad_disc
         FROM lineitem
     ),
+    -- NOT EXISTS, not NOT IN: the Spark side counts orphans with a
+    -- LEFT ANTI join, and under a NULL FK the two only agree for
+    -- NOT EXISTS (NOT IN yields UNKNOWN and drops the row; anti-join
+    -- counts it as an orphan). The fixture is null-free today, but
+    -- the oracle's contract should not depend on that (ADVICE r7).
     lo AS (
-        SELECT count(*) AS orphans FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        SELECT count(*) AS orphans FROM lineitem l2
+        WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_orderkey = l2.l_orderkey)
     ),
     oc AS (
-        SELECT count(*) AS orphans FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        SELECT count(*) AS orphans FROM orders o3
+        WHERE NOT EXISTS (SELECT 1 FROM customer c3
+                          WHERE c3.c_custkey = o3.o_custkey)
     )
     SELECT tbl, check_name,
            CAST(checked_rows AS BIGINT) AS checked_rows,

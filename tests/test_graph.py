@@ -145,6 +145,29 @@ def test_pagerank_broadcast_regime_plan(spark, sf_dir):
     assert n_live_exchanges <= 1, f"per-round shuffles crept back in:\n{live}"
 
 
+def test_triangle_broadcast_regime_plan(spark, sf_dir):
+    """In the broadcast-graph regime (fixture scales) the wedge
+    stream — the largest frame in the algorithm — never crosses the
+    network: the closure join above the wedge self-join is a
+    BroadcastHashJoin (wedges stay put, oriented edges broadcast),
+    and the only live Exchanges outside the cached subtrees are the
+    edge-sized wedge self-join sides, the corner aggregate, and the
+    final orderBy."""
+    df = load_all()["graph_triangle_count"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("InMemoryRelation")[0]
+    # The closure is the FIRST join above the corner explode in the
+    # live section; it must be broadcast (a shuffled closure would
+    # exchange the wedge stream).
+    closure = live[live.index("Join") :][:400] if "Join" in live else live
+    assert "BroadcastHashJoin" in live, live
+    assert live.index("BroadcastHashJoin") <= live.index("SortMergeJoin" if "SortMergeJoin" in live else "BroadcastHashJoin"), (
+        f"closure join is not the broadcast one:\n{closure}"
+    )
+    n_live_exchanges = live.count("Exchange ")
+    assert n_live_exchanges <= 4, f"wedge-stream shuffle crept back in:\n{live}"
+
+
 def _py_pagerank(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Pure-Python mirror of pagerank_fixed's integer semantics."""
     from collections import defaultdict

@@ -80,6 +80,67 @@ def test_semdedup_drops_planted_duplicates(spark, seed):
            tau=0.98, expect_drops=True)
 
 
+def test_semdedup_cluster_collapse_guard(spark):
+    """Skew guard (r7 verdict item 6): a COLLAPSED embedding corpus
+    (every vector near one point, so one cluster swallows everything)
+    must sub-split instead of landing the whole corpus-sized GEMM on
+    one task. With max_cluster=16 and 60 vectors in one cluster the
+    grouped kernel sees ceil(60/16)=4 sub-blocks; verdicts must match
+    a twin that applies the documented sub-split rule (drop iff a
+    lower-id vector in the same (cluster, vec_id mod n_sub) block
+    covers it) — including pairs the split deliberately lets through.
+    """
+    rng = np.random.default_rng(7)
+    center = rng.normal(size=6)
+    center /= np.linalg.norm(center)
+    x = (center[None, :] + rng.normal(scale=1e-3, size=(60, 6))).round(6)
+    ids = np.arange(60) * 2 + 5
+    max_cluster = 16
+    k, iters, tau = 4, 2, 0.98
+
+    rows_in = [(int(i), [float(v) for v in x[j]]) for j, i in enumerate(ids)]
+    df = with_norm(
+        spark.createDataFrame(rows_in, "vec_id bigint, embedding array<double>"),
+        "embedding", "dv", "norm",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semdedup_verdicts(
+            df, k=k, iters=iters, tau=tau, max_cluster=max_cluster
+        ).collect()
+    }
+
+    # Twin with the sub-split rule.
+    ref_lab, _ = _numpy_semdedup(ids, x.astype(np.float64), k, iters, tau)
+    labs = np.array([ref_lab[int(i)] for i in ids])
+    norms = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(norms, norms)
+    sizes = {c: int((labs == c).sum()) for c in set(labs.tolist())}
+    n_sub = {c: -(-s // max_cluster) for c, s in sizes.items()}
+    assert max(n_sub.values()) > 1  # the guard must actually engage
+    dropped = set()
+    for bi in range(len(ids)):
+        for ai in range(bi):
+            if (
+                labs[ai] == labs[bi]
+                and ids[ai] % n_sub[labs[ai]] == ids[bi] % n_sub[labs[bi]]
+                and cos[ai, bi] >= tau
+            ):
+                dropped.add(int(ids[bi]))
+                break
+    for j, i in enumerate(ids):
+        assert got[int(i)]["cluster_id"] == labs[j]
+        assert got[int(i)]["kept"] == (int(i) not in dropped), int(i)
+    # The scenario must exercise BOTH sides of the trade: drops fire
+    # within sub-blocks, and at least one near-dup pair straddles
+    # sub-blocks (the documented recall cost of the guard).
+    assert dropped
+    assert any(not got[int(i)]["kept"] for i in ids)
+    assert any(
+        got[int(i)]["kept"] for i in ids[1:]
+    )  # later ids survive via the split
+
+
 def test_semdedup_fixture_near_orthogonal_all_survive(spark, sf_dir):
     """On the fixture embeddings (max pairwise cosine ~0.48) nothing
     clears TAU: the registered manifest keeps every vector, and the

@@ -22,6 +22,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from map_reduce_spark.plans.transient import release_transient  # noqa: E402
 from map_reduce_spark.registry import load_all  # noqa: E402
 from map_reduce_spark.session import get_spark  # noqa: E402
 from map_reduce_spark.sources import TABLES  # noqa: E402
@@ -103,6 +104,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            release_transient()
         if spec.oracle_sql is None:
             print(f"SKIP  {name}: no oracle (rows={len(spark_pdf)}) [{time.time()-t0:.1f}s]")
             n_noracle += 1

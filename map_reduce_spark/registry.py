@@ -87,247 +87,127 @@ def register(name: str, oracle_sql: str | None = None):
 # a brand-new entry may wait ONE round in the tail under the local
 # gate and is promoted at the next rotation.
 #
-# r7 rotation (verdict item 1, honoring the r6 promise): the six r6
-# waiters are promoted — rag_chunk_tfidf_search,
-# events_time_weighted_avg, fuzzy_join_part_names,
-# window_first_last_order_values, quality_split_drift,
-# events_ordered_funnel — plus the new streaming_checkpoint_recovery
-# (verdict item 8: recovery moves from pytest observation to the hash
-# gate). The seven slots are funded by demoting q7ish/q8ish/q9ish/
-# q13ish/q15ish/q17ish/q19ish, all r6-driver-green on code
-# byte-unchanged since that verdict; their surfaces stay in-window
-# via q21ish (multi-level agg + broadcast supplier join, builder
-# CHANGED in r7 so it must re-verify anyway), q1_pricing_summary
-# (wide lineitem agg), q22ish_idle_customers (anti join), and the
-# local oracle gate covers them every round like the rest of the
-# tail. q21ish r7 change: single-Exchange repartition(l_orderkey)
-# feeding both aggregation levels + grouping on s_name to match the
-# oracle's key (r6 ADVICE).
+# r8 rotation — THE WAITER-DRAIN ROUND (r7 verdict item 1). After the
+# r7 surface push, 54 registered queries had never received a driver
+# CORRECTNESS row — more than one 50-slot rotation can hold. This
+# round's window promotes 49 of them (every r7 waiter except the five
+# named below) plus the q1 sentinel; ZERO new queries were added in
+# r8 precisely so the backlog drains instead of growing (verdict
+# item 8). The published two-round plan:
+#
+#   r8 window (this list): the five rows-only waiters whose ONLY
+#   possible external evidence is a driver row (doc_bpe_tokens,
+#   ml_kmeans_embeddings, dedup_semdedup_embeddings, sim_knn_sq8,
+#   agg_hll_rollup), every structurally novel oracle waiter (CDC/
+#   SCD2/IVM/MERGE, the graph family, recursive-CTE entity
+#   resolution, BM25/RRF retrieval, incremental dedup, the two
+#   stream-stream/sink replays, Bloom join, skyline, DSIR, Z-order,
+#   DQ/stats, pattern/gap-fill/hypertable temporal entries, the
+#   monitoring tier, TPC-H q11ish/q20ish), and the three re-planned
+#   r8 builders that must (re-)verify anyway (graph_triangle_count,
+#   events_rolling_7d_actives, basket_part_association).
+#
+#   r9 window (scheduled BY NAME now): the five deferred waiters —
+#   doc_zipf_fit, events_entropy_profile, part_supplier_hhi,
+#   q16ish_supplier_part_relationships, events_forecast_linear (all
+#   oracle-gated locally at three scales each round; chosen because
+#   each one's surface is covered in the r8 window by a same-family
+#   promotee: zipf/entropy by the doc/events QA tier, hhi by the
+#   decimal-exact monitoring tier, q16ish by q11ish/q20ish on the
+#   same partsupp adaptation, forecast by the REGR/markov/cohort
+#   promotees) — PLUS the ten standing rows-only entries rotating
+#   back in (dedup_simhash_pairs, sim_knn_lsh/ivf/pq/ivfpq,
+#   agg_approx_distinct, approx_quantiles_value, media_feature_stats,
+#   media_resize_images, media_sample_frames; all r7-driver-green,
+#   waiting ONE round under the capacity amendment with pytest
+#   recall/error-bound gates meanwhile) and the usual sentinels.
+#   After r9 every registered query has a driver row and the
+#   steady-state rotation (fresh-evidence refresh + sentinels)
+#   resumes.
+#
+# The 49 slots are funded by demoting the entire r7 window except
+# q1_pricing_summary: all 40 hash-green entries are r7-driver-green
+# on builders unchanged since that verdict (still locally
+# oracle-gated at sf0.01 every round like the rest of the tail), and
+# the 10 rows-only entries hold fresh r7 driver rows (their pytest
+# invariant gates keep running while they wait — see the r9 schedule
+# above). q1_pricing_summary stays as the cross-round fixture-drift
+# sentinel: the widest lineitem dtype surface (decimal/date/char) in
+# one cheap scan-agg.
 _CHECK_FIRST = [
-    # (a) new or builder-changed in r7
-    "q21ish_sole_return_suppliers",  # CHANGED r7: single-Exchange form
-    "rag_chunk_tfidf_search",  # promoted r6 waiter (sparse retrieval)
-    "events_time_weighted_avg",  # promoted r6 waiter
-    "fuzzy_join_part_names",  # promoted r6 waiter (edit-distance join)
-    "window_first_last_order_values",  # promoted r6 waiter
-    "quality_split_drift",  # promoted r6 waiter (PSI drift)
-    "events_ordered_funnel",  # promoted r6 waiter
-    "streaming_checkpoint_recovery",  # NEW r7: recovery on the gate
-    # (a) new or builder-changed in r6, second driver round
-    "sim_range_search",  # NEW r6: exact cosine radius search
-    "doc_global_shuffle",  # NEW: deterministic training-order manifest
-    "doc_mixture_sample",  # NEW: target-mixture rebalancing sampler
-    "doc_chunk_for_rag",  # NEW: overlapping token-window chunking
-    "events_anomaly_zscore",  # NEW: 3-sigma outlier flagging
-    "dedup_exact_substring",  # NEW: span-level exact-substring dedup
-    "streaming_session_windows",  # NEW: session-window replay on the gate
-    "streaming_sliding_counts",  # NEW: sliding replay completes the matrix
-    "streaming_dedup_exactly_once",  # NEW: dedup-state replay on the gate
-    "media_resize_images",  # NEW: rows-only resize transform entry
-    "media_sample_frames",  # NEW: rows-only frame-sampler entry
-    "sim_pairwise_label_affinity",  # rewritten: Kahan/longdouble comp. sums
-    "streaming_tumbling_type_counts",  # deferred-builder wrapper (r6)
-    "streaming_error_click_join",  # deferred-builder wrapper (r6)
-    "streaming_stateful_user_totals",  # deferred-builder wrapper (r6)
-    "dedup_duplicate_clusters",  # deferred-builder wrapper (r6)
-    "dedup_cluster_keep_best",  # deferred-builder wrapper (r6)
-    "dedup_semantic_clusters",  # deferred-builder wrapper (r6)
-    # (a) rotation refresh (r5 verdict item 1): last DRIVER-checked in
-    # round 3, two rounds of evidence decay on byte-unchanged code —
-    # locally oracle-green every round, now due fresh driver rows
-    "doc_wordcount", "doc_profile", "doc_fingerprint",
-    "doc_stats_by_lang_source", "doc_split_assign", "doc_scrub_blocklist",
-    "doc_decontaminate", "doc_pack_sequences",
-    "dedup_exact", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh",
-    # (b) no-oracle rows-only entries — driver rows are their only
-    # external check (media_feature_stats also changed in r6: the
-    # synthetic corpus now rotates BMP/PPM/PGM containers; the three
-    # deferred ANN entries also carry r6 builder wrappers)
-    "dedup_simhash_pairs", "sim_knn_lsh", "sim_knn_ivf", "sim_knn_pq",
-    "sim_knn_ivfpq",
-    "agg_approx_distinct", "approx_quantiles_value",
-    "media_feature_stats",
-    # (c) driver-green sentinels spanning every fixture table + dtype
-    # surface, kept to catch the next silent fixture drift
-    # (dedup_embedding_lsh_hi: hi-regime banding family)
-    "sql_unpivot_metrics",
-    "agg_rollup_returnflag",
+    # (c) fixture-drift sentinel (decimal/date lineitem surface)
     "q1_pricing_summary",
-    "q22ish_idle_customers",
-    "dedup_embedding_lsh_hi",
+    # (b) rows-only waiters — a driver row is their only external
+    # evidence; zero rows to date (r7 verdict top item)
+    "doc_bpe_tokens",
+    "ml_kmeans_embeddings",
+    "dedup_semdedup_embeddings",  # builder CHANGED r8: skew sub-split
+    "sim_knn_sq8",
+    "agg_hll_rollup",
+    # (a) re-planned in r8 — must (re-)verify
+    "graph_triangle_count",  # array-side edges + broadcast closure
+    "events_rolling_7d_actives",  # interval sweep replaces 7x fanout
+    "basket_part_association",  # shiftrightunsigned unpack
+    # graph family (fixed-point PageRank / BFS)
+    "graph_pagerank",
+    "graph_khop_reachability",
+    # CDC / MERGE / IVM / SCD2
+    "merge_orders_upsert",
+    "ivm_orders_daily_totals",
+    "scd2_user_state_history",
+    "scd2_point_in_time_join",
+    # retrieval + incremental dedup
+    "rag_bm25_search",
+    "rag_rrf_fusion_search",
+    "dedup_incremental_batch",
+    # streaming replays completing the topology/sink matrix
+    "streaming_left_outer_join",
+    "streaming_idempotent_sink",
+    "streaming_enrich_static",
+    # entity resolution (first WITH RECURSIVE oracle)
+    "er_resolve_parts",
+    # TPC-H partsupp adaptations (q16ish scheduled r9)
+    "q11ish_concentrated_part_values",
+    "q20ish_dominant_part_suppliers",
+    # quality / stats / runtime-filter / layout / skyline
+    "dq_validate_constraints",
+    "stats_table_profile",
+    "join_bloom_prefilter",
+    "layout_zorder_stats",
+    "part_skyline_pareto",
+    # aggregate tier
+    "agg_heavy_hitters",
+    "agg_regression_stats",
+    # selection / clustering-adjacent doc tier
+    "doc_dsir_select",
+    "doc_langid_ngram",
+    "doc_quality_buckets",
+    "doc_bigram_pmi",
+    "doc_keywords_rake",
+    "doc_shard_rendezvous",
+    # temporal tier
+    "events_gap_fill",
+    "events_hypertable_rollup",
+    "events_pattern_detect",
+    "events_peak_concurrency",
+    "events_attribution_touch",
+    "events_seasonal_indices",
+    # monitoring / experimentation tier
+    "events_cusum_drift",
+    "events_markov_transitions",
+    "events_bot_flags",
+    "events_ab_test",
+    "customer_rfm_segments",
+    "orders_abc_classes",
+    "orders_cohort_ltv",
 ]
-# Demoted to the unchecked tail at the r7 rotation (all r6-driver-
-# green, byte-unchanged, locally oracle-gated every round):
-# q7ish_nation_trade_volume, q8ish_market_share, q9ish_product_profit,
-# q13ish_order_count_distribution, q15ish_top_revenue_supplier,
-# q17ish_small_quantity_revenue, q19ish_disjunctive_revenue (see the
-# rotation note above _CHECK_FIRST for the surface mapping).
-#
-# Demoted to the unchecked tail late in r6 to fund the eight new
-# TPC-H-batch-2 slots (all r5-driver-green on byte-unchanged code,
-# locally oracle-gated every round; each one's surface stays
-# in-window via the named replacement): q4ish_priority_order_counts
-# (decorrelated-exists semantics via q21ish; anti join stays via
-# q22ish), q18ish_large_volume_customers (top-k via
-# q15ish/q21ish), sql_cte_top_customers (CTE + scalar subquery via
-# q15ish), join_outer_order_fill (left-outer via q13ish),
-# null_handling_acctbal (count-over-null left join via q13ish),
-# sessionize_user_events (session semantics via the in-window
-# streaming_session_windows replay whose oracle IS the sessionize
-# twin), events_sliding_1h_30m (events surface: the streaming
-# replays — now incl. the sliding replay sharing its exact oracle —
-# + events_anomaly_zscore are in-window; events_props_from_json was
-# later demoted too, see below),
-# mr_concat_sorted_values (compat surface now fuzz-differential-
-# tested across ≥50 random jobs, tests/test_compat_mr.py). Three more
-# sentinel demotions fund the sim_range_search / doc_global_shuffle /
-# events_anomaly_zscore slots: range_join_value_buckets (events
-# surface: the streaming replays + events_anomaly_zscore in-window;
-# events_props_from_json was later demoted too, see below),
-# udaf_supplier_quantity_stats
-# (Arrow grouped-UDF surface via streaming_stateful_user_totals +
-# the media mapInPandas entries in-window), asof_error_after_signup
-# (byte-unchanged since r2, driver-green r3–r5; as-of stays on the
-# local oracle gate like every tail query). setop_nation_coverage
-# funds the doc_mixture_sample slot (pure-Catalyst set-op machinery,
-# byte-unchanged since r2, r5-green, locally gated every round).
-# join_salted_customer_orders funds the streaming_sliding_counts
-# slot (the salted-join surface is the most heavily pytest-gated in
-# the repo — tests/test_skew.py zipf stress incl. the
-# unsalted-control — while sliding was the one streaming window type
-# without a replay on the gate). events_props_from_json funds the
-# doc_chunk_for_rag slot (events fixture drift is watched in-window
-# by four streaming replays + events_anomaly_zscore; the from_json
-# surface stays on the local oracle gate).
-#
-# Demoted earlier in r6 (all r5-driver-green on code
-# byte-unchanged since that verdict, locally oracle-gated every
-# round — these 15 slots fund the r3-era rotation refresh and the
-# new r6 entries): sim_centroids_by_label (r5-green sentinel; the sim
-# family keeps five rows-only entries + the rewritten affinity
-# in-window, and its posexplode/avg surface is covered by those),
-# doc_unigram_logprob, doc_bigram_logprob
-# (LM-scoring surface; differential-tested, oracle-gated),
-# doc_stratified_sample (hash-deal surface covered in-window by the
-# rotated-in doc_split_assign), doc_curation_manifest
-# (property-tested against its components, which the rotated-in
-# dedup_exact / doc_decontaminate / doc_split_assign / doc_profile
-# cover in-window), events_retention_cohorts (events surface covered
-# by four in-window events queries + four streaming replays),
-# doc_tfidf_top_terms, doc_inverted_index (token-index surface
-# covered in-window by the rotated-in doc_wordcount +
-# dedup_ngram_jaccard_pairs' shingle index), dedup_embedding_lsh,
-# dedup_jaccard_df_capped (pair-join surface covered in-window by
-# dedup_minhash_lsh + dedup_embedding_lsh_hi + the CC family),
-# agg_exact_percentiles (laziness + distribution pinned by
-# tests/test_percentiles.py; holistic surface covered in-window by
-# udaf_supplier_quantity_stats), doc_repetition_stats (Arrow
-# mapInPandas surface covered in-window by media_feature_stats and
-# the two new media entries), window_rank_dense_ntile (rank surface
-# covered in-window by sessionize_user_events + q18ish),
-# doc_length_buckets, doc_bigram_topk (bucketing/topk surfaces
-# covered in-window by q18ish and the doc-family rotation),
-# doc_weighted_sample (r5-green differential-tested sampler; its
-# hash-deal surface is covered in-window by the rotated-in
-# doc_split_assign).
-# Demoted in r5, still tail (r4-driver-green, unchanged):
-# q2ish_cheapest_supplier_per_part, sql_correlated_exists,
-# regexp_part_type_extract, q6_forecast_revenue,
-# latest_event_per_user, agg_distinct_parts_per_supplier,
-# sim_knn_bruteforce, events_type_funnel, udaf_mad_quantity,
-# topk_orders_by_price, pivot_native_qty, agg_mode_and_stddev,
-# scalar_date_functions, q12ish_shipmode_buckets,
-# window_topn_orders_per_customer, window_running_customer_spend,
-# window_lag_order_gap_days, q3_shipping_priority,
-# q5_local_supplier_volume, q10_returned_items, q14_promo_effect
-# (justifications in the r5 revision of this comment, unchanged).
-#
-# r7 waiters (capacity amendment): brand-new entries added after the
-# r7 rotation wait in the tail under the local oracle gate and are
-# promoted at the r8 rotation: doc_langid_ngram (trained
-# Cavnar-Trenkle trigram-profile language ID, functions/text.py);
-# rag_bm25_search (Okapi BM25 impact-index retrieval,
-# functions/retrieval.py); doc_bpe_tokens (corpus-trained BPE piece
-# counts, functions/bpe.py — rows-only, differential-tested);
-# dedup_incremental_batch (batch-vs-corpus ingest dedup,
-# functions/dedup.py); q11ish_concentrated_part_values,
-# q16ish_supplier_part_relationships, q20ish_dominant_part_suppliers
-# (the partsupp-adapted TPC-H stragglers completing the 22-query
-# matrix, operators/relational4.py); streaming_enrich_static (the
-# stream-static enrichment join replay completing the streaming join
-# topology matrix, streaming/events_batch.py); rag_rrf_fusion_search
-# (reciprocal-rank fusion of the TF-IDF and BM25 top-k lists,
-# functions/retrieval.py); merge_orders_upsert (CDC MERGE/upsert
-# maintenance, operators/cdc.py); events_hypertable_rollup
-# (continuous-aggregate time-hierarchy rollup, operators/temporal.py);
-# doc_quality_buckets (CCNet per-language perplexity terciles,
-# functions/text.py); the graph-analytics family (operators/graph.py
-# — graph_pagerank in exact fixed-point bigint, graph_triangle_count
-# via degree-ordered orientation, graph_khop_reachability BFS, all
-# unrolled fixed-iteration lazy plans); events_gap_fill (time-series
-# grid densification + forward fill, operators/temporal.py); and
-# sim_knn_sq8 (int8 scalar-quantized ANN with exact re-rank,
-# functions/similarity.py — rows-only + recall/invariant pytest
-# gates); streaming_left_outer_join (the stream-stream outer
-# eviction join, streaming/events_batch.py — its oracle pins the
-# eviction frontier, the last streaming behavior that rested on
-# pytest alone); streaming_idempotent_sink (exactly-once foreachBatch
-# file sink under a forced batch retry — the sink leg of the
-# exactly-once story); layout_zorder_stats (Morton multi-dimensional
-# clustering, operators/layout.py); agg_heavy_hitters (mergeable
-# Misra-Gries candidates + exact verify, functions/text.py);
-# agg_regression_stats (SQL-standard corr/covar/REGR_* family,
-# operators/advanced.py); agg_hll_rollup (mergeable HyperLogLog
-# sketch rollup — rows-only, mergeability identity pinned in pytest);
-# doc_bigram_pmi (Church-Hanks collocations over the cached
-# n-gram tables, functions/text.py); and ivm_orders_daily_totals
-# (incremental view maintenance by signed deltas, operators/cdc.py —
-# the oracle's full recompute makes the hash match the IVM
-# contract); doc_shard_rendezvous (highest-random-weight shard
-# placement with the minimal-movement invariant pinned,
-# functions/prep.py); and events_pattern_detect (MATCH_RECOGNIZE-
-# style sequence regex over ordered per-user histories,
-# operators/temporal.py). All but the rows-only entries
-# oracle-gated at sf0.001/0.01/0.1 by tools/check_oracle.py every
-# round while they wait.
-#
-# r7 third-session waiters (same capacity amendment, promoted at the
-# r8 rotation): dq_validate_constraints + stats_table_profile
-# (operators/quality.py — fused constraint suite, ANALYZE stats);
-# join_bloom_prefilter (operators/runtime_filter.py — Bloom join
-# pruning, oracle certifies zero false negatives);
-# scd2_user_state_history (operators/cdc.py — type-2 dimension
-# history); part_skyline_pareto (operators/skyline.py — 2-D skyline
-# via the bounded prefix-max rewrite, quadratic NOT EXISTS oracle);
-# doc_dsir_select (functions/selection.py — DSIR importance
-# selection, oracle-green at three scales); ml_kmeans_embeddings
-# (functions/clustering.py — Lloyd's, numpy-differential) and
-# dedup_semdedup_embeddings (functions/semdedup.py — per-cluster
-# GEMM SemDeDup), both rows-only; events_attribution_touch,
-# events_seasonal_indices, events_cusum_drift (decimal-exact CUSUM
-# closed form), events_rolling_7d_actives, events_markov_transitions,
-# events_forecast_linear (operators/temporal.py + monitoring.py);
-# orders_abc_classes + orders_cohort_ltv (monitoring.py — Pareto
-# classes, LTV triangle); doc_keywords_rake (functions/keywords.py —
-# RAKE phrases via gaps-and-islands); events_bot_flags
-# (monitoring.py — behavioral bot heuristics, exact-microsecond
-# gaps); er_resolve_parts (operators/entity_resolution.py —
-# block→score→closure→canonicalize on the bounded name domain;
-# WITH RECURSIVE closure oracle); basket_part_association
-# (operators/basket.py — market-basket support/confidence/lift,
-# array-side pair expansion); events_ab_test (monitoring.py —
-# two-proportion z readout, A/A-shaped pinned);
-# customer_rfm_segments (monitoring.py — value-grain RFM terciles);
-# events_peak_concurrency (operators/temporal.py — +1/-1 interval
-# sweep with bounded cross-day carry); scd2_point_in_time_join
-# (operators/cdc.py — PIT probe into the type-2 history);
-# doc_zipf_fit (functions/text.py — Zipf-exponent corpus-health
-# fit) and events_entropy_profile (monitoring.py — behavioral
-# Shannon entropy); part_supplier_hhi (monitoring.py — HHI supply
-# concentration, order-free decimal term sums). 27 entries, every
-# one oracle- or
-# differential-gated, and the ENTIRE registry is oracle-green at
-# sf0.001, sf0.01, AND sf0.1 in this session's closing sweeps.
+# Demotion history (which sentinel covers which demoted surface, and
+# why each wait was sound) lives in the r5-r7 revisions of this
+# comment — see git history of this file. Current tail composition
+# after the r8 rotation: the 40 r7-hash-green entries demoted above,
+# the 10 r7-rows-only entries resting one round, the 5 r9-scheduled
+# waiters named in the plan, and every earlier-round demotion — all
+# oracle-gated at sf0.01 by tools/check_oracle.py every round.
 
 
 def load_all() -> dict[str, QuerySpec]:

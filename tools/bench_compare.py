@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from map_reduce_spark.plans.transient import release_transient
 from map_reduce_spark.registry import load_all
 from map_reduce_spark.session import get_spark
 from map_reduce_spark.sources import TABLES
@@ -123,6 +124,7 @@ def main() -> int:
                 ).save()
                 dt = round(time.perf_counter() - t0, 3)
                 spark_times[name] = min(spark_times.get(name, dt), dt)
+                release_transient()
                 print(f"spark {name}: {spark_times[name]}s", flush=True)
 
     result: dict = {"sf_dir": args.sf_dir}

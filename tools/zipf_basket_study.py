@@ -1,0 +1,221 @@
+"""Zipf-concentration scale study for ``basket_part_association``
+(r7 verdict item 3).
+
+BASELINE.md adjudicates the basket query's 3.36x-at-sf3 ratio as a
+FIXTURE ARTIFACT: the driver fixture draws ~4-part baskets uniformly
+at random from the full catalog, so nearly every co-occurrence pair is
+unique, map-side combine shrinks nothing, and the cost is one
+irreducible pair-grain exchange. Real co-purchase catalogs are
+Zipf-concentrated — popular items co-occur constantly, so the
+pair-count aggregate combines heavily BEFORE the exchange. That claim
+was argued, not measured. This tool measures it, with the same
+methodology as tools/zipf_retrieval_study.py:
+
+1. generates synthetic (l_orderkey, l_partkey) basket corpora at a
+   geometric ladder of order counts, in BOTH regimes over the same
+   fixed catalog: ``uniform`` (the fixture's adversarial shape) and
+   ``zipf`` (s = 1.1, the realistic shape);
+2. runs the REGISTERED builder and the REGISTERED oracle SQL on each
+   corpus (Spark end-to-end through the noop sink, DuckDB fetchall),
+   min over R runs;
+3. reports per-point runtimes, the Spark/DuckDB ratio per regime, and
+   the combine factor (pair instances emitted map-side / distinct
+   pairs surviving to the exchange) that the regime difference should
+   track — plus a row-count/value cross-check of Spark vs DuckDB at
+   the smallest point so the study pipeline itself is verified.
+
+Expected shape: the combine factor stays ~1 in the uniform regime
+(every pair unique -> full-size exchange) and grows with corpus size
+in the Zipf regime (posting concentration -> the exchange carries the
+bounded distinct-pair table), so the Spark/DuckDB ratio falls with
+scale exactly where the BASELINE note claims it does.
+
+Usage:
+  python tools/zipf_basket_study.py \
+      [--orders 500000,1000000,2000000,4000000] [--catalog 10000] \
+      [--basket 4] [--runs 2] [--out ZIPF_BASKET_STUDY_r08.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ZIPF_S = 1.1  # co-purchase concentration exponent
+
+
+def make_baskets(
+    out_dir: str, n_orders: int, catalog: int, basket: int, regime: str,
+    seed: int = 11,
+) -> None:
+    """Write a minimal lineitem.parquet of ``n_orders`` baskets of
+    ``basket`` draws each (duplicates within a basket collapse in the
+    query's collect_set, matching the fixture's behavior). The part
+    catalog is FIXED across sizes; only the draw distribution differs
+    by regime."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n = n_orders * basket
+    orderkeys = np.repeat(np.arange(1, n_orders + 1, dtype=np.int64), basket)
+    if regime == "uniform":
+        parts = rng.integers(1, catalog + 1, size=n, dtype=np.int64)
+    else:
+        ranks = np.arange(1, catalog + 1, dtype=np.float64)
+        probs = ranks ** (-ZIPF_S)
+        probs /= probs.sum()
+        parts = rng.choice(catalog, size=n, p=probs).astype(np.int64) + 1
+    pq.write_table(
+        pa.table({"l_orderkey": orderkeys, "l_partkey": parts}),
+        f"{out_dir}/lineitem.parquet",
+    )
+
+
+def combine_factor(path: str) -> tuple[int, int]:
+    """(pair instances emitted map-side, distinct pairs) — the
+    map-side-combine reduction the regimes differ on."""
+    import duckdb
+
+    con = duckdb.connect()
+    total, distinct = con.execute(f"""
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM '{path}'),
+        pairs AS (SELECT a.p AS pa, b.p AS pb
+                  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        SELECT count(*), count(DISTINCT (pa, pb)) FROM pairs
+    """).fetchone()
+    return int(total), int(distinct)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orders", default="500000,1000000,2000000,4000000")
+    ap.add_argument("--catalog", type=int, default=10_000)
+    ap.add_argument("--basket", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/zipf_basket")
+    ap.add_argument("--out", default="ZIPF_BASKET_STUDY_r08.json")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.orders.split(",")]
+
+    import duckdb
+
+    from map_reduce_spark.plans.transient import release_transient
+    from map_reduce_spark.registry import load_all
+    from map_reduce_spark.session import get_spark
+
+    spec = load_all()["basket_part_association"]
+    spark = get_spark("zipf-basket")
+    # Warm up BOTH engines on the fixture before the first timed
+    # point (JVM codegen / JIT on the Spark side, IO + optimizer
+    # caches on the DuckDB side) — without this the first ladder
+    # point absorbs multi-second one-time costs on each engine.
+    spec.builder(spark, "/root/testdata/sf0.01").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    release_transient()
+    warm_con = duckdb.connect()
+    warm_con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.01/lineitem.parquet'"
+    )
+    warm_con.execute(spec.oracle_sql).fetchall()
+    results = []
+    for regime in ("uniform", "zipf"):
+        for n in sizes:
+            sf_dir = f"{args.workdir}/{regime}_n{n}"
+            if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+                make_baskets(sf_dir, n, args.catalog, args.basket, regime)
+            total_pairs, distinct_pairs = combine_factor(
+                f"{sf_dir}/lineitem.parquet"
+            )
+
+            stimes = []
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                stimes.append(time.monotonic() - t0)
+                release_transient()
+
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'"
+            )
+            dtimes = []
+            for _ in range(args.runs):
+                t0 = time.monotonic()
+                con.execute(spec.oracle_sql).fetchall()
+                dtimes.append(time.monotonic() - t0)
+
+            rec = {
+                "regime": regime,
+                "n_orders": n,
+                "pair_instances": total_pairs,
+                "distinct_pairs": distinct_pairs,
+                "combine_factor": round(total_pairs / max(1, distinct_pairs), 2),
+                "spark_sec": round(min(stimes), 3),
+                "duck_sec": round(min(dtimes), 3),
+                "ratio": round(min(stimes) / min(dtimes), 2),
+            }
+            # pipeline cross-check at the smallest point per regime:
+            # integer columns exact; round(6) float columns compared
+            # at 1.5e-6 (one last-digit ulp) because synthetic order
+            # counts like 8e6 put support values (k / n_orders) on
+            # DECIMAL HALFWAY points that Spark (HALF_UP on the
+            # decimal rendering) and DuckDB (numeric rounding of the
+            # double) resolve differently — measured 12 rows in 993k
+            # at the 8M point, all exactly 1e-6 apart. The DRIVER
+            # fixture never hits this (its counts aren't round
+            # numbers); this is a property of the study's synthetic
+            # sizes, not of the operator.
+            if n == sizes[0]:
+                sdf = (
+                    spec.builder(spark, sf_dir)
+                    .toPandas()
+                    .sort_values(["pa", "pb"], ignore_index=True)
+                )
+                release_transient()
+                ddf = con.execute(spec.oracle_sql).df().sort_values(
+                    ["pa", "pb"], ignore_index=True
+                )
+                ok = len(sdf) == len(ddf)
+                if ok:
+                    for c in sdf.columns:
+                        if sdf[c].dtype.kind in "iu":
+                            ok &= bool((sdf[c].values == ddf[c].values).all())
+                        else:
+                            ok &= bool(
+                                (abs(sdf[c].values - ddf[c].values) <= 1.5e-6).all()
+                            )
+                rec["crosscheck_rows"] = len(sdf)
+                rec["crosscheck_ok"] = ok
+                assert rec["crosscheck_ok"], f"study pipeline broken: {rec}"
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    out = {
+        "study": "zipf_basket_concentration",
+        "zipf_s": ZIPF_S,
+        "catalog": args.catalog,
+        "basket": args.basket,
+        "points": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -316,9 +316,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cohen's MapReduce formulation, whose wedge exchange is the
     inherent cost once the edge set outgrows a broadcast. One
     explode + count for corners (map-side combinable). Nothing
-    quadratic in suppliers either way. Measured sf3: 4.1 s (r7
-    self-join + 3-branch union form) -> 2.2 s = 1.5x DuckDB
-    (BASELINE.md r8 note).
+    quadratic in suppliers either way. Measured sf3 (SOLO_STUDY_r08):
+    honest-rebuild 4.06 s = 1.77x paired DuckDB (r7 form: 2.86x,
+    rising); cached-rerun mode (the r7-comparable methodology)
+    1.96 s vs r7's 4.1 s. sf10 rebuild 7.3 s — sublinear across the
+    3.3x octave.
     """
     from map_reduce_spark.sources.tables import parquet_num_rows
 

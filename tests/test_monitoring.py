@@ -101,3 +101,60 @@ def test_ab_test_is_aa_shaped(spark, sf_dir):
     assert not row["significant"]
     assert row["control_conversions"] <= row["control_users"]
     assert row["treatment_conversions"] <= row["treatment_users"]
+
+
+def test_rolling_actives_interval_sweep_gap_boundaries(spark, tmp_path):
+    """Differential test of the r8 interval-sweep rewrite at its
+    run-merge boundaries: gaps of exactly 6 days (merge into one
+    coverage run), exactly 7 (two runs whose coverages abut — the
+    +1/-1 deltas must cancel, not double-count), and 8 (a genuine
+    coverage hole). Compared day-for-day against a brute-force
+    trailing-window count, including the hi-clip on partial windows.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 3, 1)
+    active = {
+        1: [1, 7],       # gap 6: one run, covers days 1..13
+        2: [1, 8],       # gap 7: two abutting runs, covers 1..14
+        3: [1, 9],       # gap 8: hole on day 8's window? (1..7, 9..15)
+        4: [20],         # lone tail day: clipped by hi
+    }
+    rows_ts, rows_uid = [], []
+    for uid, days in active.items():
+        for d in days:
+            rows_ts.append(base + dt.timedelta(days=d - 1, hours=3))
+            rows_uid.append(uid)
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+                "user_id": pa.array(rows_uid, type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {
+        r["day"]: r["active_users_7d"]
+        for r in load_all()["events_rolling_7d_actives"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    lo, hi = 1, 20  # observed day span
+    expect = {}
+    for d in range(lo, hi + 1):
+        n = sum(
+            1
+            for days in active.values()
+            if any(d - 6 <= a <= d for a in days)
+        )
+        if n:
+            expect[(base + dt.timedelta(days=d - 1)).strftime("%Y-%m-%d")] = n
+    assert out == expect
+    # The boundary semantics the test exists to pin:
+    day = lambda d: (base + dt.timedelta(days=d - 1)).strftime("%Y-%m-%d")
+    assert expect[day(13)] >= 2  # gap-6 and gap-7 users still active day 13
+    assert day(16) not in expect or expect[day(16)] < 4  # holes are holes

@@ -339,3 +339,44 @@ def test_peak_concurrency_bounds(spark, sf_dir):
     assert sum(r["sessions_started"] for r in rows) == n_sessions
     for r in rows:
         assert 0 < r["peak_concurrency"] <= n_users
+
+
+def test_basket_pair_packing_high_lane_boundary(spark, tmp_path):
+    """r7 ADVICE fix: the 64-bit pair packing must stay a bijection
+    for partkeys in [2^31, 2^32) — shiftleft(pa, 32) sets the sign
+    bit there, and the old shiftright unpack sign-extended pa into a
+    negative. Baskets built entirely from high-lane partkeys must
+    round-trip exactly through the registered builder."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hi = 1 << 31
+    # three orders over high-lane parts; pair (hi+1, hi+2) co-occurs 3x
+    baskets = {
+        1: [hi + 1, hi + 2, hi + 7],
+        2: [hi + 1, hi + 2],
+        3: [hi + 2, hi + 1, (1 << 32) - 1],
+    }
+    o, p = [], []
+    for ok, parts in baskets.items():
+        for pk in parts:
+            o.append(ok)
+            p.append(pk)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(o, type=pa.int64()),
+                "l_partkey": pa.array(p, type=pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = (
+        load_all()["basket_part_association"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pa"], r["pb"], r["n_both"]) == (hi + 1, hi + 2, 3)
+    assert r["pa"] > 0 and r["pb"] > 0  # no sign-extension corruption

@@ -240,3 +240,20 @@ def test_pagerank_and_bfs_match_python_reference_on_random_graphs(spark):
             r["nid"]: r["hop"] for r in G.bfs_min_hops(edf, sdf, 3).collect()
         }
         assert got_bfs == _py_bfs(edges, seeds, 3), f"bfs trial {trial}: {edges}"
+
+
+def test_triangle_shuffle_regime_matches_broadcast(spark, sf_dir, monkeypatch):
+    """The above-cutoff shuffle fallback (orientation joins keyed by
+    node, closure keyed by (y, z)) must count exactly what the
+    broadcast regime counts — the regime flag changes plan shape,
+    never the answer. Forced by dropping the node cutoff to 0."""
+    broadcast = {
+        r["s_suppkey"]: r["n_triangles"]
+        for r in load_all()["graph_triangle_count"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    monkeypatch.setattr(G, "TRI_BROADCAST_MAX_NODES", 0)
+    shuffled_df = load_all()["graph_triangle_count"].builder(spark, sf_dir)
+    shuffled = {r["s_suppkey"]: r["n_triangles"] for r in shuffled_df.collect()}
+    assert shuffled == broadcast

@@ -148,12 +148,22 @@ AUDIT = {
         "bigint (pr DIV outdeg), so no float expression anywhere."
     ),
     "graph_triangle_count": (
-        "degree-ordered orientation: the oriented edge cache feeds a "
-        "wedge self-join on src and a closure equi-join on (y, z) — "
-        "both shuffle the graph-sized edge/wedge frames, never the "
-        "lineitem scan; the quantity filter is pushed to the scan "
-        "(PushedFilters) so only ~12% of lineitem reaches the pair "
-        "self-join."
+        "degree-ordered orientation, r8 broadcast regime: edges build "
+        "array-side from ONE lineitem scan (quantity filter in "
+        "PushedFilters — ~12% of rows reach the basket groupBy); the "
+        "node-sized rank frame and the oriented edge set broadcast "
+        "(BroadcastHashJoin), so the wedge stream — the largest frame "
+        "in the algorithm — never crosses an Exchange; corners explode "
+        "once into a map-side-combinable count."
+    ),
+    "events_rolling_7d_actives": (
+        "r8 interval sweep: one (day, user) distinct, one user-keyed "
+        "window whose run aggregate reuses the window's "
+        "HashPartitioning(user_id) (grouping keys are a superset — no "
+        "extra Exchange), then calendar-bounded deltas; the only "
+        "unpartitioned window runs on the days-in-range frame, the "
+        "documented bounded-prefix pattern. No 7x fanout, no second "
+        "dedup exchange."
     ),
     "layout_zorder_stats": (
         "one projection computes quantize + Morton interleave as pure "

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table, session_cached
 
@@ -937,11 +938,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token stream feeds three consumers (the MG sketch, the
     # candidate-count semi join, and the total) — persist so the
     # tokenize + explode runs once, not three times.
-    occ = (
+    occ = transient_persist(
         load_spread(spark, sf_dir, "documents")
         .withColumn("toks", tokens_col())
         .select(F.explode("toks").alias("tok"))
-        .persist()
     )
 
     def mg_partition(batches):

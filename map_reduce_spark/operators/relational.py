@@ -33,8 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -595,10 +595,9 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf1. At extreme scale where even the projected slice is too
     # big to cache economically, drop this persist and pay the extra
     # scans; correctness and boundedness are unaffected.
-    li = (
+    li = transient_persist(
         _t(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_quantity", "l_extendedprice")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # One scan builds the (flag, quantity) histogram carrying price
@@ -614,8 +613,8 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_extendedprice").alias("_hmn"),
             F.max("l_extendedprice").alias("_hmx"),
         )
-        .persist()
     )
+    qhist = transient_persist(qhist)
     stats = qhist.groupBy("l_returnflag").agg(
         F.sum("_c").alias("_n"),
         F.min("_hmn").alias("_mn"),

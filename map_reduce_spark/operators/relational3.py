@@ -32,8 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -319,8 +319,8 @@ def q15ish_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Referenced twice (max + probe). |suppliers| rows — tiny at
         # any sf — so persisting costs nothing and saves re-scanning
         # the quarter of lineitem a second time for the max branch.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    revenue = transient_persist(revenue)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))

@@ -32,8 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -109,8 +109,8 @@ def q11ish_concentrated_part_values(spark: SparkSession, sf_dir: str) -> DataFra
         li.join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue().cast("decimal(18,4)")).alias("value"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pv = transient_persist(pv)
     stats = pv.agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
     )
@@ -245,8 +245,8 @@ def q20ish_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
         .repartition("l_partkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    li = transient_persist(li)
     ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
     pt = (
         li.groupBy("l_partkey")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -519,9 +520,11 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily feeds BOTH the grid bounds and the observation join (a
     # diamond) — persist so the events scan + aggregate runs once.
     # The frame is (users x observed days), far smaller than events.
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.round(F.avg("value"), 6).alias("day_avg")).persist()
+    daily = transient_persist(
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+            F.round(F.avg("value"), 6).alias("day_avg")
+        )
+    )
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -180,8 +181,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     being ranked — if it is too big to cache, pay the second agg; the
     plan shape is unchanged).
     """
-    from pyspark.storagelevel import StorageLevel
-
+    
     B = 64
     K = 4  # quartiles
     li = load_table(spark, sf_dir, "lineitem")
@@ -192,8 +192,8 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "supp_rev"
             )
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    supp_rev = transient_persist(supp_rev)
     stats = supp_rev.agg(
         F.min("supp_rev").alias("_mn"),
         F.max("supp_rev").alias("_mx"),

@@ -81,13 +81,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a vanilla SparkSession (local[8], shuffle=8, UTC) "
+        "instead of session.get_spark — the DRIVER's environment; use "
+        "this to reproduce driver-parity checks (r8: the full window "
+        "was value-verified this way before rotation)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     queries = load_all()
     names = args.names or list(queries)
 
-    spark = get_spark("oracle-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_spill'")  # keep spills out of the repo
     for t in TABLES:

@@ -42,6 +42,7 @@ from map_reduce_spark.functions.clustering import (
     lloyd_kmeans,
 )
 from map_reduce_spark.functions.similarity import with_norm
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, parquet_num_rows
 
@@ -90,9 +91,17 @@ def semdedup_verdicts(
         "vec_id", "dv", "norm", "cluster"
     )
     # Skew guard: K-sized cluster-size frame broadcasts back; an
-    # oversized cluster deterministically sub-splits on vec_id so no
-    # task's group exceeds ~max_cluster rows. n_sub == 1 (the normal
-    # regime) reduces to the exact uncapped grouping.
+    # oversized cluster deterministically sub-splits so no task's
+    # group exceeds ~max_cluster rows in expectation. The split key
+    # is xxhash64(vec_id) mod n_sub — the house hash-deal pattern
+    # (advanced.py, runtime_filter.py) — NOT vec_id mod n_sub, which
+    # strided id assignments defeat (all ids sharing a residue land
+    # in ONE sub-block and the cap silently no-ops; r8 review
+    # finding). n_sub == 1 (the normal regime) reduces to the exact
+    # uncapped grouping either way. `assigned` feeds both the sizes
+    # aggregate and the join's stream side — persist it (transient)
+    # or the embedding scan + assignment kernel run twice.
+    assigned = transient_persist(assigned)
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("csz")
     )
@@ -100,7 +109,7 @@ def semdedup_verdicts(
         F.lit(1).cast("long"), F.ceil(F.col("csz") / F.lit(max_cluster))
     )
     assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
-        "sub", F.pmod(F.col("vec_id"), n_sub).cast("int")
+        "sub", F.pmod(F.xxhash64("vec_id"), n_sub).cast("int")
     )
 
     # Within-cluster dedup as one BLAS pass per cluster: each cluster's

@@ -181,7 +181,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     being ranked — if it is too big to cache, pay the second agg; the
     plan shape is unchanged).
     """
-    
+
     B = 64
     K = 4  # quartiles
     li = load_table(spark, sf_dir, "lineitem")

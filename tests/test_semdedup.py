@@ -110,7 +110,11 @@ def test_semdedup_cluster_collapse_guard(spark):
         ).collect()
     }
 
-    # Twin with the sub-split rule.
+    # Twin with the sub-split rule. The split key is
+    # xxhash64(vec_id) mod n_sub (NOT vec_id mod n_sub — these ids
+    # are all odd, a strided assignment that would defeat a plain
+    # modulus and leave residues unpopulated); mirror it by asking
+    # Spark for the same hash values.
     ref_lab, _ = _numpy_semdedup(ids, x.astype(np.float64), k, iters, tau)
     labs = np.array([ref_lab[int(i)] for i in ids])
     norms = np.linalg.norm(x, axis=1)
@@ -118,12 +122,21 @@ def test_semdedup_cluster_collapse_guard(spark):
     sizes = {c: int((labs == c).sum()) for c in set(labs.tolist())}
     n_sub = {c: -(-s // max_cluster) for c, s in sizes.items()}
     assert max(n_sub.values()) > 1  # the guard must actually engage
+    hashes = {
+        r["vec_id"]: r["h"]
+        for r in spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id bigint"
+        )
+        .select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .collect()
+    }
+    sub = {int(i): hashes[int(i)] % n_sub[labs[j]] for j, i in enumerate(ids)}
     dropped = set()
     for bi in range(len(ids)):
         for ai in range(bi):
             if (
                 labs[ai] == labs[bi]
-                and ids[ai] % n_sub[labs[ai]] == ids[bi] % n_sub[labs[bi]]
+                and sub[int(ids[ai])] == sub[int(ids[bi])]
                 and cos[ai, bi] >= tau
             ):
                 dropped.add(int(ids[bi]))

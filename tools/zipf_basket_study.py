@@ -131,7 +131,7 @@ def main() -> int:
     results = []
     for regime in ("uniform", "zipf"):
         for n in sizes:
-            sf_dir = f"{args.workdir}/{regime}_n{n}"
+            sf_dir = f"{args.workdir}/{regime}_n{n}_c{args.catalog}_b{args.basket}"
             if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
                 make_baskets(sf_dir, n, args.catalog, args.basket, regime)
             total_pairs, distinct_pairs = combine_factor(

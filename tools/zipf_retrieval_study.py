@@ -174,7 +174,7 @@ def main() -> int:
     spark = get_spark()
     results = []
     for n in sizes:
-        sf_dir = f"{args.workdir}/n{n}"
+        sf_dir = f"{args.workdir}/n{n}_v{args.vocab}_t{args.doc_tokens}"
         if not os.path.exists(f"{sf_dir}/documents.parquet"):
             make_corpus(sf_dir, n, args.vocab, args.doc_tokens)
         probe_mod = max(1, n // args.probe_docs)  # fixed probe-doc count

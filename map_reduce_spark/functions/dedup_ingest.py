@@ -1,0 +1,317 @@
+"""Maintained-index incremental dedup: the production ingest loop.
+
+``dedup_incremental_batch`` (dedup.py) is the SELF-CONTAINED statement
+of continuous-ingest dedup: one lazy plan that rebuilds the existing
+corpus's fingerprint table and shingle inverted index from text and
+probes them with the micro-batch. Its r8 batch-share ladder
+(SOLO_STUDY_r08.json) proved the REBUILD dominates the per-batch cost
+— which is exactly why a production ingest loop does not rebuild: it
+MAINTAINS the two indexes as persistent artifacts and pays only the
+batch's delta each round. This module is that shape (r8 verdict
+item 5), built on the repo's bucketed-layout machinery
+(sources/bucketed.py):
+
+State (managed bucketed parquet tables — the Spark spelling of "the
+index lives pre-partitioned by probe key, so probes never shuffle
+it"):
+
+- ``<name>_post`` (doc_id, sh)  bucketed by sh — the shingle inverted
+  index (uncapped truth; hotness is decided at probe time from the
+  CURRENT df, so a shingle crossing the cap as the corpus grows
+  needs no retro-edit of stored postings).
+- ``<name>_fp``   (doc_id, f)   bucketed by f — the fingerprint table.
+- ``<name>_dfp``  (sh, cnt)     bucketed by sh — PER-BATCH PARTIAL
+  document frequencies. Append-only: the current df is the
+  zero-Exchange co-bucketed sum, so maintenance never rewrites the
+  vocabulary, and the hot list is derived fresh each probe.
+
+Per-batch cost decomposition (the design claim the ladder measures,
+tools/ingest_ladder.py):
+
+- NETWORK: batch-proportional. Probe joins are one-sided — the batch
+  side shuffles into the index's bucket layout; the bucketed sides
+  contribute ZERO Exchange (plan-pinned in tests/test_dedup_ingest.py).
+  Maintenance is three appends of batch-sized frames.
+- LOCAL IO: the probe scans the postings index (two long/string
+  columns, columnar) — corpus-sized but index-speed, vs the rebuild's
+  corpus TEXT scan + re-tokenize + re-shingle + full-df aggregate
+  with its corpus-mass shuffle. This residual scan is the honest
+  non-batch-proportional term; eliminating it takes a point-lookup
+  store, which is outside Spark's storage model.
+
+Verdict semantics are IDENTICAL to ``dedup_incremental_batch`` (same
+constants, same tiebreaks, same rounding): pytest runs a multi-batch
+differential against ``incremental_verdicts`` — the from-scratch
+reference factored here — and ties that reference back to the
+registered builder on its own MOD split.
+
+Eagerness contract: ``ingest`` is necessarily EAGER (it materializes
+the verdicts BEFORE appending the batch to the index — laziness would
+let the batch see itself in the existing side), the same sanction as
+the streaming replays' foreachBatch loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from map_reduce_spark.functions.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
+    shingles_col,
+)
+from map_reduce_spark.operators.text_rel import tokens_col
+
+
+def _doc_sh(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-trigram shingles of a (doc_id, text)
+    frame — the arbitrary-frame twin of dedup.doc_shingles."""
+    return docs.withColumn("toks", tokens_col()).select(
+        "doc_id", F.explode(shingles_col()).alias("sh")
+    )
+
+
+def _doc_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, f) normalized-text md5 fingerprints (the dedup_exact
+    normalization: lower, whitespace-collapse, trim)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("f"))
+
+
+def _verdicts(
+    batch_ids: DataFrame,
+    exact: DataFrame,
+    best: DataFrame,
+) -> DataFrame:
+    """Assemble the (doc_id, verdict, match_doc, jaccard) result —
+    the exact select of dedup_incremental_batch."""
+    return (
+        batch_ids.join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("inc_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("ex_doc").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce("exact_match", "ex_doc").alias("match_doc"),
+            F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _best_match(
+    common: DataFrame, ni: DataFrame, ne: DataFrame
+) -> DataFrame:
+    """(inc_doc, ex_doc, jaccard): threshold + round + the
+    jaccard-DESC, doc-ASC best-match rule, shared verbatim with the
+    registered builder so the two paths cannot drift."""
+    jac = F.col("n_common") * 1.0 / (
+        F.col("ni") + F.col("ne") - F.col("n_common")
+    )
+    return (
+        common.join(ni, "inc_doc")
+        .join(ne, "ex_doc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("inc_doc", "ex_doc", F.round(jac, 6).alias("jaccard"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("inc_doc").orderBy(
+                    F.col("jaccard").desc(), F.col("ex_doc").asc()
+                )
+            ),
+        )
+        .filter(F.col("pos") == 1)
+        .drop("pos")
+    )
+
+
+def incremental_verdicts(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """From-scratch reference: the dedup_incremental_batch semantics
+    over ARBITRARY (doc_id, text) frames instead of the registered
+    MOD split — existing-side DF cap, incoming x existing pairs only.
+    The maintained index's pytest differential runs against this, and
+    a second test ties this back to the registered builder on the MOD
+    split, so all three paths pin one contract."""
+    fp_e, fp_b = _doc_fp(existing), _doc_fp(batch)
+    exact = (
+        fp_b.alias("i")
+        .join(fp_e.alias("e"), F.col("i.f") == F.col("e.f"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("e.doc_id")).alias("exact_match"))
+    )
+    sh_e, sh_b = _doc_sh(existing), _doc_sh(batch)
+    hot = (
+        sh_e.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    rare_e = sh_e.join(hot, "sh", "left_anti")
+    rare_b = sh_b.join(hot, "sh", "left_anti")
+    ni = rare_b.groupBy(F.col("doc_id").alias("inc_doc")).agg(
+        F.count(F.lit(1)).alias("ni")
+    )
+    ne = rare_e.groupBy(F.col("doc_id").alias("ex_doc")).agg(
+        F.count(F.lit(1)).alias("ne")
+    )
+    common = (
+        rare_b.alias("i")
+        .join(rare_e.alias("e"), F.col("i.sh") == F.col("e.sh"))
+        .groupBy(
+            F.col("i.doc_id").alias("inc_doc"),
+            F.col("e.doc_id").alias("ex_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    best = _best_match(common, ni, ne)
+    return _verdicts(batch.select("doc_id"), exact, best)
+
+
+class DedupIngestIndex:
+    """Handle to the maintained fingerprint + shingle index.
+
+    ``bootstrap`` pays the one-time corpus indexing (the cost the
+    self-contained query pays EVERY batch); ``ingest`` probes with a
+    micro-batch, returns its verdict frame, and appends the batch's
+    delta to the index — the steady-state loop.
+    """
+
+    def __init__(self, spark: SparkSession, name: str, n_buckets: int = 8):
+        self.spark = spark
+        self.n_buckets = n_buckets
+        self.post_t = f"{name}_post"
+        self.fp_t = f"{name}_fp"
+        self.dfp_t = f"{name}_dfp"
+        self.verd_t = f"{name}_verdicts"
+        self._seq = 0
+
+    # -- state writes -----------------------------------------------------
+    def _write(self, df: DataFrame, table: str, key: str, mode: str) -> None:
+        (
+            df.write.format("parquet")
+            .mode(mode)
+            .bucketBy(self.n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+
+    def _append_delta(self, batch: DataFrame, mode: str) -> None:
+        sh = _doc_sh(batch)
+        self._write(sh, self.post_t, "sh", mode)
+        self._write(_doc_fp(batch), self.fp_t, "f", mode)
+        self._write(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt")),
+            self.dfp_t,
+            "sh",
+            mode,
+        )
+
+    def bootstrap(self, corpus: DataFrame) -> "DedupIngestIndex":
+        """Index the initial corpus (overwrites any prior state —
+        including orphaned warehouse directories a crashed previous
+        session's tables left behind, which a fresh catalog no longer
+        tracks but saveAsTable still trips over)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        for t in (self.post_t, self.fp_t, self.dfp_t, self.verd_t):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = urlparse(f"{warehouse}/{t}").path
+            shutil.rmtree(loc, ignore_errors=True)
+        self._seq = 0
+        self._append_delta(corpus, "overwrite")
+        return self
+
+    # -- the ingest loop ---------------------------------------------------
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """Verdicts for ``batch`` against the CURRENT index, without
+        maintenance — one lazy plan over the bucketed tables."""
+        post = self.spark.table(self.post_t)
+        dfp = self.spark.table(self.dfp_t)
+        fp_e = self.spark.table(self.fp_t)
+        # Current df = zero-Exchange co-bucketed sum of the partials;
+        # the hot list is heavy-tail-sized, broadcast into the three
+        # anti joins below.
+        hot = (
+            dfp.groupBy("sh")
+            .agg(F.sum("cnt").alias("df"))
+            .filter(F.col("df") > SHINGLE_DF_CAP)
+            .select("sh")
+        )
+        exact = (
+            _doc_fp(batch)
+            .alias("i")
+            .join(fp_e.alias("e"), F.col("i.f") == F.col("e.f"))
+            .groupBy(F.col("i.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("e.doc_id")).alias("exact_match"))
+        )
+        sh_b = _doc_sh(batch)
+        rare_b = sh_b.join(hot, "sh", "left_anti")
+        ni = rare_b.groupBy(F.col("doc_id").alias("inc_doc")).agg(
+            F.count(F.lit(1)).alias("ni")
+        )
+        # Candidate generation: batch shingles probe the bucketed
+        # postings — the index side reads in bucket layout (no
+        # Exchange, pinned), only the batch side shuffles.
+        rare_e = post.join(hot, "sh", "left_anti")
+        common = (
+            rare_b.alias("i")
+            .join(rare_e.alias("e"), F.col("i.sh") == F.col("e.sh"))
+            .groupBy(
+                F.col("i.doc_id").alias("inc_doc"),
+                F.col("e.doc_id").alias("ex_doc"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        # Candidate sizes: ne is needed only for docs that share a
+        # rare shingle with the batch (bounded by batch posting mass x
+        # SHINGLE_DF_CAP) — a broadcast semi-join restricts the
+        # postings scan to them before the per-doc count, so the
+        # count's shuffle carries candidate postings, not the corpus.
+        cands = common.select(F.col("ex_doc").alias("doc_id")).distinct()
+        ne = (
+            post.join(F.broadcast(cands), "doc_id", "left_semi")
+            .join(hot, "sh", "left_anti")
+            .groupBy(F.col("doc_id").alias("ex_doc"))
+            .agg(F.count(F.lit(1)).alias("ne"))
+        )
+        best = _best_match(common, ni, ne)
+        return _verdicts(batch.select("doc_id"), exact, best)
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """Probe + maintain: materializes the batch's verdicts to the
+        ``<name>_verdicts`` sink table (the ingest loop's durable
+        decision log), then appends the batch's postings /
+        fingerprints / df partials to the index, and returns the
+        sink-backed verdict frame. Eager by necessity — and the
+        verdicts are written BEFORE maintenance because a merely
+        persist()-ed verdict plan reads the index TABLES, and Spark
+        invalidates dependent caches when a table is appended to, so
+        a post-append action would silently recompute the verdicts
+        against an index that now contains the batch itself (every
+        doc its own exact_dup — caught by the multi-batch
+        differential test)."""
+        seq = self._seq
+        self._seq += 1
+        (
+            self.probe(batch)
+            .withColumn("batch_seq", F.lit(seq))
+            .write.format("parquet")
+            .mode("append")
+            .saveAsTable(self.verd_t)
+        )
+        self._append_delta(batch, "append")
+        return (
+            self.spark.table(self.verd_t)
+            .filter(F.col("batch_seq") == seq)
+            .drop("batch_seq")
+            .orderBy("doc_id")
+        )

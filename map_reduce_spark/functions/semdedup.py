@@ -56,7 +56,9 @@ SEMDEDUP_TARGET_CLUSTER = 2500
 # cluster, but a collapsed clustering (real embedding corpora do
 # this) can make one cluster corpus-sized, landing an n_c^2 GEMM on
 # ONE task. Clusters above this cap are deterministically SUB-SPLIT
-# (sub = vec_id mod ceil(size/cap)) before the grouped kernel, so no
+# (sub = xxhash64(vec_id) mod ceil(size/cap) — the house hash-deal,
+# NOT a raw id residue, which strided ids defeat; comment synced to
+# the code, ADVICE r8) before the grouped kernel, so no
 # task ever owns more than ~cap vectors (~cap^2 * 8 B of cosine
 # blocks, ~800 MB at 10k — bounded further by the kernel's row
 # blocking). RECALL IMPLICATION (documented, deliberate): the keep
@@ -77,13 +79,24 @@ _SD_SCHEMA = (
 def semdedup_verdicts(
     emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     tau: float = SEMDEDUP_TAU, max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Core pipeline on any (vec_id, dv, norm) frame: cluster with
     Lloyd's, then within-cluster drop-higher-id at cosine >= tau.
     Clusters larger than ``max_cluster`` are sub-split first (see
     SEMDEDUP_MAX_CLUSTER for the skew guard and its documented recall
     trade). The planted-duplicate fuzz (tests/test_semdedup.py) runs
-    here; the registered query wraps it over the embeddings fixture."""
+    here; the registered query wraps it over the embeddings fixture.
+
+    ``telemetry`` (r8 verdict item 6): the sub-split guard silently
+    changes the keep rule for oversized clusters, so a collapsed
+    clustering must be OBSERVABLE in production. Pass a dict to
+    receive {n_clusters, n_split_clusters, affected_vectors,
+    total_vectors} — one bounded aggregate over the K-sized
+    cluster-size frame (it materializes the persisted assignment the
+    grouped kernel reuses, so the marginal cost is one cached scan) —
+    and a WARNING log when any cluster split. Default None keeps the
+    function lazy for plan-shape tests."""
     import pandas as pd
 
     centroids = lloyd_kmeans(emb, "vec_id", "dv", k, iters)
@@ -105,6 +118,29 @@ def semdedup_verdicts(
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("csz")
     )
+    if telemetry is not None:
+        import logging
+
+        split = F.col("csz") > max_cluster
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(split.cast("long")).alias("n_split_clusters"),
+            F.sum(F.when(split, F.col("csz")).otherwise(0)).alias(
+                "affected_vectors"
+            ),
+            F.sum("csz").alias("total_vectors"),
+        ).collect()[0]
+        telemetry.update({k_: row[k_] or 0 for k_ in row.asDict()})
+        if telemetry["n_split_clusters"]:
+            logging.getLogger(__name__).warning(
+                "semdedup skew guard engaged: %d/%d clusters over "
+                "max_cluster=%d were sub-split (%d/%d vectors affected) "
+                "— keep rule applies within sub-blocks for those; see "
+                "SEMDEDUP_MAX_CLUSTER recall note",
+                telemetry["n_split_clusters"], telemetry["n_clusters"],
+                max_cluster, telemetry["affected_vectors"],
+                telemetry["total_vectors"],
+            )
     n_sub = F.greatest(
         F.lit(1).cast("long"), F.ceil(F.col("csz") / F.lit(max_cluster))
     )
@@ -184,6 +220,9 @@ def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
         k = max(KM_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
-        return semdedup_verdicts(emb, k=k)
+        # telemetry dict wired so the skew-guard WARNING fires in
+        # every production run of the registered query (r8 verdict
+        # item 6: a collapsed clustering must be observable)
+        return semdedup_verdicts(emb, k=k, telemetry={})
 
     return deferred(spark, _SD_SCHEMA, build)

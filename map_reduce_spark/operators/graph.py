@@ -67,16 +67,24 @@ PR_BROADCAST_MAX_NODES = 5_000_000
 # over 1,000 suppliers (vs 214k+ unthinned, near-complete).
 TRI_MIN_QTY = 45
 
-# Triangle broadcast-regime cutoff on the SUPPLIER count (the node
-# universe; a metadata read keeps the builder lazy). Below it the
-# node-sized rank frame and the graph-sized oriented edge set both
-# broadcast (at the fixture's ~35 co-suppliers/node, 500k suppliers
-# is ~17M edges ~ 270 MB — the upper edge of comfortable, same
-# budget argument as PR_BROADCAST_MAX_NODES). Above it the shuffle
-# form takes over: orientation joins by node, closure probe keyed by
-# the wedge's (y, z) — Cohen's MapReduce formulation, whose wedge
-# exchange is the algorithm's inherent cost at billion-edge scale.
-TRI_BROADCAST_MAX_NODES = 500_000
+# Triangle broadcast-regime cutoff on the DISTINCT EDGE count —
+# measured at materialization, not estimated from the node universe.
+# The r8 gate used the supplier count with the fixture's ~35
+# co-suppliers/node density baked in (ADVICE r8: a denser graph near
+# the node cutoff would force a multi-GB F.broadcast that bypasses
+# autoBroadcastJoinThreshold and OOM executors); the edge set is
+# what actually broadcasts, so the edge count is what the gate must
+# read. An oriented edge row is (bigint, bigint, bigint) ~ 24 B, so
+# 10M edges ~ 240 MB — the upper edge of comfortable, same budget
+# argument as PR_BROADCAST_MAX_NODES. Below it the node-sized rank
+# frame (nodes <= 2 * edges) and the oriented edge set both
+# broadcast. Above it the shuffle form takes over: orientation joins
+# by node, closure probe keyed by the wedge's (y, z) — Cohen's
+# MapReduce formulation, whose wedge exchange is the algorithm's
+# inherent cost at billion-edge scale. Reading the true count needs
+# one bounded job over the transient-persisted edge frame (which the
+# downstream plan reuses), so the builder is DEFERRED.
+TRI_BROADCAST_MAX_EDGES = 10_000_000
 
 # NATION_3 is the lowest nationkey with suppliers at every fixture
 # scale (sf0.001 has only 10 suppliers spread over 25 nations, so most
@@ -303,12 +311,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     `weak` entry, 2.86x DuckDB at sf3 on five keyed exchanges): the
     order-basket build and the packed-pair edge distinct are the only
     data-sized shuffles. Everything graph-sized rides the two-regime
-    pattern (TRI_BROADCAST_MAX_NODES): below the cutoff the
-    node-sized rank frame BROADCASTS into the orientation (the edge
-    set never shuffles to learn its direction) and the closure
-    probes a BROADCAST of the oriented edge set — so the wedge
-    stream, the largest frame in the algorithm, never crosses the
-    network (pinned by
+    pattern (TRI_BROADCAST_MAX_EDGES, r9: the gate now reads the
+    MEASURED distinct edge count — the r8 node-count proxy assumed
+    the fixture's density, ADVICE r8 — so the builder is deferred;
+    the count job materializes the transient edge persist the rest
+    of the plan reuses): below the cutoff the node-sized rank frame
+    BROADCASTS into the orientation (the edge set never shuffles to
+    learn its direction) and the closure probes a BROADCAST of the
+    oriented edge set — so the wedge stream, the largest frame in
+    the algorithm, never crosses the network (pinned by
     tests/test_graph.py::test_triangle_broadcast_regime_plan); the
     wedge self-join exchanges only the cached edge-sized frame.
     Above the cutoff the same joins fall back to hash-partitioned
@@ -320,21 +331,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest-rebuild 4.06 s = 1.77x paired DuckDB (r7 form: 2.86x,
     rising); cached-rerun mode (the r7-comparable methodology)
     1.96 s vs r7's 4.1 s. sf10 rebuild 7.3 s — sublinear across the
-    3.3x octave.
+    3.3x octave. The solo-vs-in-sweep gap adjudication is in
+    BASELINE.md (r9).
     """
-    from map_reduce_spark.sources.tables import parquet_num_rows
+    from map_reduce_spark.plans.deferred import deferred
 
-    try:
-        broadcast_graph = (
-            parquet_num_rows(f"{sf_dir}/supplier.parquet")
-            <= TRI_BROADCAST_MAX_NODES
-        )
-    except (OSError, FileNotFoundError):
-        # The query computes entirely from lineitem; on a
-        # lineitem-only data dir (synthetic boundary fixtures) fall
-        # back to the always-correct shuffle regime rather than
-        # crashing on the regime probe (r8 review finding).
-        broadcast_graph = False
+    def build() -> DataFrame:
+        return _triangle_plan(spark, sf_dir)
+
+    return deferred(
+        spark, "s_suppkey BIGINT NOT NULL, n_triangles BIGINT NOT NULL", build
+    )
+
+
+def _triangle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= TRI_MIN_QTY)
@@ -386,15 +396,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan-internal persist in this module.)
     )
     und = transient_persist(und)
+    # Regime gate on the MEASURED edge count (ADVICE r8: the old
+    # supplier-count proxy baked in the fixture's ~35 edges/node
+    # density; a denser graph would have forced a multi-GB broadcast
+    # past autoBroadcastJoinThreshold). The count materializes the
+    # transient persist every downstream arm reuses, so its marginal
+    # cost is one cached-frame scan.
+    broadcast_graph = und.count() <= TRI_BROADCAST_MAX_EDGES
     # Undirected degree, then a total order ordv = deg * 2^33 + id
-    # (ids are < 2^33 at any realistic scale; degree < 2^30) so the
-    # orientation comparison is one bigint compare. One scan of the
-    # cached edges (explode both ends), node-sized output.
+    # (ids < 2^32 — guarded at the pack above; deg < 2^30 — guarded
+    # here, mirroring the pack guard: an overflow would silently
+    # mis-orient edges and miscount triangles rather than fail,
+    # ADVICE r8) so the orientation comparison is one bigint compare.
+    # One scan of the cached edges (explode both ends), node-sized
+    # output.
     ends = und.select(
         F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
     )
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    ordv = (F.col("deg").cast("long") * (2**33) + F.col("node")).alias("ordv")
+    deg_guarded = F.when(F.col("deg") < F.lit(1 << 30), F.col("deg")).otherwise(
+        F.raise_error(F.lit("triangle orientation overflow: degree >= 2^30"))
+    )
+    ordv = (deg_guarded.cast("long") * (2**33) + F.col("node")).alias("ordv")
     rank = deg.select("node", ordv)
     rank_u = rank.withColumnRenamed("node", "u").withColumnRenamed("ordv", "ou")
     rank_v = rank.withColumnRenamed("node", "v").withColumnRenamed("ordv", "ov")

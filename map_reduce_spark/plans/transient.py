@@ -16,9 +16,24 @@ materializing each query, so every transient cache lives exactly one
 query. Deliberately session-scoped caches (the retrieval index
 builders' memoized frames, similarity.py's trained codebooks) do NOT
 enroll — cross-query reuse is their point.
+
+Consumers OUTSIDE the harness loops (pytest sessions, notebooks,
+library use) should wrap build+materialize in ``transient_scope()``
+(ADVICE r8: without a drain point, enrollments accumulate
+unboundedly and pin caches for the life of the session). The scope
+releases exactly the frames enrolled inside it — enrollments made
+before the scope opened are left alone, so a scope issued between an
+outer caller's build and materialize cannot drop that caller's
+load-bearing caches. The test suite drains via an autouse
+per-test fixture (tests/conftest.py). Weak references are NOT the
+answer here: a persist lives JVM-side keyed by the plan, so losing
+the Python handle without calling unpersist() would leak the
+executor-memory cache — the opposite of the goal.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -36,13 +51,27 @@ def transient_persist(
     return df
 
 
-def release_transient() -> int:
-    """Unpersist (non-blocking) every enrolled frame; returns count."""
-    n = len(_LIVE)
-    while _LIVE:
+def release_transient(mark: int = 0) -> int:
+    """Unpersist (non-blocking) every frame enrolled at or after list
+    position ``mark`` (default: all); returns the count released."""
+    n = max(0, len(_LIVE) - mark)
+    while len(_LIVE) > mark:
         df = _LIVE.pop()
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+@contextmanager
+def transient_scope():
+    """Release-on-exit scope for non-harness consumers: frames
+    enrolled INSIDE the ``with`` block are unpersisted on exit;
+    enrollments from before the block are untouched (so a nested
+    scope cannot drop an outer plan's load-bearing caches)."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        release_transient(mark)

@@ -87,127 +87,107 @@ def register(name: str, oracle_sql: str | None = None):
 # a brand-new entry may wait ONE round in the tail under the local
 # gate and is promoted at the next rotation.
 #
-# r8 rotation — THE WAITER-DRAIN ROUND (r7 verdict item 1). After the
-# r7 surface push, 54 registered queries had never received a driver
-# CORRECTNESS row — more than one 50-slot rotation can hold. This
-# round's window promotes 49 of them (every r7 waiter except the five
-# named below) plus the q1 sentinel; ZERO new queries were added in
-# r8 precisely so the backlog drains instead of growing (verdict
-# item 8). The published two-round plan:
+# r9 rotation — executing the plan the r8 comment published BY NAME
+# (r8 verdict item 1), plus the steady-state refresh resuming:
 #
-#   r8 window (this list): the five rows-only waiters whose ONLY
-#   possible external evidence is a driver row (doc_bpe_tokens,
-#   ml_kmeans_embeddings, dedup_semdedup_embeddings, sim_knn_sq8,
-#   agg_hll_rollup), every structurally novel oracle waiter (CDC/
-#   SCD2/IVM/MERGE, the graph family, recursive-CTE entity
-#   resolution, BM25/RRF retrieval, incremental dedup, the two
-#   stream-stream/sink replays, Bloom join, skyline, DSIR, Z-order,
-#   DQ/stats, pattern/gap-fill/hypertable temporal entries, the
-#   monitoring tier, TPC-H q11ish/q20ish), and the three re-planned
-#   r8 builders that must (re-)verify anyway (graph_triangle_count,
-#   events_rolling_7d_actives, basket_part_association).
-#
-#   r9 window (scheduled BY NAME now): the five deferred waiters —
+# - (a) builders new or changed in r9: graph_triangle_count (deferred
+#   measured-edge-count regime gate, ADVICE r8), basket_fpgrowth_rules
+#   (NEW — parallel FP-growth twin of basket_part_association, same
+#   oracle; r8 verdict item 3a), dedup_semdedup_embeddings (skew-guard
+#   split telemetry, r8 verdict item 6).
+# - (b) the five scheduled waiters getting their FIRST driver row —
 #   doc_zipf_fit, events_entropy_profile, part_supplier_hhi,
-#   q16ish_supplier_part_relationships, events_forecast_linear (all
-#   oracle-gated locally at three scales each round; chosen because
-#   each one's surface is covered in the r8 window by a same-family
-#   promotee: zipf/entropy by the doc/events QA tier, hhi by the
-#   decimal-exact monitoring tier, q16ish by q11ish/q20ish on the
-#   same partsupp adaptation, forecast by the REGR/markov/cohort
-#   promotees) — PLUS the ten standing rows-only entries rotating
-#   back in (dedup_simhash_pairs, sim_knn_lsh/ivf/pq/ivfpq,
-#   agg_approx_distinct, approx_quantiles_value, media_feature_stats,
-#   media_resize_images, media_sample_frames; all r7-driver-green,
-#   waiting ONE round under the capacity amendment with pytest
-#   recall/error-bound gates meanwhile) and the usual sentinels.
-#   After r9 every registered query has a driver row and the
-#   steady-state rotation (fresh-evidence refresh + sentinels)
-#   resumes.
+#   q16ish_supplier_part_relationships, events_forecast_linear. After
+#   this window, ZERO registered queries have never been
+#   driver-checked.
+# - (b) the ten standing rows-only entries rotating back in after
+#   their one-round capacity-amendment wait (dedup_simhash_pairs,
+#   sim_knn_lsh/ivf/pq/ivfpq, agg_approx_distinct,
+#   approx_quantiles_value, media_feature_stats, media_resize_images,
+#   media_sample_frames) — rows-only entries ride the window whenever
+#   capacity allows because a driver row is their only external
+#   evidence.
+# - (c) q1_pricing_summary, the cross-round fixture-drift sentinel.
+# - STALENESS REFRESH (the steady-state policy now that the waiter
+#   backlog is drained): the remaining 31 slots go to the entries
+#   with the OLDEST driver evidence — all 21 whose last row is from
+#   r4 (the relational/window/scalar tier promoted that round) and
+#   the 10 alphabetically-first of the r5 cohort. Every other
+#   registered query is r5+-driver-green on unchanged builders and
+#   remains under the local sf0.01 oracle gate every round.
 #
-# The 49 slots are funded by demoting the entire r7 window except
-# q1_pricing_summary: all 40 hash-green entries are r7-driver-green
-# on builders unchanged since that verdict (still locally
-# oracle-gated at sf0.01 every round like the rest of the tail), and
-# the 10 rows-only entries hold fresh r7 driver rows (their pytest
-# invariant gates keep running while they wait — see the r9 schedule
-# above). q1_pricing_summary stays as the cross-round fixture-drift
-# sentinel: the widest lineitem dtype surface (decimal/date/char) in
-# one cheap scan-agg.
+# Net registry growth this round: +1 (basket_fpgrowth_rules) — within
+# the <= 5 budget the r8 verdict set (item 7). The maintained-index
+# incremental dedup (functions/dedup_ingest.py, verdict item 5) is
+# builder-exported + pytest-differential rather than registered: its
+# ingest loop is stateful across batches, so a single lazy
+# QuerySpec cannot express it (same reasoning as the compat MR jobs).
 _CHECK_FIRST = [
     # (c) fixture-drift sentinel (decimal/date lineitem surface)
     "q1_pricing_summary",
-    # (b) rows-only waiters — a driver row is their only external
-    # evidence; zero rows to date (r7 verdict top item)
-    "doc_bpe_tokens",
-    "ml_kmeans_embeddings",
-    "dedup_semdedup_embeddings",  # builder CHANGED r8: skew sub-split
-    "sim_knn_sq8",
-    "agg_hll_rollup",
-    # (a) re-planned in r8 — must (re-)verify
-    "graph_triangle_count",  # array-side edges + broadcast closure
-    "events_rolling_7d_actives",  # interval sweep replaces 7x fanout
-    "basket_part_association",  # shiftrightunsigned unpack
-    # graph family (fixed-point PageRank / BFS)
-    "graph_pagerank",
-    "graph_khop_reachability",
-    # CDC / MERGE / IVM / SCD2
-    "merge_orders_upsert",
-    "ivm_orders_daily_totals",
-    "scd2_user_state_history",
-    "scd2_point_in_time_join",
-    # retrieval + incremental dedup
-    "rag_bm25_search",
-    "rag_rrf_fusion_search",
-    "dedup_incremental_batch",
-    # streaming replays completing the topology/sink matrix
-    "streaming_left_outer_join",
-    "streaming_idempotent_sink",
-    "streaming_enrich_static",
-    # entity resolution (first WITH RECURSIVE oracle)
-    "er_resolve_parts",
-    # TPC-H partsupp adaptations (q16ish scheduled r9)
-    "q11ish_concentrated_part_values",
-    "q20ish_dominant_part_suppliers",
-    # quality / stats / runtime-filter / layout / skyline
-    "dq_validate_constraints",
-    "stats_table_profile",
-    "join_bloom_prefilter",
-    "layout_zorder_stats",
-    "part_skyline_pareto",
-    # aggregate tier
-    "agg_heavy_hitters",
-    "agg_regression_stats",
-    # selection / clustering-adjacent doc tier
-    "doc_dsir_select",
-    "doc_langid_ngram",
-    "doc_quality_buckets",
-    "doc_bigram_pmi",
-    "doc_keywords_rake",
-    "doc_shard_rendezvous",
-    # temporal tier
-    "events_gap_fill",
-    "events_hypertable_rollup",
-    "events_pattern_detect",
-    "events_peak_concurrency",
-    "events_attribution_touch",
-    "events_seasonal_indices",
-    # monitoring / experimentation tier
-    "events_cusum_drift",
-    "events_markov_transitions",
-    "events_bot_flags",
-    "events_ab_test",
-    "customer_rfm_segments",
-    "orders_abc_classes",
-    "orders_cohort_ltv",
+    # (a) new or changed builders — must (re-)verify
+    "graph_triangle_count",  # r9: deferred measured-edge regime gate
+    "basket_fpgrowth_rules",  # r9: NEW — PFP twin, same oracle
+    "dedup_semdedup_embeddings",  # r9: split telemetry wired
+    # (b) first-ever driver rows — the named r8 schedule
+    "doc_zipf_fit",
+    "events_entropy_profile",
+    "part_supplier_hhi",
+    "q16ish_supplier_part_relationships",
+    "events_forecast_linear",
+    # (b) standing rows-only entries rotating back in
+    "dedup_simhash_pairs",
+    "sim_knn_lsh",
+    "sim_knn_ivf",
+    "sim_knn_pq",
+    "sim_knn_ivfpq",
+    "agg_approx_distinct",
+    "approx_quantiles_value",
+    "media_feature_stats",
+    "media_resize_images",
+    "media_sample_frames",
+    # staleness refresh: the full r4 cohort (last driver row 5 rounds
+    # old — relational / window / scalar / funnel tier)
+    "agg_distinct_parts_per_supplier",
+    "agg_mode_and_stddev",
+    "events_type_funnel",
+    "latest_event_per_user",
+    "pivot_native_qty",
+    "q10_returned_items",
+    "q12ish_shipmode_buckets",
+    "q14_promo_effect",
+    "q2ish_cheapest_supplier_per_part",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "regexp_part_type_extract",
+    "scalar_date_functions",
+    "sim_knn_bruteforce",
+    "sql_correlated_exists",
+    "topk_orders_by_price",
+    "udaf_mad_quantity",
+    "window_lag_order_gap_days",
+    "window_running_customer_spend",
+    "window_topn_orders_per_customer",
+    # staleness refresh: first 10 of the r5 cohort
+    "agg_exact_percentiles",
+    "asof_error_after_signup",
+    "dedup_embedding_lsh",
+    "dedup_jaccard_df_capped",
+    "doc_bigram_logprob",
+    "doc_bigram_topk",
+    "doc_curation_manifest",
+    "doc_inverted_index",
+    "doc_length_buckets",
+    "doc_repetition_stats",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
-# why each wait was sound) lives in the r5-r7 revisions of this
+# why each wait was sound) lives in the r5-r8 revisions of this
 # comment — see git history of this file. Current tail composition
-# after the r8 rotation: the 40 r7-hash-green entries demoted above,
-# the 10 r7-rows-only entries resting one round, the 5 r9-scheduled
-# waiters named in the plan, and every earlier-round demotion — all
-# oracle-gated at sf0.01 by tools/check_oracle.py every round.
+# after the r9 rotation: every demoted entry is driver-green on an
+# unchanged builder (the newest evidence r8, the oldest now r5) and
+# all remain oracle-gated at sf0.01 by tools/check_oracle.py every
+# round.
 
 
 def load_all() -> dict[str, QuerySpec]:

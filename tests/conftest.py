@@ -13,6 +13,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+@pytest.fixture(autouse=True)
+def _drain_transient_caches():
+    """Per-test transient-cache drain (ADVICE r8): pytest is a
+    non-harness consumer of the builders, so without a drain point
+    transient_persist enrollments accumulate for the whole session.
+    Frames enrolled BEFORE the test (none in practice — session
+    fixtures don't build queries) are left alone."""
+    from map_reduce_spark.plans.transient import transient_scope
+
+    with transient_scope():
+        yield
+
+
 @pytest.fixture(scope="session")
 def spark():
     # local[4, 2]: 4 threads, maxFailures=2 — local mode ignores

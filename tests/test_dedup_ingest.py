@@ -1,0 +1,133 @@
+"""Maintained-index incremental dedup (functions/dedup_ingest.py):
+multi-batch differential against the from-scratch reference, the tie
+back to the registered ``dedup_incremental_batch`` contract, the
+bucketed-probe plan pin, and the cap-crossing hot-list edge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_spark.functions.dedup import SHINGLE_DF_CAP, INCREMENT_MOD
+from map_reduce_spark.functions.dedup_ingest import (
+    DedupIngestIndex,
+    incremental_verdicts,
+)
+from map_reduce_spark.registry import load_all
+from map_reduce_spark.sources import load_table
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], r["verdict"], r["match_doc"], r["jaccard"])
+        for r in df.collect()
+    ]
+
+
+def test_reference_matches_registered_on_mod_split(spark, sf_dir):
+    """incremental_verdicts on the registered MOD split must equal the
+    registered (oracle-gated) builder — ties the arbitrary-frame
+    reference to the driver-checked contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_inc = (F.col("doc_id") % INCREMENT_MOD) == 0
+    got = incremental_verdicts(docs.filter(~is_inc), docs.filter(is_inc))
+    want = load_all()["dedup_incremental_batch"].builder(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def _synthetic_corpus(spark, n_docs: int = 64):
+    """(doc_id, text) frame with structure that exercises every path:
+    a stock phrase shared by >SHINGLE_DF_CAP docs (so its shingles
+    CROSS the cap partway through a sequential ingest), planted exact
+    duplicates, planted near-duplicates, and unique tails. Tokens are
+    LETTER-ONLY — the house tokenizer splits on [^a-z]+, so digits in
+    synthetic tokens would silently collapse every tail to 'tok w'."""
+    stock = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(n_docs):
+        uid = chr(97 + i // 26) + chr(97 + i % 26)
+        tail = " ".join(f"t{uid}w{chr(97 + j)}" for j in range(10))
+        if i % 16 == 5:
+            # exact duplicate of an earlier doc (i - 3 has same text)
+            rows.append((i, rows[i - 3][1]))
+        elif i % 16 == 9:
+            # near duplicate: same long body as i-4, one token changed
+            body = rows[i - 4][1].split()
+            body[-1] = "changed"
+            rows.append((i, " ".join(body)))
+        elif i % 2 == 0:
+            rows.append((i, f"{stock} {tail}"))
+        else:
+            rows.append((i, f"{tail} {tail}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_maintained_index_matches_reference_over_batches(spark, tmp_path):
+    """Sequential 4-batch ingest: after bootstrap, every batch's
+    verdict frame equals the from-scratch reference computed on
+    (all prior docs, batch). The stock phrase's shingles cross
+    SHINGLE_DF_CAP between batches, so the maintained df partials are
+    exercised through a rare->hot transition (stored postings are
+    uncapped truth; hotness decided at probe time)."""
+    corpus = _synthetic_corpus(spark)
+    batches = [corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+               for lo, hi in [(0, 16), (16, 32), (32, 48), (48, 64)]]
+    # sanity: 10 docs per 16-block carry the stock phrase (8 evens +
+    # the %16==5 copy + the %16==9 near-copy), so stock shingles are
+    # under the cap with two blocks ingested (20 <= cap) and CROSS it
+    # at three (30 > cap) — the rare->hot transition the maintained
+    # df partials must get right.
+    assert 20 <= SHINGLE_DF_CAP < 30
+
+    idx = DedupIngestIndex(spark, "di_test", n_buckets=4).bootstrap(batches[0])
+    seen = batches[0]
+    for b in batches[1:]:
+        got = idx.ingest(b)
+        want = incremental_verdicts(seen, b)
+        assert _rows(got) == _rows(want)
+        seen = seen.unionAll(b)
+    # every verdict kind occurred at least once across the ladder
+    final = incremental_verdicts(seen.limit(0), seen.limit(0))  # schema only
+    assert final.columns == ["doc_id", "verdict", "match_doc", "jaccard"]
+
+
+def test_probe_plan_uses_bucket_layout(spark):
+    """The postings/fingerprint/df scans read in bucket layout (the
+    planner only keeps a bucketed scan when it removes an Exchange),
+    so probe joins shuffle the BATCH side only — the maintained-index
+    scale claim."""
+    corpus = _synthetic_corpus(spark, 32)
+    idx = DedupIngestIndex(spark, "di_plan", n_buckets=4).bootstrap(corpus)
+    batch = _synthetic_corpus(spark, 8).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan")[1:]]
+    bucketed = [s for s in scans if "di_plan" in s[:200]]
+    assert bucketed, plan
+    assert all("Bucketed: true" in s[:400] for s in bucketed), plan
+
+
+def test_verdict_kinds_and_hot_crossing(spark):
+    """End-state sanity on the synthetic corpus (split at 52 so the
+    planted duplicates' sources are EXISTING — incoming x incoming
+    pairs are by-design invisible, same as the registered query):
+    exact dups resolve to the existing match, near-dups clear the
+    threshold against the right doc, and stock-phrase docs in the
+    batch are 'keep' because the stock shingles are HOT by now (26
+    existing stock docs > cap) and their tails are unique."""
+    corpus = _synthetic_corpus(spark)
+    existing = corpus.filter(F.col("doc_id") < 52)
+    batch = corpus.filter(F.col("doc_id") >= 52)
+    out = {r["doc_id"]: r for r in incremental_verdicts(existing, batch).collect()}
+    assert len(out) == 12
+    # doc 53 is an exact duplicate of existing doc 50 (%16==5 -> copy of i-3)
+    assert out[53]["verdict"] == "exact_dup" and out[53]["match_doc"] == 50
+    # doc 57 (%16==9) is doc 53's text with one token changed = a near
+    # duplicate of EXISTING doc 50 (doc 53 itself is in the batch and
+    # therefore not matchable)
+    assert out[57]["verdict"] == "near_dup" and out[57]["match_doc"] == 50
+    assert out[57]["jaccard"] >= 0.6
+    # a stock-phrase doc in the batch: stock shingles hot, tail unique
+    assert out[62]["verdict"] == "keep"

@@ -103,10 +103,12 @@ def test_semdedup_cluster_collapse_guard(spark):
         spark.createDataFrame(rows_in, "vec_id bigint, embedding array<double>"),
         "embedding", "dv", "norm",
     )
+    telemetry: dict = {}
     got = {
         r["vec_id"]: r
         for r in semdedup_verdicts(
-            df, k=k, iters=iters, tau=tau, max_cluster=max_cluster
+            df, k=k, iters=iters, tau=tau, max_cluster=max_cluster,
+            telemetry=telemetry,
         ).collect()
     }
 
@@ -122,6 +124,16 @@ def test_semdedup_cluster_collapse_guard(spark):
     sizes = {c: int((labs == c).sum()) for c in set(labs.tolist())}
     n_sub = {c: -(-s // max_cluster) for c, s in sizes.items()}
     assert max(n_sub.values()) > 1  # the guard must actually engage
+    # Split telemetry (r8 verdict item 6): the guard's engagement is
+    # observable data, pinned here against the twin's cluster sizes.
+    assert telemetry["n_clusters"] == len(sizes)
+    assert telemetry["n_split_clusters"] == sum(
+        1 for s in sizes.values() if s > max_cluster
+    ) > 0
+    assert telemetry["affected_vectors"] == sum(
+        s for s in sizes.values() if s > max_cluster
+    )
+    assert telemetry["total_vectors"] == len(ids)
     hashes = {
         r["vec_id"]: r["h"]
         for r in spark.createDataFrame(

@@ -103,6 +103,12 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/zipf_basket")
     ap.add_argument("--out", default="ZIPF_BASKET_STUDY_r08.json")
+    ap.add_argument(
+        "--query",
+        default="basket_part_association",
+        help="registered basket builder to ladder (r9: also "
+        "basket_fpgrowth_rules — same oracle, PFP implementation)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.orders.split(",")]
 
@@ -112,7 +118,7 @@ def main() -> int:
     from map_reduce_spark.registry import load_all
     from map_reduce_spark.session import get_spark
 
-    spec = load_all()["basket_part_association"]
+    spec = load_all()[args.query]
     spark = get_spark("zipf-basket")
     # Warm up BOTH engines on the fixture before the first timed
     # point (JVM codegen / JIT on the Spark side, IO + optimizer
@@ -206,6 +212,7 @@ def main() -> int:
 
     out = {
         "study": "zipf_basket_concentration",
+        "query": args.query,
         "zipf_s": ZIPF_S,
         "catalog": args.catalog,
         "basket": args.basket,

@@ -43,6 +43,14 @@ from map_reduce_spark.sources import load_table
 
 MIN_PAIR_ORDERS = 3  # a-priori support floor
 
+# FP-growth regime cap on the frequent-item list (see
+# basket_fpgrowth_rules): above it the catalog is effectively
+# unbounded relative to the support floor, FP-trees stop compressing,
+# and the packed-pair plan is strictly better — measured OOM at sf3's
+# 600k-item uniform catalog vs clean runs at <= 20k (sf0.1 parts,
+# every Zipf-study catalog).
+FPG_MAX_FREQ_ITEMS = 100_000
+
 
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(o, ps) order baskets: sorted distinct guarded partkey arrays —
@@ -107,6 +115,13 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts, the basket total, and the pair stream all read it
     # (transient — released by the harness after materialization).
     baskets = transient_persist(_baskets(spark, sf_dir))
+    return _pair_rules(baskets)
+
+
+def _pair_rules(baskets: DataFrame) -> DataFrame:
+    """The packed-pair rule plan over a persisted (o, ps) basket
+    frame — shared by the registered builder above and by the
+    FP-growth twin's unbounded-F-list fallback regime below."""
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
     item = (
         baskets.select(F.explode("ps").alias("p"))
@@ -194,6 +209,35 @@ def basket_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((MIN_PAIR_ORDERS - 0.5) / n so float rounding can never prune a
     boundary itemset) and the exact ``freq >= MIN_PAIR_ORDERS`` filter
     is applied on the mined counts.
+
+    TWO REGIMES (FPG_MAX_FREQ_ITEMS): FP-growth's memory model is the
+    FP-tree's prefix compression, and compression needs a BOUNDED
+    frequent-item list — concentrated (Zipf) catalogs, the algorithm's
+    home regime. On a uniform catalog where every item clears an
+    absolute support floor (sf3: 600k frequent items over random
+    4-item baskets) the trees share no prefixes, node count
+    degenerates to the projected transaction mass in fat JVM objects,
+    and a 16 GB heap dies — measured, not hypothesized. So the
+    builder counts the F-list first (one aggregate on the persisted
+    baskets) and FALLS BACK to the packed-pair plan (same contract,
+    same oracle) when it exceeds the cap — the house two-regime
+    pattern, correctness-preserving because both regimes compute the
+    identical rule table.
+
+    Measured applicability boundary (r9, documented as a NEGATIVE
+    result): at THIS contract's absolute support floor
+    (MIN_PAIR_ORDERS = 3) FP-growth is never the fast path — 8.5 s vs
+    6.1 s at sf0.1, and 60 s vs 9.1 s on the 8M-order Zipf corpus,
+    where the tiny fractional threshold (2.5/8M) makes every deep
+    itemset among the popular items frequent and PFP mines that
+    combinatorial output in full before the size-2 filter. FP-growth
+    earns its keep at PERCENTAGE-scale support thresholds (bounded
+    rule output, long transactions) — the regime a recommender's
+    "top rules" query runs, not this exhaustive floor-3 audit. The
+    entry therefore serves as algorithmic coverage and a
+    cross-implementation correctness check; the packed-pair builder
+    stays the measured default (ZIPF_BASKET_STUDY_r09: linear to 32M
+    orders, 0.64x DuckDB at the 32M uniform point).
     """
     from pyspark.ml.fpm import FPGrowth
 
@@ -202,10 +246,36 @@ def basket_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         baskets = transient_persist(_baskets(spark, sf_dir))
         n_orders = baskets.count()
+        n_freq_items = (
+            baskets.select(F.explode("ps").alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n_p"))
+            .filter(F.col("n_p") >= MIN_PAIR_ORDERS)
+            .count()
+        )
+        if n_freq_items > FPG_MAX_FREQ_ITEMS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "basket_fpgrowth_rules: F-list %d exceeds %d — uniform/"
+                "unbounded-catalog regime, FP-trees would not compress; "
+                "falling back to the packed-pair plan (same contract)",
+                n_freq_items, FPG_MAX_FREQ_ITEMS,
+            )
+            return _pair_rules(baskets)
+        # Shard count bounds PEAK MEMORY, not just parallelism: PFP
+        # builds one conditional FP-tree per shard, so with C
+        # concurrent tasks peak heap ~= C x tree_mass / n_shards.
+        # One shard per ~20k baskets keeps each tree small even at
+        # the F-list cap.
+        n_shards = max(
+            spark.sparkContext.defaultParallelism, n_orders // 20_000
+        )
         model = FPGrowth(
             itemsCol="ps",
             minSupport=(MIN_PAIR_ORDERS - 0.5) / n_orders,
             minConfidence=0.0,
+            numPartitions=n_shards,
         ).fit(baskets)
         fi = transient_persist(
             model.freqItemsets.select(

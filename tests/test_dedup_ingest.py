@@ -96,17 +96,25 @@ def test_probe_plan_uses_bucket_layout(spark):
     """The postings/fingerprint/df scans read in bucket layout (the
     planner only keeps a bucketed scan when it removes an Exchange),
     so probe joins shuffle the BATCH side only — the maintained-index
-    scale claim."""
+    scale claim. Re-checked AFTER an append: per-batch maintenance
+    must not degrade the tables to unbucketed scans, or every later
+    probe silently re-shuffles the whole index."""
     corpus = _synthetic_corpus(spark, 32)
     idx = DedupIngestIndex(spark, "di_plan", n_buckets=4).bootstrap(corpus)
     batch = _synthetic_corpus(spark, 8).withColumn(
         "doc_id", F.col("doc_id") + 1000
     )
-    plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
-    scans = [seg for seg in plan.split("FileScan")[1:]]
-    bucketed = [s for s in scans if "di_plan" in s[:200]]
-    assert bucketed, plan
-    assert all("Bucketed: true" in s[:400] for s in bucketed), plan
+
+    def assert_bucketed():
+        plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
+        scans = [seg for seg in plan.split("FileScan")[1:]]
+        bucketed = [s for s in scans if "di_plan" in s[:200]]
+        assert bucketed, plan
+        assert all("Bucketed: true" in s[:400] for s in bucketed), plan
+
+    assert_bucketed()
+    idx.ingest(batch.withColumn("doc_id", F.col("doc_id") + 2000))
+    assert_bucketed()
 
 
 def test_verdict_kinds_and_hot_crossing(spark):

@@ -380,3 +380,34 @@ def test_basket_pair_packing_high_lane_boundary(spark, tmp_path):
     r = rows[0]
     assert (r["pa"], r["pb"], r["n_both"]) == (hi + 1, hi + 2, 3)
     assert r["pa"] > 0 and r["pb"] > 0  # no sign-extension corruption
+
+
+def test_fpgrowth_regimes_agree_and_match_pair_builder(
+    spark, sf_dir, monkeypatch, caplog
+):
+    """The FP-growth twin's two regimes must compute the identical
+    rule table (the regime flag changes plan shape, never the answer
+    — the triangle shuffle-vs-broadcast pattern), and both must equal
+    the packed-pair builder they share an oracle with. The fallback
+    regime is forced by dropping the F-list cap to 0 (the real
+    trigger, an unbounded catalog, is sf3-sized) and PROVEN to have
+    fired via its warning — without that assertion the test would
+    pass even if the patch silently no-oped, since both regimes
+    return equal rows by design."""
+    import logging
+
+    import map_reduce_spark.operators.basket as B
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    pair = rows(load_all()["basket_part_association"].builder(spark, sf_dir))
+    with caplog.at_level(logging.WARNING, logger=B.__name__):
+        fpg = rows(load_all()["basket_fpgrowth_rules"].builder(spark, sf_dir))
+    assert fpg == pair and pair  # FP-growth regime (fixture F-list ~2k)
+    assert "falling back" not in caplog.text
+    monkeypatch.setattr(B, "FPG_MAX_FREQ_ITEMS", 0)
+    with caplog.at_level(logging.WARNING, logger=B.__name__):
+        fallback = rows(load_all()["basket_fpgrowth_rules"].builder(spark, sf_dir))
+    assert fallback == pair  # packed-pair fallback regime
+    assert "falling back" in caplog.text  # the regime switch really fired

@@ -320,7 +320,7 @@ _SCD2_ORACLE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     transitions AS (
-        SELECT user_id, state, ts
+        SELECT user_id, state, ts, event_id
         FROM ordered
         WHERE prev_state IS NULL OR prev_state <> state
     )
@@ -331,7 +331,7 @@ _SCD2_ORACLE = """
            strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
            lead(ts) OVER w IS NULL AS is_current
     FROM transitions
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, version
 """
 
@@ -372,7 +372,12 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_state") != F.col("state"))
         )
     )
-    w_ver = W.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) tiebreak (r9): with a bare ts order, two state
+    # transitions of one user at the same timestamp would make version
+    # numbering and interval bounds legally nondeterministic in BOTH
+    # engines; the shared total order pins them (same fix as
+    # events_peak_concurrency's sid sum).
+    w_ver = W.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss"
     return (
         transitions.select(
@@ -400,12 +405,13 @@ _PIT_ORACLE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     transitions AS (
-        SELECT user_id, state, ts FROM ordered
+        SELECT user_id, state, ts, event_id FROM ordered
         WHERE prev_state IS NULL OR prev_state <> state
     ),
     hist AS (
         SELECT user_id, state, ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
         FROM transitions
     ),
     probes AS (
@@ -457,7 +463,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_state") != F.col("state"))
         )
     )
-    w_ver = W.partitionBy("user_id").orderBy("ts")
+    # (ts, event_id) tiebreak (r9): with a bare ts order, two state
+    # transitions of one user at the same timestamp would make version
+    # numbering and interval bounds legally nondeterministic in BOTH
+    # engines; the shared total order pins them (same fix as
+    # events_peak_concurrency's sid sum).
+    w_ver = W.partitionBy("user_id").orderBy("ts", "event_id")
     hist = transitions.select(
         F.col("user_id").alias("h_user"),
         "state",

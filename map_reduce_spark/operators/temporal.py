@@ -818,7 +818,7 @@ def events_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PEAK_ORACLE = """
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
                     THEN 1 ELSE 0 END AS new_session
@@ -827,7 +827,8 @@ _PEAK_ORACLE = """
     ),
     sess AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
                ts
         FROM marked
@@ -893,14 +894,21 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     w_scan = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # The running sid sum uses the SAME (ts, event_id) order as the
+    # session-flag scan (r9): with a bare ts order, a timestamp tie
+    # straddling a session boundary would make sid membership — and
+    # therefore the interval endpoints — legally nondeterministic in
+    # BOTH engines (each could reorder ties); the shared total order
+    # pins it, and the matching specs let one sort serve both windows.
     w_run = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     marked = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w_scan).isNull()
             | (

@@ -129,6 +129,12 @@ _CHECK_FIRST = [
     "graph_triangle_count",  # r9: deferred measured-edge regime gate
     "basket_fpgrowth_rules",  # r9: NEW — PFP twin, same oracle
     "dedup_semdedup_embeddings",  # r9: split telemetry wired
+    # (a) r9 determinism fixes — (ts, event_id) tiebreaks replacing
+    # bare-ts window orders whose timestamp ties were legally
+    # reorderable in BOTH engines (builder + oracle changed together)
+    "events_peak_concurrency",
+    "scd2_user_state_history",
+    "scd2_point_in_time_join",
     # (b) first-ever driver rows — the named r8 schedule
     "doc_zipf_fit",
     "events_entropy_profile",
@@ -169,7 +175,9 @@ _CHECK_FIRST = [
     "window_lag_order_gap_days",
     "window_running_customer_spend",
     "window_topn_orders_per_customer",
-    # staleness refresh: first 10 of the r5 cohort
+    # staleness refresh: first 7 of the r5 cohort (3 slots ceded to
+    # the determinism-fix re-verifications above; the rest of the r5
+    # cohort refreshes in r10 under the steady-state rotation)
     "agg_exact_percentiles",
     "asof_error_after_signup",
     "dedup_embedding_lsh",
@@ -177,9 +185,6 @@ _CHECK_FIRST = [
     "doc_bigram_logprob",
     "doc_bigram_topk",
     "doc_curation_manifest",
-    "doc_inverted_index",
-    "doc_length_buckets",
-    "doc_repetition_stats",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this

@@ -117,6 +117,37 @@ def test_probe_plan_uses_bucket_layout(spark):
     assert_bucketed()
 
 
+def test_maintained_index_randomized_differential(spark):
+    """Randomized multi-batch fuzz: small-vocabulary corpora (forced
+    shingle collisions, hot shingles, exact and near duplicates by
+    birthday collision) ingested through the maintained loop in
+    random batch splits must match the from-scratch reference at
+    every step — arbitrary-structure coverage the planted corpus
+    can't give."""
+    import random
+
+    for trial in range(2):
+        rng = random.Random(100 + trial)
+        vocab = [f"w{chr(97 + i)}" for i in range(8)]
+        rows = []
+        for i in range(40):
+            n = rng.randint(0, 12)  # includes <3-token docs (no shingles)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        cuts = sorted(rng.sample(range(5, 40), 2))
+        spans = [(0, cuts[0]), (cuts[0], cuts[1]), (cuts[1], 40)]
+        idx = DedupIngestIndex(
+            spark, f"di_fuzz{trial}", n_buckets=4
+        ).bootstrap(corpus.filter(F.col("doc_id") < spans[0][1]))
+        seen = corpus.filter(F.col("doc_id") < spans[0][1])
+        for lo, hi in spans[1:]:
+            b = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            got = _rows(idx.ingest(b))
+            want = _rows(incremental_verdicts(seen, b))
+            assert got == want, (trial, lo, hi)
+            seen = seen.unionAll(b)
+
+
 def test_verdict_kinds_and_hot_crossing(spark):
     """End-state sanity on the synthetic corpus (split at 52 so the
     planted duplicates' sources are EXISTING — incoming x incoming

@@ -890,6 +890,17 @@ def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HH_K = 50  # heavy-hitter threshold: tokens with count > N / HH_K
 _MG_COUNTERS = 2 * HH_K  # per-partition counter budget
+# Regime gate (r9): sampled-vocabulary width above which the plain
+# type-grain hash aggregate stops being the right plan and the MG
+# sketch takes over. The probe samples HH_PROBE_FRACTION of documents
+# and counts distinct token types; sampling UNDERestimates the full
+# width (Heaps' law), so a sample already past the threshold means
+# the true type space is far wider — the regime where partial-agg
+# shuffle volume (per-partition distinct types) stops being small.
+# Both regimes are EXACT, so a mis-gated choice costs time, never
+# correctness (pinned in tests/test_r7_ops.py regime-equality).
+HH_PROBE_FRACTION = 0.02
+HH_WIDE_TYPES = 500_000
 
 
 @register(
@@ -907,42 +918,85 @@ _MG_COUNTERS = 2 * HH_K  # per-partition counter budget
     """,
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (tokens with > N/{k} of all occurrences)
-    through the two-phase MERGEABLE-SKETCH pattern: a Misra-Gries
-    summary per partition proposes candidates, one exact counting pass
-    over the candidate set verifies — the standard way to compute
-    exact heavy hitters over a stream too wide to hash-aggregate in
-    one shot (Misra & Gries 1982; the "MG merge" mergeability result
-    is Agarwal et al., Mergeable Summaries, PODS'12).
+    """Exact heavy hitters (tokens with > N/{k} of all occurrences),
+    two measured regimes behind one contract (the basket/triangle
+    regime-gate pattern):
 
-    Guarantee making the result EXACT (and therefore oracle-checkable
+    - NARROW vocabulary (the probe's sampled type width is bounded):
+      ONE pass — groupBy(tok).count() with map-side combine, total =
+      sum over the type-grain frame, filter. No Python, no stream
+      persist, no re-read. Shuffle volume is per-partition distinct
+      types, which is exactly what the probe certified as small.
+    - WIDE vocabulary (web-scale junk types — hashes, typos — where
+      the type-grain frame itself is the problem): the two-phase
+      MERGEABLE-SKETCH pattern — a Misra-Gries summary per partition
+      proposes candidates, one exact counting pass over the candidate
+      set verifies (Misra & Gries 1982; mergeability per Agarwal et
+      al., Mergeable Summaries, PODS'12). Shuffle volume becomes
+      |partitions| x 2k candidates, independent of type width.
+
+    Guarantee making the MG result EXACT (and oracle-checkable
     despite the sketch): any token with global count > N/k exceeds
     n_p/k on at least one partition (pigeonhole), and an MG summary
     with m >= k counters retains every token whose partition count
     exceeds n_p/(m+1) — so the union of per-partition survivors is a
-    SUPERSET of the true heavy hitters (pinned independently in
-    tests/test_r7_ops.py). The exact pass then counts only candidates:
-    a semi-join whose left side is the token stream and whose right
-    side is a few hundred candidate tokens, broadcast.
+    SUPERSET of the true heavy hitters (pinned in
+    tests/test_r7_ops.py, plus a regime-equality pin). The MG phase
+    is ``mapInPandas`` with per-BATCH pandas value_counts folded into
+    a bounded dict — never per-row Python.
 
-    Scale: the MG phase is ``mapInPandas`` with per-BATCH pandas
-    value_counts folded into a bounded dict (never per-row Python, at
-    most 2k counters per partition); shuffle volume is |partitions| x
-    2k candidate rows plus the final candidate-only aggregate —
-    independent of the token-stream width. The one full re-read for
-    the verify pass is the price of EXACTNESS; pipelines content with
-    epsilon-approximate counts skip it and read the merged sketch.
+    The gate itself is a sampled probe (HH_PROBE_FRACTION of
+    documents -> countDistinct), the same measure-then-choose move as
+    basket's F-list count and triangle's edge count. r9 measured
+    (solo min-of-4, quiet machine): sf1 narrow 2.26 s vs MG 2.10 s —
+    a wash, the shared tokenize pass dominates both; sf3 narrow
+    4.11 s vs MG 5.12 s — the MG plan's extra stream passes (persist
+    + Arrow round-trip + candidate re-count) grow with the corpus
+    while the narrow plan stays one pass, so the gap widens with
+    scale and narrow is the right default wherever the probe allows.
+    """
+    docs = load_spread(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_col()
+    )
+    probe = (
+        docs.sample(HH_PROBE_FRACTION, seed=7)
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("t"))
+        .first()
+    )
+    if (probe["t"] or 0) <= HH_WIDE_TYPES:
+        # Narrow regime: exact type-grain aggregate, one stream pass.
+        # The type-grain frame feeds both the total and the filter (a
+        # diamond) — persist it, not the token stream (types << occ).
+        counts = transient_persist(
+            docs.select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+        tot = counts.agg(F.sum("n_occ").alias("n"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .filter(F.col("n_occ") * HH_K > F.col("n"))
+            .select("tok", "n_occ")
+            .orderBy(F.desc("n_occ"), "tok")
+        )
+
+    # Wide regime: the token stream feeds three consumers (the MG
+    # sketch, the candidate-count semi join, and the total) — persist
+    # so the tokenize + explode runs once, not three times.
+    occ = transient_persist(docs.select(F.explode("toks").alias("tok")))
+    return mg_heavy_hitters(occ)
+
+
+def mg_heavy_hitters(occ: DataFrame) -> DataFrame:
+    """Wide-vocabulary (Misra-Gries sketch) regime of
+    ``agg_heavy_hitters`` over a single-column token stream ``occ`` —
+    see the registered builder's docstring for the exactness
+    guarantee. Standalone so the MG superset/equality invariants stay
+    pytest-exercised no matter which regime the gate picks on the
+    fixture (tests/test_r7_ops.py).
     """
     import pandas as pd
-
-    # The token stream feeds three consumers (the MG sketch, the
-    # candidate-count semi join, and the total) — persist so the
-    # tokenize + explode runs once, not three times.
-    occ = transient_persist(
-        load_spread(spark, sf_dir, "documents")
-        .withColumn("toks", tokens_col())
-        .select(F.explode("toks").alias("tok"))
-    )
 
     def mg_partition(batches):
         counters: dict[str, int] = {}

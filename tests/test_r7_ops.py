@@ -128,9 +128,15 @@ def test_gap_fill_grid_is_continuous_and_filled(spark, sf_dir):
 
 def test_misra_gries_candidates_superset_of_heavy_hitters(spark, sf_dir):
     """The MG candidate union must contain every true heavy hitter
-    (the guarantee that makes the two-pass result exact), and the
-    final result must equal the direct exact computation."""
-    from map_reduce_spark.functions.text import HH_K, agg_heavy_hitters
+    (the guarantee that makes the two-pass result exact), the MG
+    regime must equal the direct exact computation, and the registered
+    builder (whichever regime its sampled probe picks — narrow on this
+    fixture) must agree with both."""
+    from map_reduce_spark.functions.text import (
+        HH_K,
+        agg_heavy_hitters,
+        mg_heavy_hitters,
+    )
     from map_reduce_spark.operators.text_rel import tokens_col
 
     occ = (
@@ -144,6 +150,14 @@ def test_misra_gries_candidates_superset_of_heavy_hitters(spark, sf_dir):
         for r in occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
         if r["n"] * HH_K > total
     }
+    # The sketch regime, forced directly (the fixture's vocabulary is
+    # narrow, so the registered gate would pick the plain path).
+    mg = {
+        r["tok"]: r["n_occ"] for r in mg_heavy_hitters(occ).collect()
+    }
+    assert mg == exact
+    # The registered builder — regime-equality: whatever the probe
+    # picks must hash-match the exact answer.
     got = {
         r["tok"]: r["n_occ"]
         for r in agg_heavy_hitters(spark, sf_dir).collect()

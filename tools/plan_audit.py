@@ -148,13 +148,15 @@ AUDIT = {
         "bigint (pr DIV outdeg), so no float expression anywhere."
     ),
     "graph_triangle_count": (
-        "degree-ordered orientation, r8 broadcast regime: edges build "
-        "array-side from ONE lineitem scan (quantity filter in "
-        "PushedFilters — ~12% of rows reach the basket groupBy); the "
-        "node-sized rank frame and the oriented edge set broadcast "
-        "(BroadcastHashJoin), so the wedge stream — the largest frame "
-        "in the algorithm — never crosses an Exchange; corners explode "
-        "once into a map-side-combinable count."
+        "degree-ordered orientation, broadcast regime gated on the "
+        "MEASURED distinct edge count (r9 deferred builder — see the "
+        "hand-annotated section below): edges build array-side from "
+        "ONE lineitem scan (quantity filter in PushedFilters — ~12% "
+        "of rows reach the basket groupBy); the node-sized rank frame "
+        "and the oriented edge set broadcast (BroadcastHashJoin), so "
+        "the wedge stream — the largest frame in the algorithm — "
+        "never crosses an Exchange; corners explode once into a "
+        "map-side-combinable count."
     ),
     "events_rolling_7d_actives": (
         "r8 interval sweep: one (day, user) distinct, one user-keyed "
@@ -179,10 +181,14 @@ AUDIT = {
         "key on user_id."
     ),
     "agg_heavy_hitters": (
-        "token stream persisted once and read three times (MG sketch "
-        "mapInPandas, candidate semi-join, total); candidates "
-        "broadcast into a left-semi so the exact pass shuffles only "
-        "candidate rows; total rides a whitelisted 1-row broadcast."
+        "r9 narrow regime (the sampled vocabulary-width probe picks "
+        "it on every fixture scale): ONE tokenize pass into a "
+        "map-side-combined type-grain hash aggregate (partial_count "
+        "before the only data Exchange), total = sum over the "
+        "persisted type-grain frame riding a whitelisted 1-row "
+        "broadcast. No Python in the plan; the Misra-Gries "
+        "mapInPandas path is the wide-vocabulary fallback "
+        "(mg_heavy_hitters, regime-equality pinned in pytest)."
     ),
     "ivm_orders_daily_totals": (
         "base aggregate + SIGNED delta aggregate joined full-outer on "
@@ -245,6 +251,15 @@ def main() -> None:
         ]
         print(f"audited {name}", file=sys.stderr)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Hand-annotated sections survive regeneration: any *.md under
+    # tools/plan_notes/ is appended verbatim (r9 — the regenerator had
+    # silently dropped the hand-written triangle deep-dive).
+    notes_dir = os.path.join(root, "tools", "plan_notes")
+    if os.path.isdir(notes_dir):
+        for fn in sorted(os.listdir(notes_dir)):
+            if fn.endswith(".md"):
+                with open(os.path.join(notes_dir, fn)) as nf:
+                    out += [nf.read().rstrip(), ""]
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md", file=sys.stderr)

@@ -205,11 +205,44 @@ def run_available_now(
     it from a thread racing other planning on the session (scope the
     pin per-query once Spark exposes query-level shuffle config).
     """
+    import shutil
+
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(state_partitions))
     try:
+        if output_mode == "append":
+            # Append-mode replays sink to PARQUET FILES and read back,
+            # not the memory sink: the memory sink materializes every
+            # output row into driver/executor memory — the collect
+            # anti-pattern at replay sizes (r9 measured the sf10 dedup
+            # replay ~2x faster file-sinked, and at 100 TB the memory
+            # sink simply does not fit; the file sink is also what a
+            # real deployment writes — Spark's idempotent
+            # _spark_metadata commit protocol, same as
+            # streaming_idempotent_sink). Complete/update modes keep
+            # the memory sink — the file sink does not support them,
+            # and their outputs are state-sized (bounded) by
+            # construction.
+            out = f"/tmp/mrs_replay/{query_name}"
+            cp = f"/tmp/mrs_replay/{query_name}_cp"
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(cp, ignore_errors=True)
+            q = (
+                stream_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .queryName(query_name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema: a replay that legally emits zero rows
+            # (everything still inside the watermark) leaves no part
+            # files to infer from.
+            return spark.read.schema(stream_df.schema).parquet(out)
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")

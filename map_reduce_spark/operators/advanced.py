@@ -38,30 +38,116 @@ from map_reduce_spark.sources import load_table
     """,
 )
 def udaf_mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median absolute deviation per return flag — two JVM-side passes.
+    """Median absolute deviation per return flag via a value
+    HISTOGRAM — one lineitem scan, everything downstream bounded by
+    the value domain.
 
-    Pass 1 computes each group's median (built-in ``median``); pass 2
-    joins the 3-row medians back (broadcast by AQE — the agg output is
-    bounded by group cardinality, not data size) and takes the median
-    of |q - m|. No Python grouped-map materializing n/3 rows per task —
-    the r1 judge flagged that as a scale-killer; the truly
-    bounded-state path for huge groups is `approx_quantiles_value`
-    below, and the grouped-map UDF surface is exercised by
-    `udaf_order_quantity_stats` where group size is bounded (~7 items
-    per order at any scale factor).
+    The former plan used built-in ``median`` directly: a HOLISTIC
+    aggregate that buffers every value of a group in one aggregation
+    state, and with only 3 return-flag groups the final pass funneled
+    the whole table into 3 buffering tasks — measured SUPERLINEAR on
+    the r9 sf1->sf3 sweep (1.4 s -> 8.3 s on 3x data, sort-agg spill)
+    and an executor OOM at 100 TB, the same defect
+    ``agg_exact_percentiles`` was rewritten for in r4. Same cure
+    here: quantity's distinct-value histogram (map-side combinable;
+    shuffle = distinct (flag, value) pairs per partition, ~150 rows
+    total at any scale) + a cumulative window over the tiny histogram
+    locates both bracketing order statistics. The MAD median then
+    needs NO second scan at all — |q - m| re-keys the SAME histogram
+    (distinct |q - m| values are at most the distinct q values), and
+    the weighted-median machinery runs again on the derived ~150-row
+    frame. Interpolation is DuckDB's exact
+    ``lo*(1-frac) + hi*frac`` at h = (n-1)/2 (``median`` ==
+    ``quantile_cont(0.5)`` for numerics), the convention bit-parity
+    pinned for agg_exact_percentiles in tests/test_properties.py.
+
+    The grouped-map (holistic reducer) UDF surface this query once
+    demonstrated lives in `udaf_supplier_quantity_stats`, whose
+    per-group state is histogram-bounded by construction.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("m"))
-    return (
-        li.join(med, "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.median("l_quantity"), 4).alias("median_qty"),
-            F.round(
-                F.median(F.abs(F.col("l_quantity") - F.col("m"))), 4
-            ).alias("mad_qty"),
-            F.count(F.lit(1)).alias("n_rows"),
+    from pyspark.sql import Window as W
+
+    from map_reduce_spark.plans.transient import transient_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    # (flag, value, count): feeds the quantity median, the per-flag
+    # totals, AND the derived |q - m| histogram — persist (O(domain)
+    # rows, constant-size cache; the lineitem scan behind it runs
+    # once).
+    qhist = transient_persist(
+        li.groupBy("l_returnflag", "l_quantity").agg(
+            F.count(F.lit(1)).alias("c")
         )
+    )
+    stats = qhist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+
+    def wmedian(hist: DataFrame, valcol: str) -> DataFrame:
+        """(flag, med, n) — exact interpolated median of the multiset
+        where ``valcol`` repeats ``c`` times, located by a cumulative
+        window over the histogram's few rows per flag."""
+        w = (
+            W.partitionBy("l_returnflag")
+            .orderBy(valcol)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        h = (
+            hist.join(F.broadcast(stats), "l_returnflag")
+            .select(
+                "l_returnflag",
+                F.col(valcol).alias("v"),
+                "c",
+                "n",
+                F.sum("c").over(w).alias("cum"),
+            )
+        )
+        hh = (F.col("n") - 1).cast("double") * F.lit(0.5)
+        kf = F.floor(hh).cast("long")
+        kc = F.ceil(hh).cast("long")
+        prev = F.col("cum") - F.col("c")
+        agg = h.groupBy("l_returnflag").agg(
+            F.max(
+                F.when((prev <= kf) & (kf < F.col("cum")), F.col("v"))
+            ).alias("lo"),
+            F.max(
+                F.when((prev <= kc) & (kc < F.col("cum")), F.col("v"))
+            ).alias("hi"),
+            F.first("n").alias("n"),
+        )
+        hh2 = (F.col("n") - 1).cast("double") * F.lit(0.5)
+        frac = hh2 - F.floor(hh2)
+        return agg.select(
+            "l_returnflag",
+            (F.col("lo") * (F.lit(1.0) - frac) + F.col("hi") * frac).alias(
+                "med"
+            ),
+            "n",
+        )
+
+    med = wmedian(qhist, "l_quantity")
+    dhist = (
+        qhist.join(F.broadcast(med.select("l_returnflag", "med")), "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.abs(F.col("l_quantity") - F.col("med")).alias("d"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = wmedian(dhist, "d")
+    return (
+        med.select(
+            "l_returnflag",
+            F.round("med", 4).alias("median_qty"),
+            F.col("n").alias("n_rows"),
+        )
+        .join(
+            mad.select(
+                "l_returnflag", F.round("med", 4).alias("mad_qty")
+            ),
+            "l_returnflag",
+        )
+        .select("l_returnflag", "median_qty", "mad_qty", "n_rows")
         .orderBy("l_returnflag")
     )
 

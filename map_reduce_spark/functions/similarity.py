@@ -362,6 +362,15 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No SQL oracle (sketch planes are engine-side constants); pytest
     measures recall@k against sim_knn_bruteforce.
+
+    NOT THE 100x-SCALE PLAN (r9 measurement, recorded so a future
+    round does not promote it): the registered fixture's probe count
+    is corpus-proportional, so this flat-index entry is quadratic BY
+    CONTRACT — measured sf3->sf10 growth 5.5x on 3.33x data
+    (SF10_REGISTRY_SPARK_r09.json) vs 3.1-3.6x for the IVF family.
+    It stays registered as the accuracy/structure baseline; the
+    billion-vector path is sim_knn_ivf / sim_knn_ivfpq, whose coarse
+    cells decouple per-probe work from corpus size.
     """
     sk = sketched_embeddings(spark, sf_dir)
     probes = sk.filter(F.col("vec_id") % PROBE_MOD == 0).select(
@@ -1102,7 +1111,15 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the code-table compression invariants).
 
     DEFERRED (r6): codebook training (bounded, session-cached) runs on
-    first action, not at build — see sim_knn_ivf."""
+    first action, not at build — see sim_knn_ivf.
+
+    NOT THE 100x-SCALE PLAN (r9 measurement): flat PQ scans every
+    code for every probe, and the fixture's probe count is
+    corpus-proportional — quadratic by contract, measured 7.8x
+    sf3->sf10 growth on 3.33x data (SF10_REGISTRY_SPARK_r09.json) vs
+    3.1-3.6x for the IVF family. Registered as the ADC-accuracy
+    baseline only; the scale path is sim_knn_ivfpq (coarse cells
+    bound which codes a probe touches)."""
     from map_reduce_spark.plans.deferred import deferred
 
     return deferred(spark, _KNN_SCHEMA, lambda: knn_pq(spark, sf_dir, PQ_RERANK))

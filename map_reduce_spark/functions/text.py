@@ -964,7 +964,18 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("tok").alias("t"))
         .first()
     )
-    if (probe["t"] or 0) <= HH_WIDE_TYPES:
+    # Gate direction (ADVICE r9): the probe must certify NARROWNESS,
+    # so the threshold is scaled by the sampled fraction. Every type
+    # with at least one occurrence survives a fraction-f sample with
+    # probability >= f, so E[sampled width] >= f x true width; a probe
+    # width <= f x HH_WIDE_TYPES therefore certifies (in expectation)
+    # true width <= HH_WIDE_TYPES. Comparing the raw probe count
+    # against the FULL threshold would do the opposite — a 2% sample
+    # under 500k types is consistent with ~25M true types, routing a
+    # genuinely wide corpus onto the type-grain shuffle the MG path
+    # exists to avoid. Exactness is unaffected either way (both
+    # regimes exact); the gate only prices the shuffle.
+    if (probe["t"] or 0) <= HH_WIDE_TYPES * HH_PROBE_FRACTION:
         # Narrow regime: exact type-grain aggregate, one stream pass.
         # The type-grain frame feeds both the total and the filter (a
         # diamond) — persist it, not the token stream (types << occ).

@@ -185,6 +185,7 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.streams import (
+        events_state_dims,
         read_events_stream,
         run_available_now,
         tumbling_counts,
@@ -193,10 +194,13 @@ def streaming_tumbling_type_counts(spark: SparkSession, sf_dir: str) -> DataFram
     def drain() -> DataFrame:
         # run_available_now pins state-store parallelism to 8 around the
         # stream start (see its doc) — the replay's state is tiny.
+        # Declared state bound: one row per (1h window, event type).
+        _, n_types, horizon_h = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             tumbling_counts(read_events_stream(spark, sf_dir)),
             "streaming_tumbling_type_counts",
             output_mode="complete",
+            state_rows_bound=(horizon_h + 1) * n_types,
         )
         return drained.orderBy("window_start", "event_type")
 
@@ -247,16 +251,21 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.streams import (
+        events_state_dims,
         read_events_stream,
         run_available_now,
         sliding_counts,
     )
 
     def drain() -> DataFrame:
+        # Declared state bound: 1h windows every 30 min over the
+        # horizon — two open window starts per hour, plus edges.
+        _, _, horizon_h = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             sliding_counts(read_events_stream(spark, sf_dir)),
             "streaming_sliding_counts",
             output_mode="complete",
+            state_rows_bound=2 * (horizon_h + 1),
         )
         return drained.orderBy("window_start")
 
@@ -326,16 +335,24 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.streams import (
+        events_state_dims,
         read_events_stream,
         run_available_now,
         session_window_stats,
     )
 
     def drain() -> DataFrame:
+        # Declared state bound: a user can open at most one session
+        # per 30-min gap slot, so sessions <= users x (horizon/gap).
+        # (Complete mode retains every session ever — this is the
+        # entry whose collect an unbounded-key fixture would regrow;
+        # the bound makes that failure loud, r9 verdict item 6.)
+        n_users, _, horizon_h = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             session_window_stats(read_events_stream(spark, sf_dir)),
             "streaming_session_windows",
             output_mode="complete",
+            state_rows_bound=n_users * 2 * (horizon_h + 1),
         )
         return drained.orderBy("user_id", "session_start")
 
@@ -572,15 +589,21 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.stateful import user_running_totals
     from map_reduce_spark.streaming.streams import (
+        events_state_dims,
         read_events_stream,
         run_available_now,
     )
 
     def drain() -> DataFrame:
+        # Declared state bound: update mode emits touched users per
+        # microbatch; the single-file AvailableNow replay drains in a
+        # handful of batches, so <= users x 8 rows land in the sink.
+        n_users, _, _ = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             user_running_totals(read_events_stream(spark, sf_dir)),
             "streaming_stateful_user_totals",
             output_mode="update",
+            state_rows_bound=n_users * 8,
         )
         return drained.select(
             "user_id", "n_events", F.round("total_value", 2).alias("total_value")
@@ -681,12 +704,16 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.sources import load_table
     from map_reduce_spark.streaming.streams import (
+        events_state_dims,
         read_events_stream,
         run_available_now,
         stream_static_segment_counts,
     )
 
     def drain() -> DataFrame:
+        # Declared state bound: one row per (1h window, market
+        # segment); TPC-H has 5 segments — 8 is a safe static cap.
+        _, _, horizon_h = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             stream_static_segment_counts(
                 read_events_stream(spark, sf_dir),
@@ -694,6 +721,7 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "streaming_enrich_static",
             output_mode="complete",
+            state_rows_bound=(horizon_h + 1) * 8,
         )
         return drained.orderBy("window_start", "c_mktsegment")
 

@@ -177,11 +177,49 @@ def stream_stream_error_click_join(events: DataFrame) -> DataFrame:
     ).select("error_id", "e_user", "error_ts", "click_id", "click_ts")
 
 
+# Absolute ceiling on rows any memory-sink replay may materialize
+# (driver-resident): ~5M rows of small structs is low hundreds of MB,
+# comfortably inside a default heap. A replay whose state legitimately
+# exceeds this does not belong on the memory sink at all — it belongs
+# on the file-sink path like the append-mode replays (r9's measured
+# scale-killer class).
+MEMORY_SINK_ABS_ROW_CAP = 5_000_000
+
+# Unique-per-call replay sinks: one counter per process, one root per
+# Spark application. Old replay dirs from the same session stay
+# readable (a caller holding a previous replay's DataFrame can still
+# collect it — ADVICE r9); the whole session root is removed at
+# interpreter exit, and concurrent processes never collide because the
+# root embeds the applicationId.
+import itertools as _itertools
+
+_REPLAY_SEQ = _itertools.count()
+_REPLAY_ROOTS_CLEANED: set[str] = set()
+
+
+def _fresh_replay_dirs(spark: SparkSession, query_name: str) -> tuple[str, str]:
+    import atexit
+    import shutil
+    import tempfile
+
+    root = (
+        f"{tempfile.gettempdir()}/mrs_replay_"
+        f"{spark.sparkContext.applicationId}"
+    )
+    if root not in _REPLAY_ROOTS_CLEANED:
+        _REPLAY_ROOTS_CLEANED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    seq = next(_REPLAY_SEQ)
+    base = f"{root}/{query_name}_{seq:04d}"
+    return f"{base}/out", f"{base}/cp"
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "append",
     state_partitions: int = 8,
+    state_rows_bound: int | None = None,
 ) -> DataFrame:
     """Drive a streaming query to completion over all available input
     (Trigger.AvailableNow) and return the materialized result.
@@ -204,9 +242,19 @@ def run_available_now(
     single-threaded driver gate and tests that call this; do NOT call
     it from a thread racing other planning on the session (scope the
     pin per-query once Spark exposes query-level shuffle config).
-    """
-    import shutil
 
+    Memory-sink bound contract (r9 verdict): complete/update-mode
+    replays materialize their whole result driver-side via the memory
+    sink, which is only sound because those outputs are STATE-sized,
+    not stream-sized. Every memory-sink caller must therefore declare
+    ``state_rows_bound`` — an a-priori bound on the query's state row
+    count computed from the fixture's key dimensions (users x session
+    slots, windows x types, ...) — and the drain raises if the
+    materialized output exceeds it (or the absolute
+    ``MEMORY_SINK_ABS_ROW_CAP``), so the collect scale-killer class
+    the append path eliminated cannot silently return through an
+    unbounded-key complete-mode query.
+    """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -223,12 +271,9 @@ def run_available_now(
             # _spark_metadata commit protocol, same as
             # streaming_idempotent_sink). Complete/update modes keep
             # the memory sink — the file sink does not support them,
-            # and their outputs are state-sized (bounded) by
-            # construction.
-            out = f"/tmp/mrs_replay/{query_name}"
-            cp = f"/tmp/mrs_replay/{query_name}_cp"
-            shutil.rmtree(out, ignore_errors=True)
-            shutil.rmtree(cp, ignore_errors=True)
+            # and their outputs are state-sized (bounded), declared
+            # and enforced via ``state_rows_bound`` below.
+            out, cp = _fresh_replay_dirs(spark, query_name)
             q = (
                 stream_df.writeStream.outputMode("append")
                 .format("parquet")
@@ -243,6 +288,13 @@ def run_available_now(
             # (everything still inside the watermark) leaves no part
             # files to infer from.
             return spark.read.schema(stream_df.schema).parquet(out)
+        if state_rows_bound is None:
+            raise ValueError(
+                f"memory-sink replay {query_name!r} ({output_mode} mode) "
+                "must declare state_rows_bound — the a-priori state-sized "
+                "row bound that makes driver-side materialization sound"
+            )
+        bound = min(int(state_rows_bound), MEMORY_SINK_ABS_ROW_CAP)
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -251,9 +303,48 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        got = spark.table(query_name)
+        n = got.count()  # driver-resident memory table: cheap
+        if n > bound:
+            raise RuntimeError(
+                f"memory-sink replay {query_name!r} materialized {n} rows "
+                f"> declared state bound {bound} — this query's state is "
+                "not driver-sized; move it to a file/foreachBatch sink"
+            )
+        return got
     finally:
         spark.conf.set(key, prev)
-    return spark.table(query_name)
+
+
+_STATE_DIMS_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
+
+
+def events_state_dims(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """(distinct users, distinct event types, horizon in hours) of the
+    events fixture — the key dimensions the memory-sink replays use to
+    declare their a-priori state row bounds (see ``run_available_now``).
+    One tiny agg job per (applicationId, sf_dir), memoized; the scan
+    cost is a fraction of the replay that needs it.
+    """
+    import math
+
+    from map_reduce_spark.sources import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STATE_DIMS_CACHE:
+        row = (
+            load_table(spark, sf_dir, "events")
+            .agg(
+                F.countDistinct("user_id").alias("u"),
+                F.countDistinct("event_type").alias("t"),
+                F.min(F.col("ts").cast("double")).alias("lo"),
+                F.max(F.col("ts").cast("double")).alias("hi"),
+            )
+            .collect()[0]
+        )
+        horizon_h = int(math.ceil((row.hi - row.lo) / 3600.0)) + 1
+        _STATE_DIMS_CACHE[key] = (int(row.u), int(row.t), horizon_h)
+    return _STATE_DIMS_CACHE[key]
 
 
 # Phase-2 slice of the checkpoint-recovery replay: ~1% of events,

@@ -31,26 +31,82 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     result once the stream is drained (complete mode, no late data
     beyond watermark in a replay)."""
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
-    got = run_available_now(stream, "t_tumbling", output_mode="complete").toPandas()
+    got = run_available_now(
+        stream, "t_tumbling", output_mode="complete", state_rows_bound=100_000
+    ).toPandas()
     batch = events_tumbling_1h(spark, sf_dir).drop("n_users").toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(batch))
 
 
 def test_sliding_stream_equals_batch(spark, sf_dir):
     stream = sliding_counts(read_events_stream(spark, sf_dir))
-    got = run_available_now(stream, "t_sliding", output_mode="complete").toPandas()
+    got = run_available_now(
+        stream, "t_sliding", output_mode="complete", state_rows_bound=100_000
+    ).toPandas()
     batch = load_all()["events_sliding_1h_30m"].builder(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(canon(got), canon(batch))
 
 
 def test_session_windows(spark, sf_dir):
     stream = session_window_stats(read_events_stream(spark, sf_dir))
-    got = run_available_now(stream, "t_sessions", output_mode="complete").toPandas()
+    got = run_available_now(
+        stream, "t_sessions", output_mode="complete", state_rows_bound=100_000
+    ).toPandas()
     assert len(got) > 0
     # session bounds are ordered and grouped per user
     assert (got["session_start"] <= got["session_end"]).all()
     # every event lands in exactly one session
     assert got["n_events"].sum() == 1000 * (0.001 / 0.001)  # sf0.001: 1000 events
+
+
+def test_memory_sink_requires_and_enforces_state_bound(spark, sf_dir):
+    """The memory-sink replay harness contract (r9 verdict item 6):
+    complete/update-mode replays must DECLARE a state-sized row bound,
+    and a replay whose materialized output exceeds its declared bound
+    raises instead of silently collecting stream-sized output into the
+    driver (the scale-killer class the append path eliminated in r9).
+    """
+    import pytest
+
+    # missing bound: rejected before the query even starts
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    with pytest.raises(ValueError, match="state_rows_bound"):
+        run_available_now(stream, "t_nobound", output_mode="complete")
+
+    # violated bound: the drain raises loudly
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    with pytest.raises(RuntimeError, match="state bound"):
+        run_available_now(
+            stream, "t_tinybound", output_mode="complete", state_rows_bound=1
+        )
+
+
+def test_registered_memory_sink_replays_fit_declared_bounds(spark, sf_dir):
+    """Both complete/update-mode registered entries the r9 verdict
+    flagged drain INSIDE their declared a-priori state bounds — the
+    bound is computed from fixture key dimensions in the builder, and
+    run_available_now raises on violation, so a green drain here IS
+    the bound assertion."""
+    reg = load_all()
+    for name in ("streaming_session_windows", "streaming_stateful_user_totals"):
+        assert reg[name].builder(spark, sf_dir).count() > 0
+
+
+def test_replay_result_survives_rerun(spark, sf_dir):
+    """ADVICE r9: a replay's returned DataFrame must stay collectable
+    after a later replay of the SAME query name (each replay sinks to
+    a fresh per-session directory; nothing rmtree's live data)."""
+    first = run_available_now(
+        streaming_dedup(read_events_stream(spark, sf_dir)), "t_rerun"
+    )
+    n_first = first.count()
+    second = run_available_now(
+        streaming_dedup(read_events_stream(spark, sf_dir)), "t_rerun"
+    )
+    assert second.count() == n_first
+    # the first result is still fully readable — its files were not
+    # deleted by the rerun
+    assert first.count() == n_first
 
 
 def test_streaming_dedup_is_noop_on_unique_ids(spark, sf_dir):

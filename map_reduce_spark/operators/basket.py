@@ -43,6 +43,13 @@ from map_reduce_spark.sources import load_table
 
 MIN_PAIR_ORDERS = 3  # a-priori support floor
 
+# Percentage-support floor for the brand-grain rules entry: a pair is
+# reported iff it co-occurs in >= 1% of baskets, spelled as the
+# PURE-INTEGER predicate 100 * n_ab >= n so both engines evaluate the
+# boundary identically (0.01 * n is not exact in binary; an integer
+# cross-multiply is).
+MIN_SUPPORT_PCT_DEN = 100
+
 # FP-growth regime cap on the frequent-item list (see
 # basket_fpgrowth_rules): above it the catalog is effectively
 # unbounded relative to the support floor, FP-trees stop compressing,
@@ -321,5 +328,224 @@ def basket_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "pa BIGINT, pb BIGINT, n_both BIGINT NOT NULL, support DOUBLE, "
         "confidence_a_to_b DOUBLE, lift DOUBLE",
+        build,
+    )
+
+
+_BRAND_ORACLE = f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT o) AS n FROM ob),
+    item AS (SELECT b, count(*) AS n_b FROM ob GROUP BY b),
+    pairs AS (
+        SELECT a.b AS ba, c.b AS bb, count(*) AS n_ab
+        FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+        GROUP BY a.b, c.b
+    )
+    SELECT ba AS brand_a, bb AS brand_b,
+           CAST(n_ab AS BIGINT) AS n_both,
+           round(n_ab * 1.0 / n, 6) AS support,
+           round(n_ab * 1.0 / ia.n_b, 6) AS confidence_a_to_b,
+           round(n_ab * 1.0 * n / (ia.n_b * ib.n_b), 6) AS lift
+    FROM pairs
+    JOIN item ia ON ia.b = ba
+    JOIN item ib ON ib.b = bb
+    CROSS JOIN n_orders
+    WHERE n_ab * {MIN_SUPPORT_PCT_DEN} >= n
+    ORDER BY brand_a, brand_b
+"""
+
+
+# Bitmask fast path applies while the co-purchase vocabulary fits the
+# bit lanes of one BIGINT (sign bit and headroom left alone).
+BRAND_BITMASK_MAX_ITEMS = 60
+# part-dimension broadcast gate for the enrich join (parquet-footer
+# metadata read, builder stays cheap): ~4M (key, brand) rows is
+# ~100 MB of hash relation — fine to ship; past it the plain partkey
+# shuffle join parallelizes the enrich instead.
+PART_BROADCAST_MAX_ROWS = 4_000_000
+
+
+@register("basket_brand_rules_pct", oracle_sql=_BRAND_ORACLE)
+def basket_brand_rules_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules at BRAND grain under a PERCENTAGE support
+    floor (pair in >= 1% of baskets): which brands co-sell — the
+    recommender "top rules" query shape (r9 verdict item 3: the
+    percentage-support variant with bounded rule output, registered
+    on the fixture's own concentrated co-purchase regime).
+
+    Why this is the CONCENTRATED regime on fixture-native attributes:
+    the uniform part catalog defeats map-side combining at part grain
+    (every pair unique — the measured 5.75x residual on
+    basket_part_association at sf10), but the catalog's 25 p_brand
+    values concentrate the same baskets into a bounded vocabulary:
+    the rule table is <= C(25,2) rows at ANY corpus size and the only
+    corpus-sized work is the catalog enrich join plus one per-order
+    aggregate. That is the shape a 100 TB co-purchase dashboard runs.
+
+    PLAN (bitmask two-level aggregate, r10-measured): with the
+    vocabulary <= BRAND_BITMASK_MAX_ITEMS, each order's brand SET is
+    one BIGINT bit_or mask — a fully map-side-combining 8-byte
+    aggregate replacing collect_set's string arrays; the second
+    aggregate counts orders per DISTINCT mask (55k masks at sf10 vs
+    15M orders), and pairs/item counts explode from the mask table
+    (mask-grain, corpus-size-independent) weighted by the mask
+    counts. Measured at sf10: 10.0 s total vs DuckDB's 8.21 s on the
+    same rules (1.22x) — against 14.9 s for the collect_set basket
+    build ALONE, and 38 s for FPGrowth.fit on the same baskets. The
+    r9 FP-growth negative result extends here: at a 25-item
+    vocabulary even the percentage regime is a pure counting problem
+    and the sketch-style aggregate beats tree mining outright; a
+    wider-than-64-item vocabulary falls back to the array-pair plan
+    (same contract, same oracle).
+
+    DEFERRED: the brand vocabulary (a bounded dimension collect, the
+    BPE-vocab/centroid sanction) and the basket total are actions.
+    All counts are exact integers; the support floor is the
+    pure-integer predicate 100 * n_ab >= n stated identically in the
+    DuckDB oracle, so the entry is hash-gated.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+    from map_reduce_spark.sources import parquet_num_rows
+
+    def build() -> DataFrame:
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand"
+        )
+        brands = sorted(
+            r[0] for r in part.select("p_brand").distinct().collect()
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o"), "l_partkey"
+        )
+        part_side = (
+            F.broadcast(part)
+            if parquet_num_rows(f"{sf_dir}/part.parquet")
+            <= PART_BROADCAST_MAX_ROWS
+            else part
+        )
+        enriched = lineitem.join(
+            part_side, F.col("l_partkey") == F.col("p_partkey")
+        )
+
+        if len(brands) > BRAND_BITMASK_MAX_ITEMS:
+            # generic vocabulary: array-pair plan at brand grain (the
+            # packed-pair shape minus packing — brands are strings)
+            baskets = transient_persist(
+                enriched.groupBy("o").agg(
+                    F.array_sort(F.collect_set("p_brand")).alias("bs")
+                )
+            )
+            n_orders = baskets.count()
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("bs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("bs"), i + 2, F.size(F.col("bs"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("c")),
+                    ),
+                )
+            )
+            pairs = (
+                baskets.select(F.explode(pair_arr).alias("p"))
+                .groupBy(
+                    F.col("p.a").alias("brand_a"),
+                    F.col("p.c").alias("brand_b"),
+                )
+                .agg(F.count(F.lit(1)).alias("n_ab"))
+                .filter(
+                    F.col("n_ab") * MIN_SUPPORT_PCT_DEN >= F.lit(n_orders)
+                )
+            )
+            items = (
+                baskets.select(F.explode("bs").alias("b"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("n_b"))
+            )
+        else:
+            # bitmask fast path (see docstring)
+            idx_map = F.create_map(
+                *[
+                    y
+                    for i, b in enumerate(brands)
+                    for y in (F.lit(b), F.lit(i))
+                ]
+            )
+            masks = (
+                enriched.select("o", idx_map[F.col("p_brand")].alias("i"))
+                .groupBy("o")
+                .agg(
+                    F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").alias(
+                        "m"
+                    )
+                )
+            )
+            mask_counts = transient_persist(
+                masks.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            n_orders = mask_counts.agg(F.sum("cnt")).first()[0]
+            pos = F.expr(
+                f"filter(sequence(0, {len(brands) - 1}),"
+                " i -> ((m >> i) & 1) = 1)"
+            )
+            pair_arr = F.flatten(
+                F.transform(
+                    pos,
+                    lambda x, i: F.transform(
+                        F.slice(pos, i + 2, F.size(pos)),
+                        lambda y: F.struct(x.alias("a"), y.alias("c")),
+                    ),
+                )
+            )
+            brand_arr = F.array(*[F.lit(b) for b in brands])
+            pairs = (
+                mask_counts.select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p.a", "p.c")
+                .agg(F.sum("cnt").alias("n_ab"))
+                .filter(
+                    F.col("n_ab") * MIN_SUPPORT_PCT_DEN >= F.lit(n_orders)
+                )
+                .select(
+                    brand_arr[F.col("a")].alias("brand_a"),
+                    brand_arr[F.col("c")].alias("brand_b"),
+                    "n_ab",
+                )
+            )
+            items = (
+                mask_counts.select(F.explode(pos).alias("i"), "cnt")
+                .groupBy("i")
+                .agg(F.sum("cnt").alias("n_b"))
+                .select(brand_arr[F.col("i")].alias("b"), "n_b")
+            )
+
+        ia = items.select(F.col("b").alias("ia_b"), F.col("n_b").alias("n_a"))
+        ib = items.select(F.col("b").alias("ib_b"), F.col("n_b").alias("n_b2"))
+        return (
+            pairs.join(F.broadcast(ia), F.col("brand_a") == F.col("ia_b"))
+            .join(F.broadcast(ib), F.col("brand_b") == F.col("ib_b"))
+            .withColumn("n", F.lit(n_orders))
+            .select(
+                "brand_a",
+                "brand_b",
+                F.col("n_ab").alias("n_both"),
+                F.round(F.col("n_ab") * 1.0 / F.col("n"), 6).alias("support"),
+                F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias(
+                    "confidence_a_to_b"
+                ),
+                F.round(
+                    F.col("n_ab") * 1.0 * F.col("n")
+                    / (F.col("n_a") * F.col("n_b2")),
+                    6,
+                ).alias("lift"),
+            )
+            .orderBy("brand_a", "brand_b")
+        )
+
+    return deferred(
+        spark,
+        "brand_a STRING, brand_b STRING, n_both BIGINT NOT NULL, "
+        "support DOUBLE, confidence_a_to_b DOUBLE, lift DOUBLE",
         build,
     )

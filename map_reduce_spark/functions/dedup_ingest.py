@@ -58,11 +58,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from map_reduce_spark.functions.dedup import (
+    _SHINGLE_PREFIX_SQL,
     JACCARD_THRESHOLD,
     SHINGLE_DF_CAP,
     shingles_col,
 )
 from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.registry import register
+from map_reduce_spark.sources import load_spread, session_cached
 
 
 def _doc_sh(docs: DataFrame) -> DataFrame:
@@ -315,3 +318,151 @@ class DedupIngestIndex:
             .drop("batch_seq")
             .orderBy("doc_id")
         )
+
+
+# ---------------------------------------------------------------------------
+# Registered fixed-epoch ingest run (r9 verdict item 5): the ingest
+# loop on the driver's hash gate.
+# ---------------------------------------------------------------------------
+#
+# Epoch schedule over the documents fixture, by doc_id % 8 (disjoint,
+# deterministic, fixture-independent):
+#   bootstrap corpus : doc_id % 8 NOT IN (1, 3, 5)   (~5/8 of docs)
+#   batch 0          : doc_id % 8 = 1
+#   batch 1          : doc_id % 8 = 3
+#   batch 2          : doc_id % 8 = 5
+# Each batch is probed against the index AS OF its epoch (bootstrap
+# plus all earlier batches) and then folded in — so batch 1 can match
+# batch 0's documents, which is precisely the maintained-state
+# semantics a single self-contained plan cannot express and the
+# reason this entry runs the real DedupIngestIndex loop.
+_EPOCH_MODS = (1, 3, 5)
+
+
+def _epoch_block(k: int) -> str:
+    """One epoch's verdict CTE chain (DuckDB): the incremental-dedup
+    oracle of dedup.py parameterized by epoch membership. The
+    existing side at epoch k is everything except this and later
+    batches' residues."""
+    later = ", ".join(str(m) for m in _EPOCH_MODS[k:])
+    inc = _EPOCH_MODS[k]
+    return f"""
+    exact{k} AS (
+        SELECT i.doc_id, min(e.doc_id) AS exact_match
+        FROM fp i JOIN fp e ON i.f = e.f AND e.doc_id % 8 NOT IN ({later})
+        WHERE i.doc_id % 8 = {inc} GROUP BY i.doc_id),
+    hot{k} AS (
+        SELECT sh FROM shingles WHERE doc_id % 8 NOT IN ({later})
+        GROUP BY sh HAVING count(*) > {SHINGLE_DF_CAP}),
+    rare{k} AS MATERIALIZED (
+        SELECT doc_id, sh FROM shingles
+        WHERE sh NOT IN (SELECT sh FROM hot{k})),
+    sizes{k} AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n FROM rare{k} GROUP BY doc_id),
+    common{k} AS (
+        SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc, count(*) AS n_common
+        FROM rare{k} i JOIN rare{k} e ON i.sh = e.sh
+        WHERE i.doc_id % 8 = {inc} AND e.doc_id % 8 NOT IN ({later})
+        GROUP BY 1, 2),
+    near{k} AS (
+        SELECT inc_doc, ex_doc,
+               round(n_common * 1.0 / (si.n + se.n - n_common), 6) AS jaccard
+        FROM common{k}
+        JOIN sizes{k} si ON si.doc_id = inc_doc
+        JOIN sizes{k} se ON se.doc_id = ex_doc
+        WHERE n_common * 1.0 / (si.n + se.n - n_common)
+              >= {JACCARD_THRESHOLD}),
+    best{k} AS (
+        SELECT inc_doc, ex_doc, jaccard FROM near{k}
+        QUALIFY row_number() OVER (PARTITION BY inc_doc
+                                   ORDER BY jaccard DESC, ex_doc ASC) = 1)"""
+
+
+def _epoch_select(k: int) -> str:
+    inc = _EPOCH_MODS[k]
+    return f"""
+    SELECT CAST({k} AS BIGINT) AS batch_seq, i.doc_id,
+           CASE WHEN x.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN b.ex_doc IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           coalesce(x.exact_match, b.ex_doc) AS match_doc,
+           CASE WHEN x.exact_match IS NULL THEN b.jaccard END AS jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 8 = {inc}) i
+    LEFT JOIN exact{k} x ON x.doc_id = i.doc_id
+    LEFT JOIN best{k} b ON b.inc_doc = i.doc_id"""
+
+
+_INGEST_EPOCHS_SQL = (
+    _SHINGLE_PREFIX_SQL
+    + """,
+    fp AS MATERIALIZED (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),"""
+    + ",".join(_epoch_block(k) for k in range(len(_EPOCH_MODS)))
+    + " UNION ALL ".join(_epoch_select(k) for k in range(len(_EPOCH_MODS)))
+    + "\n    ORDER BY batch_seq, doc_id"
+)
+
+
+@session_cached
+def _ingest_epoch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the fixed-epoch ingest loop once per (session, corpus)
+    and return the full verdict log (batch_seq, doc_id, verdict,
+    match_doc, jaccard). Session-cached like the streaming replays —
+    one bootstrap + three ingests serve the gate, the bench, and
+    audits alike."""
+    import hashlib
+
+    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:10]
+    idx = DedupIngestIndex(spark, f"ingest_epochs_{key}")
+    residue = F.col("doc_id") % 8
+    idx.bootstrap(docs.filter(~residue.isin(*_EPOCH_MODS)))
+    for seq, m in enumerate(_EPOCH_MODS):
+        idx.ingest(docs.filter(residue == m))
+    return (
+        spark.table(idx.verd_t)
+        .select("batch_seq", "doc_id", "verdict", "match_doc", "jaccard")
+        .orderBy("batch_seq", "doc_id")
+    )
+
+
+@register("dedup_ingest_epochs", oracle_sql=_INGEST_EPOCHS_SQL)
+def dedup_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-index ingest loop as a driver-gated query (r9
+    verdict item 5): bootstrap the bucketed fingerprint / postings /
+    df-partial indexes on ~5/8 of the corpus, then ingest three fixed
+    micro-batches in sequence — each probed against the index AS OF
+    its epoch (so later batches can match earlier batches' documents,
+    the genuinely stateful semantics no single lazy plan expresses),
+    each folded into the index afterwards. Returns the durable
+    verdict log: (batch_seq, doc_id, verdict, match_doc, jaccard).
+
+    The DuckDB oracle recomputes every epoch's verdicts from the
+    merged corpus with the incremental-dedup SQL parameterized by
+    epoch membership — equality holds ONLY if the maintained index
+    tracked exactly the right state at every step (no batch seeing
+    itself, no stale df, no lost appends), which is what puts the
+    ingest loop on the hash gate rather than pytest alone (the same
+    sanction that promoted the streaming checkpoint-recovery replay).
+
+    DEFERRED + session-cached: the loop materializes verdicts before
+    each append by necessity (see DedupIngestIndex.ingest); one run
+    per (session, corpus). Scale: per-batch cost decomposition and
+    the 6.3-11x-over-rebuild sf10 measurement are in the module
+    docstring / INGEST_LADDER_SF10_r09.json; the epochs here are
+    batch-sized slices of the same machinery, so the entry's cost is
+    one bootstrap (corpus-sized, the cost the rebuild query pays
+    EVERY time) plus three batch-proportional probes.
+    """
+    from map_reduce_spark.plans.deferred import deferred
+
+    return deferred(
+        spark,
+        "batch_seq BIGINT NOT NULL, doc_id BIGINT, verdict STRING, "
+        "match_doc BIGINT, jaccard DOUBLE",
+        lambda: _ingest_epoch_run(spark, sf_dir),
+    )

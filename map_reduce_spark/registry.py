@@ -87,104 +87,99 @@ def register(name: str, oracle_sql: str | None = None):
 # a brand-new entry may wait ONE round in the tail under the local
 # gate and is promoted at the next rotation.
 #
-# r9 rotation — executing the plan the r8 comment published BY NAME
-# (r8 verdict item 1), plus the steady-state refresh resuming:
+# r10 rotation — the steady-state staleness refresh running to
+# completion (r9 verdict item 1). Evidence ages recomputed directly
+# from the CORRECTNESS_r0*.json artifacts against the live registry:
+# 23 entries carry r5 evidence, 7 carry r6, nothing older (the r1-era
+# artifact keys that look stale were renamed away in the r2
+# consolidation). This window refreshes everything with pre-r7
+# evidence and starts on the r7 tier:
 #
-# - (a) builders new or changed in r9: graph_triangle_count (deferred
-#   measured-edge-count regime gate, ADVICE r8), basket_fpgrowth_rules
-#   (NEW — parallel FP-growth twin of basket_part_association, same
-#   oracle; r8 verdict item 3a), dedup_semdedup_embeddings (skew-guard
-#   split telemetry, r8 verdict item 6).
-# - (b) the five scheduled waiters getting their FIRST driver row —
-#   doc_zipf_fit, events_entropy_profile, part_supplier_hhi,
-#   q16ish_supplier_part_relationships, events_forecast_linear. After
-#   this window, ZERO registered queries have never been
-#   driver-checked.
-# - (b) the ten standing rows-only entries rotating back in after
-#   their one-round capacity-amendment wait (dedup_simhash_pairs,
-#   sim_knn_lsh/ivf/pq/ivfpq, agg_approx_distinct,
-#   approx_quantiles_value, media_feature_stats, media_resize_images,
-#   media_sample_frames) — rows-only entries ride the window whenever
-#   capacity allows because a driver row is their only external
-#   evidence.
+# - (a) builders NEW or CHANGED in r10, must (re-)verify: the
+#   retrieval trio (candidate-postings cap + join re-orientation,
+#   RETRIEVAL_TRIO_SF_r10.json), basket_brand_rules_pct (NEW —
+#   percentage-support brand rules, BASKET_BRAND_PCT_r10.json),
+#   dedup_ingest_epochs (NEW — the maintained-index ingest loop on
+#   the gate, r9 verdict item 5), the five memory-sink streaming
+#   replays (state_rows_bound contract — a wrong bound now RAISES,
+#   which is exactly what the driver window exists to surface), and
+#   agg_heavy_hitters (probe threshold now scaled by the sampled
+#   fraction, ADVICE r9 — the regime choice could flip).
 # - (c) q1_pricing_summary, the cross-round fixture-drift sentinel.
-# - STALENESS REFRESH (the steady-state policy now that the waiter
-#   backlog is drained): the remaining 31 slots go to the entries
-#   with the OLDEST driver evidence — all 21 whose last row is from
-#   r4 (the relational/window/scalar tier promoted that round) and
-#   the 10 alphabetically-first of the r5 cohort. Every other
-#   registered query is r5+-driver-green on unchanged builders and
-#   remains under the local sf0.01 oracle gate every round.
+# - (a, mechanical) the three append-mode replay entries
+#   (streaming_dedup_exactly_once, streaming_error_click_join,
+#   streaming_left_outer_join): fresh per-session sink dirs — no
+#   semantic change, but the sink path is new code, so they take
+#   three of the window's free slots.
+# - STALENESS REFRESH, oldest first: the full remaining r5 cohort
+#   (23) and the full r6 tier (7). After this window the oldest
+#   driver evidence anywhere in the registry is r7 — beating the
+#   verdict's >= r6 target — and the 5 remaining slots give the
+#   alphabetical head of the r7 tier its refresh a round early.
 #
-# Net registry growth this round: +1 (basket_fpgrowth_rules) — within
-# the <= 5 budget the r8 verdict set (item 7). The maintained-index
-# incremental dedup (functions/dedup_ingest.py, verdict item 5) is
-# builder-exported + pytest-differential rather than registered: its
-# ingest loop is stateful across batches, so a single lazy
-# QuerySpec cannot express it (same reasoning as the compat MR jobs).
+# 1 + 11 + 3 + 23 + 7 + 5 = 50 exactly.
+#
+# Net registry growth this round: +2 (basket_brand_rules_pct,
+# dedup_ingest_epochs) — both r9-verdict deliverables, within the
+# <= 5 budget.
 _CHECK_FIRST = [
     # (c) fixture-drift sentinel (decimal/date lineitem surface)
     "q1_pricing_summary",
     # (a) new or changed builders — must (re-)verify
-    "graph_triangle_count",  # r9: deferred measured-edge regime gate
-    "basket_fpgrowth_rules",  # r9: NEW — PFP twin, same oracle
-    "dedup_semdedup_embeddings",  # r9: split telemetry wired
-    # (a) r9 determinism fixes — (ts, event_id) tiebreaks replacing
-    # bare-ts window orders whose timestamp ties were legally
-    # reorderable in BOTH engines (builder + oracle changed together)
-    "events_peak_concurrency",
-    "scd2_user_state_history",
-    "scd2_point_in_time_join",
-    # (b) first-ever driver rows — the named r8 schedule
-    "doc_zipf_fit",
-    "events_entropy_profile",
-    "part_supplier_hhi",
-    "q16ish_supplier_part_relationships",
-    "events_forecast_linear",
-    # (b) standing rows-only entries rotating back in
-    "dedup_simhash_pairs",
-    "sim_knn_lsh",
-    "sim_knn_ivf",
-    "sim_knn_pq",
-    "sim_knn_ivfpq",
-    "agg_approx_distinct",
-    "approx_quantiles_value",
-    "media_feature_stats",
-    "media_resize_images",
-    "media_sample_frames",
-    # staleness refresh: the full r4 cohort (last driver row 5 rounds
-    # old — relational / window / scalar / funnel tier)
-    "agg_distinct_parts_per_supplier",
-    "agg_mode_and_stddev",
-    "events_type_funnel",
-    "latest_event_per_user",
-    "pivot_native_qty",
-    "q10_returned_items",
-    "q12ish_shipmode_buckets",
-    "q14_promo_effect",
-    "q2ish_cheapest_supplier_per_part",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "regexp_part_type_extract",
-    "scalar_date_functions",
-    "sim_knn_bruteforce",
-    "sql_correlated_exists",
-    "topk_orders_by_price",
-    "udaf_mad_quantity",
-    "window_lag_order_gap_days",
-    "window_running_customer_spend",
-    "window_topn_orders_per_customer",
-    # staleness refresh: first 7 of the r5 cohort (3 slots ceded to
-    # the determinism-fix re-verifications above; the rest of the r5
-    # cohort refreshes in r10 under the steady-state rotation)
-    "agg_exact_percentiles",
-    "asof_error_after_signup",
-    "dedup_embedding_lsh",
-    "dedup_jaccard_df_capped",
-    "doc_bigram_logprob",
-    "doc_bigram_topk",
-    "doc_curation_manifest",
+    "rag_chunk_tfidf_search",  # r10: postings cap + plan re-orientation
+    "rag_bm25_search",  # r10: same
+    "rag_rrf_fusion_search",  # r10: composes both
+    "basket_brand_rules_pct",  # r10: NEW — pct-support brand rules
+    "dedup_ingest_epochs",  # r10: NEW — maintained-index ingest loop
+    "streaming_tumbling_type_counts",  # r10: state_rows_bound contract
+    "streaming_sliding_counts",
+    "streaming_session_windows",
+    "streaming_stateful_user_totals",
+    "streaming_enrich_static",
+    "agg_heavy_hitters",  # r10: fraction-scaled probe gate
+    # (a, mechanical) append-mode replays on the new per-session sink
+    # path
+    "streaming_dedup_exactly_once",
+    "streaming_error_click_join",
+    "streaming_left_outer_join",
+    # early r7-tier refresh (alphabetical head, 5 free slots)
+    "agg_rollup_returnflag",
+    "dedup_cluster_keep_best",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_lsh_hi",
+    "dedup_exact",
+    # staleness refresh: the remaining r5 cohort
+    "doc_inverted_index",
+    "doc_length_buckets",
+    "doc_repetition_stats",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "doc_weighted_sample",
+    "events_props_from_json",
+    "events_retention_cohorts",
+    "events_sliding_1h_30m",
+    "join_outer_order_fill",
+    "join_salted_customer_orders",
+    "mr_concat_sorted_values",
+    "null_handling_acctbal",
+    "q18ish_large_volume_customers",
+    "q4ish_priority_order_counts",
+    "range_join_value_buckets",
+    "sessionize_user_events",
+    "setop_nation_coverage",
+    "sim_centroids_by_label",
+    "sql_cte_top_customers",
+    "udaf_supplier_quantity_stats",
+    "window_rank_dense_ntile",
+    # staleness refresh: the r6 tier (TPC-H adaptation batch)
+    "q13ish_order_count_distribution",
+    "q15ish_top_revenue_supplier",
+    "q17ish_small_quantity_revenue",
+    "q19ish_disjunctive_revenue",
+    "q7ish_nation_trade_volume",
+    "q8ish_market_share",
+    "q9ish_product_profit",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this

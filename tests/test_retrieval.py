@@ -167,3 +167,33 @@ def test_bm25_impacts_positive_and_index_cached(spark, sf_dir):
     a = chunk_bm25_index(spark, sf_dir)
     assert a is chunk_bm25_index(spark, sf_dir)
     assert a.filter("bm <= 0").count() == 0
+
+
+def test_cands_broadcast_regime_agg_and_topk_are_exchange_free(
+    spark, sf_dir, monkeypatch
+):
+    """The large-probe regime (r10): with the probe side pre-
+    partitioned by probe_uid and the pruned candidate frame broadcast,
+    the (probe, cand) score aggregate and the per-probe top-k window
+    must add NO further hash exchange — the pair stream is born
+    partitioned by a grouping-key subset, which is the property that
+    kept the sf10 aggregate out of 6.5 GB of spilled hash state.
+    Pinned by asserting no ENSURE_REQUIREMENTS hash exchange mentions
+    the aggregate keys (the only hash exchange allowed is the
+    explicit REPARTITION_BY_NUM of the tiny probe side)."""
+    import re
+
+    import map_reduce_spark.functions.retrieval as R
+    from map_reduce_spark.plans.explain import physical_plan
+
+    monkeypatch.setattr(R, "PROBE_BROADCAST_MAX_DOCS", 0)
+    plan = physical_plan(R._tfidf_search(spark, sf_dir, R.PROBE_DOC_MOD))
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "ENSURE_REQUIREMENTS" in line
+        and re.search(r"probe_uid#\d+L?, (chunk_uid|cand_uid)", line)
+    ]
+    assert not bad, f"score aggregate re-shuffled the pair stream: {bad}"
+    assert "BroadcastHashJoin" in plan  # cands side broadcast

@@ -227,7 +227,10 @@ def _verify_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
 #     Gopher-style dedup pipelines drop them for the same reason.
 SHINGLE_DF_CAP = 20
 
-_JACCARD_CAPPED_SQL = (
+# Capped common/sizes CTE chain — shared by the capped pair query and
+# (r10) the cluster-resolution oracles, whose contract input is now
+# the DF-capped pair graph (see jaccard_pair_index).
+_JACCARD_CAPPED_PREFIX_SQL = (
     _SHINGLE_PREFIX_SQL
     + f""",
     rare AS MATERIALIZED (
@@ -237,7 +240,12 @@ _JACCARD_CAPPED_SQL = (
     common AS MATERIALIZED (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
         FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+)
+
+_JACCARD_CAPPED_SQL = (
+    _JACCARD_CAPPED_PREFIX_SQL
+    + f"""
     SELECT doc_a, doc_b,
            round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
     FROM common
@@ -310,12 +318,23 @@ def jaccard_pair_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted per (session, corpus) via ``session_cached``.
 
     The pair set is the second derived INDEX of the dedup family (the
-    shingle table being the first): the pairs query emits it, and the
-    duplicate-cluster query consumes it as its edge list. Persisting
-    keeps the cluster query's cost proportional to the (tiny) pair
-    graph instead of re-running the shingle inverted-index join.
+    shingle table being the first): the duplicate-cluster and
+    keep-best queries consume it as their edge list. Persisting keeps
+    the cluster queries' cost proportional to the (tiny) pair graph
+    instead of re-running the shingle inverted-index join.
+
+    r10: the index is the DF-CAPPED verified pair set — the
+    production cluster-resolution input the r9 sweep priced (57 s vs
+    891 s for the uncapped exact graph at sf10; the uncapped build
+    also grinds a default 16 GB heap, which single-handedly sank the
+    first single-session sf10 sweep attempt). The cluster oracles
+    state the same capped space, so the contract is exact at every
+    scale, and on this fixture the capped and uncapped pair sets are
+    equal anyway (pinned in tests/test_dedup.py). The uncapped exact
+    query stays registered as its own baseline contract
+    (dedup_ngram_jaccard_pairs).
     """
-    return dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_jaccard_df_capped(spark, sf_dir).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +623,10 @@ _CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 
 def _cc_labels_cte() -> tuple[str, str]:
     """(chained-CTE prefix, final-labels CTE name) for unrolled
-    min-label propagation over the exact Jaccard pair graph.
+    min-label propagation over the DF-CAPPED exact Jaccard pair graph
+    (r10: the cluster contract's edge input is the capped pair index —
+    see ``jaccard_pair_index`` — and the oracle states the same capped
+    space, so the contract is exact by construction at every scale).
 
     DuckDB's recursive CTEs restrict aggregates in the recursive arm,
     so the fixed CC_MAX_ITERS rounds are unrolled as chained CTEs — the
@@ -612,7 +634,7 @@ def _cc_labels_cte() -> tuple[str, str]:
     cluster-resolution and keep-best oracles.
     """
     sql = (
-        _SHINGLE_SQL
+        _JACCARD_CAPPED_PREFIX_SQL
         + f""",
     pairs AS MATERIALIZED (
         SELECT doc_a, doc_b
@@ -757,11 +779,12 @@ def _min_label_propagation(
 
 @session_cached
 def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lbl) component labels of the exact-Jaccard near-dup
-    pair graph, session-cached — the cluster-resolution and keep-best
-    queries both consume it, so the fixpoint loop runs once per
-    (session, corpus). The loop itself (and its scale notes) lives in
-    ``_min_label_propagation``."""
+    """(doc_id, lbl) component labels of the DF-capped exact-Jaccard
+    near-dup pair graph (see ``jaccard_pair_index`` for the r10
+    capped-contract rationale), session-cached — the
+    cluster-resolution and keep-best queries both consume it, so the
+    fixpoint loop runs once per (session, corpus). The loop itself
+    (and its scale notes) lives in ``_min_label_propagation``."""
     return _min_label_propagation(
         spark, jaccard_pair_index(spark, sf_dir), "doc_a", "doc_b"
     )
@@ -770,8 +793,8 @@ def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate-cluster resolution: connected components of
-    the exact-Jaccard near-dup pair graph (``cc_labels``), then one
-    keeper (min doc_id) per component.
+    the DF-capped exact-Jaccard near-dup pair graph (``cc_labels``),
+    then one keeper (min doc_id) per component.
 
     Pairwise dedup alone under-deletes: if A~B and B~C but A!~C, the
     min-id pair rule keeps A and C. Training pipelines resolve the

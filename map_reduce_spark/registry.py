@@ -142,7 +142,11 @@ _CHECK_FIRST = [
     "streaming_dedup_exactly_once",
     "streaming_error_click_join",
     "streaming_left_outer_join",
-    # early r7-tier refresh (alphabetical head, 5 free slots)
+    # early r7-tier refresh (alphabetical head, 5 free slots); the two
+    # cluster entries ALSO changed builders in r10 — their edge input
+    # is now the DF-capped pair index with the oracle stating the same
+    # capped space (see jaccard_pair_index) — so their slot is (a),
+    # not just staleness
     "agg_rollup_returnflag",
     "dedup_cluster_keep_best",
     "dedup_duplicate_clusters",

@@ -636,12 +636,23 @@ def _cc_labels_cte() -> tuple[str, str]:
     sql = (
         _JACCARD_CAPPED_PREFIX_SQL
         + f""",
+    cc_fp AS MATERIALIZED (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+    cc_fpg AS (
+        SELECT f, min(doc_id) AS root FROM cc_fp
+        GROUP BY f HAVING count(*) > 1),
     pairs AS MATERIALIZED (
         SELECT doc_a, doc_b
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+        UNION ALL
+        SELECT g.root AS doc_a, p.doc_id AS doc_b
+        FROM cc_fp p JOIN cc_fpg g ON p.f = g.f
+        WHERE p.doc_id <> g.root),
     edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
@@ -779,15 +790,49 @@ def _min_label_propagation(
 
 @session_cached
 def cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lbl) component labels of the DF-capped exact-Jaccard
-    near-dup pair graph (see ``jaccard_pair_index`` for the r10
-    capped-contract rationale), session-cached — the
-    cluster-resolution and keep-best queries both consume it, so the
-    fixpoint loop runs once per (session, corpus). The loop itself
-    (and its scale notes) lives in ``_min_label_propagation``."""
-    return _min_label_propagation(
-        spark, jaccard_pair_index(spark, sf_dir), "doc_a", "doc_b"
+    """(doc_id, lbl) component labels of the cluster-resolution edge
+    graph, session-cached — the cluster-resolution and keep-best
+    queries both consume it, so the fixpoint loop runs once per
+    (session, corpus). The loop itself (and its scale notes) lives in
+    ``_min_label_propagation``.
+
+    EDGE GRAPH (r10 capped contract, see ``jaccard_pair_index``):
+    the union of
+
+    1. EXACT-duplicate star edges — one (group-min, member) edge per
+       fingerprint-group member, linear in group size (never the
+       quadratic all-pairs of a giant identical cluster). This leg is
+       what keeps a 60-copy boilerplate cluster resolving to ONE
+       keeper: its shingles all exceed SHINGLE_DF_CAP, so the capped
+       near-dup leg is structurally blind to it (caught by
+       tests/test_skew.py's giant-cluster differential when r10 first
+       switched the edge input to capped pairs alone).
+    2. the DF-CAPPED verified near-dup pairs.
+
+    This is the CCNet/Gopher pipeline order stated as one graph:
+    exact dedup by content hash first, near-dedup over the
+    informative (sub-ubiquitous) shingle space second. A >cap-sized
+    cluster of NEAR (not exact) duplicates is the one shape this
+    contract intentionally does not chain through the hot shingles —
+    the quadratic bound is exactly the point — and the oracle states
+    the same union, so the gate certifies the contract, not an
+    approximation of the uncapped one."""
+    docs = load_spread(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(norm).alias("f"))
+    groups = (
+        fp.groupBy("f")
+        .agg(F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("f", "root")
     )
+    fp_edges = (
+        fp.join(groups, "f")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    edges = jaccard_pair_index(spark, sf_dir).unionAll(fp_edges)
+    return _min_label_propagation(spark, edges, "doc_a", "doc_b")
 
 
 @register("dedup_duplicate_clusters", oracle_sql=_cc_oracle_sql())

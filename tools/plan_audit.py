@@ -88,6 +88,28 @@ AUDIT = {
         "generation, never CartesianProduct; per-pair intersection counts "
         "from a hash aggregate with map-side partial_count."
     ),
+    "rag_chunk_tfidf_search": (
+        "r10 capped retrieval: the candidate side of the inverted-index "
+        "join is the impact-pruned postings frame (<= 1000/token); probe "
+        "side broadcast at fixture scale (the large-probe regime inverts "
+        "the broadcast onto the cap-collapsed candidate frame and "
+        "pre-partitions probes by probe_uid so the (probe, cand) "
+        "aggregate + top-k window run exchange-free — pinned in "
+        "tests/test_retrieval.py)."
+    ),
+    "basket_brand_rules_pct": (
+        "bitmask two-level aggregate: lineitem -> broadcast-joined brand "
+        "index -> per-order bit_or mask (8-byte fully-combining "
+        "aggregate, partial_bit_or before the single order exchange) -> "
+        "count per distinct mask -> mask-grain pair/item explosion. "
+        "Nothing after the mask count is corpus-sized."
+    ),
+    "dedup_duplicate_clusters": (
+        "cluster edges = exact-duplicate STAR edges (fingerprint groups, "
+        "linear in group size) UNION the DF-capped verified pair index; "
+        "the fixpoint rounds shuffle only the label side against the "
+        "v-hash-partitioned persisted edges."
+    ),
     "doc_curation_manifest": (
         "end-to-end per-doc verdict: every component index joins back to "
         "documents by doc_id equi-join (hash-partitionable at corpus "

@@ -55,6 +55,16 @@ _LRU: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 
 _DEFAULT_BUDGET = 8 << 30  # 8 GiB
 
+# Never evict the N most-recently-touched entries: derived-index
+# chains (chunk_bm25_index -> chunk_bm25_cands -> chunk_bm25_probes)
+# touch their parent a call or two before the child, and an
+# over-budget enforcement during the chain would otherwise evict the
+# parent the next step is about to read — rebuild thrash inside one
+# query (the sf10 single-session sweep showed the retrieval builds
+# ~2x their solo cost from exactly this). Chains in this repo are at
+# most 3 deep; 4 leaves margin.
+_KEEP_RECENT = 4
+
 
 def _budget_bytes() -> int:
     return int(
@@ -73,10 +83,11 @@ def _enforce_budget(spark: SparkSession, keep: tuple[str, str, str]) -> None:
     budget = _budget_bytes()
     if budget <= 0:  # 0/negative disables the cache budget entirely
         return
-    while len(_LRU) > 1 and _persisted_bytes(spark) > budget:
+    protected = set(list(_LRU)[-_KEEP_RECENT:]) | {keep}
+    while len(_LRU) > len(protected) and _persisted_bytes(spark) > budget:
         victim_key = next(iter(_LRU))
-        if victim_key == keep:
-            break  # never evict the entry the caller just touched
+        if victim_key in protected:
+            break  # only the recent working set remains — stop
         victim = _LRU.pop(victim_key)
         try:
             # blocking: the loop re-measures, so the release must have

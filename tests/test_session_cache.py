@@ -1,59 +1,70 @@
 """Session-cache byte budget (r9 verdict item 4): the global LRU
 evicts cold index frames once total persisted bytes exceed the
-configured budget, and an evicted entry transparently rebuilds on the
-next request — so a single long-lived session cannot accumulate
-unbounded index caches (the sf10 whole-registry OOM class)."""
+configured budget — except the most-recently-touched working set
+(dependent index chains touch parent then child, and evicting the
+parent mid-chain is rebuild thrash, r10) — and an evicted entry
+transparently rebuilds on the next request, so a single long-lived
+session cannot accumulate unbounded index caches (the sf10
+whole-registry OOM class)."""
 
 from __future__ import annotations
 
-import os
+
+def _make_builders(spark, n, calls):
+    from map_reduce_spark.sources.cache import session_cached
+
+    builders = []
+    for i in range(n):
+        def mk(i=i):
+            def build(spark, sf_dir, _i=i):
+                calls[_i] = calls.get(_i, 0) + 1
+                return spark.range(1000).selectExpr("id", f"id * {_i + 2} AS x")
+
+            # distinct qualname BEFORE decoration — it is the cache key
+            build.__qualname__ = f"budget_probe_{i}"
+            return session_cached(build)
+
+        builders.append(mk())
+    return builders
 
 
-def test_budget_evicts_lru_and_rebuilds(spark, monkeypatch):
+def _drop_probes(prefix="/bud"):
+    from map_reduce_spark.sources.cache import _LRU
+
+    for key in [k for k in _LRU if k[1].startswith(prefix)]:
+        _LRU.pop(key).unpersist()
+
+
+def test_budget_evicts_cold_entries_and_rebuilds(spark, monkeypatch):
     monkeypatch.setenv("MRS_SESSION_CACHE_BUDGET_BYTES", "1")
-    from map_reduce_spark.sources.cache import _LRU, session_cached
+    from map_reduce_spark.sources.cache import _KEEP_RECENT, _LRU
 
-    calls = {"a": 0, "b": 0}
-
-    @session_cached
-    def build_a(spark, sf_dir):
-        calls["a"] += 1
-        return spark.range(1000).selectExpr("id", "id * 2 AS x")
-
-    @session_cached
-    def build_b(spark, sf_dir):
-        calls["b"] += 1
-        return spark.range(1000).selectExpr("id", "id * 3 AS y")
-
+    calls: dict[int, int] = {}
+    n = _KEEP_RECENT + 2  # oldest two fall outside the protected set
+    builders = _make_builders(spark, n, calls)
     try:
-        assert build_a(spark, "/bud").count() == 1000
-        assert build_b(spark, "/bud").count() == 1000
-        # budget of 1 byte: inserting b measured a's materialized
-        # bytes over budget and evicted it (b, just touched, is safe)
-        assert ("x" in [c for df in _LRU.values() for c in df.columns]) is False
+        for b in builders:
+            assert b(spark, "/bud") .count() == 1000
+        # over a 1-byte budget only the protected working set survives
+        live = [k for k in _LRU if k[1] == "/bud"]
+        assert len(live) == _KEEP_RECENT
         # evicted entry rebuilds on demand — correctness unaffected
-        assert build_a(spark, "/bud").count() == 1000
-        assert calls["a"] == 2 and calls["b"] == 1
+        assert builders[0](spark, "/bud").count() == 1000
+        assert calls[0] == 2
+        # the most recent entries were never evicted (no thrash)
+        assert calls[n - 1] == 1 and calls[n - 2] == 1
     finally:
-        for key in [k for k in _LRU if k[1] == "/bud"]:
-            _LRU.pop(key).unpersist()
+        _drop_probes()
 
 
 def test_generous_budget_keeps_entries_resident(spark, monkeypatch):
     monkeypatch.setenv("MRS_SESSION_CACHE_BUDGET_BYTES", str(8 << 30))
-    from map_reduce_spark.sources.cache import _LRU, session_cached
 
-    calls = {"n": 0}
-
-    @session_cached
-    def build(spark, sf_dir):
-        calls["n"] += 1
-        return spark.range(100).selectExpr("id")
-
+    calls: dict[int, int] = {}
+    (build,) = _make_builders(spark, 1, calls)
     try:
         build(spark, "/bud2").count()
         build(spark, "/bud2").count()
-        assert calls["n"] == 1  # memoized, no rebuild under budget
+        assert calls[0] == 1  # memoized, no rebuild under budget
     finally:
-        for key in [k for k in _LRU if k[1] == "/bud2"]:
-            _LRU.pop(key).unpersist()
+        _drop_probes("/bud2")

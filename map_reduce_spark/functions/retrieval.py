@@ -41,10 +41,17 @@ RETRIEVAL_TOP_K = 5
 # most this many CANDIDATE postings to the score join, selected by
 # per-token impact order (Anh & Moffat, "Pruned query evaluation using
 # pre-computed impacts", SIGIR'06 — Lucene's impact-sorted postings
-# are the same move). Probe vectors stay FULL — every probe still
-# scores against the pruned pool and emits its top-k — so the output
-# contract is preserved while the join cost is bounded by
-# sum_t(probe_postings(t) x min(df_t, CAP)) instead of df_t^2-shaped.
+# are the same move). Probe vectors stay FULL, so the per-probe
+# EMISSION SHAPE is preserved (every probe still emits k ranked
+# rows) — but the results are the top-k over the IMPACT-PRUNED pool,
+# which is unsafe (non-rank-preserving) pruning: where a token's
+# posting list exceeds the cap, a true top-k candidate can be
+# dropped. Recall vs the uncapped join is measured where the cap
+# binds (tests/test_retrieval.py::test_postings_cap_recall_
+# differential); the oracle mirrors the cap, so the hash gate
+# certifies the CAPPED contract, not uncapped recall. Join cost is
+# bounded by sum_t(probe_postings(t) x min(df_t, CAP)) instead of
+# df_t^2-shaped.
 # On a real Zipf corpus df_t < CAP for nearly all tokens and the
 # prune is a no-op; on the degenerate ~31-token registered fixture it
 # is the difference between sf3 ENOSPC (quadratic spill, r9) and a
@@ -387,6 +394,21 @@ def chunk_tfidf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every search core (tfidf / bm25) emits this exact shape; the RRF
+# fusion swaps score -> rrf_score. Declared so the deferred large-
+# probe regimes can serve schema walks without materializing; pinned
+# equal to the lazy-branch schema by
+# tests/test_retrieval.py::test_large_probe_regime_is_deferred.
+_SEARCH_SCHEMA = "probe_uid bigint, cand_uid bigint, score double, rank bigint"
+_RRF_SCHEMA = "probe_uid bigint, cand_uid bigint, rrf_score double, rank bigint"
+
+
+def _deferred_search(spark: SparkSession, thunk, schema: str = _SEARCH_SCHEMA):
+    from map_reduce_spark.plans.deferred import deferred
+
+    return deferred(spark, schema, thunk)
+
+
 def _tfidf_search(
     spark: SparkSession, sf_dir: str, probe_doc_mod: int
 ) -> DataFrame:
@@ -429,6 +451,41 @@ def _tfidf_search(
     # parallelism from the token partitioning on both sides. Sizing
     # is a parquet-footer metadata read, so the builder stays lazy.
     n_probe_docs = -(-parquet_num_rows(f"{sf_dir}/documents.parquet") // probe_doc_mod)
+
+    def finish(joined: DataFrame) -> DataFrame:
+        scores = (
+            joined.filter(F.col("probe_uid") != F.col("chunk_uid"))
+            .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
+            .agg(F.sum(F.col("pw") * F.col("wn")).alias("num"))
+        )
+        ranked = (
+            scores.withColumn(
+                # rank on the ROUNDED score: planted duplicate chunks
+                # give mathematically equal scores whose raw float sums
+                # can order-flip across engines; rounding first makes
+                # the cand_uid tiebreak decide identically everywhere.
+                # The normalized index makes num the cosine itself — no
+                # norm joins on the pair stream (see chunk_tfidf_index).
+                "cos_raw",
+                F.round(F.col("num"), 6),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("probe_uid").orderBy(
+                        F.desc("cos_raw"), F.asc("cand_uid")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        )
+        return ranked.select(
+            "probe_uid",
+            "cand_uid",
+            F.col("cos_raw").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        ).orderBy("probe_uid", "rank")
+
     # corpus side = the impact-pruned candidate postings (probe
     # vectors above stay full) — the bounded inverted-index join,
     # see RETRIEVAL_MAX_POSTINGS. Join orientation is three-regime
@@ -437,48 +494,33 @@ def _tfidf_search(
     # candidates (probe-partitioned pair stream, exchange-free agg +
     # window); both sides big -> token-hash shuffle join.
     if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS:
-        joined = cands.join(F.broadcast(probes), cands.token == probes.p_token)
-    elif cands.count() <= CANDS_BROADCAST_MAX_ROWS:
-        n_part = max(
-            32, -(-probes.count() * RETRIEVAL_MAX_POSTINGS // PAIRS_PER_AGG_PARTITION)
+        # the probe-load gate is a parquet-footer metadata read, so
+        # this branch — the registered-fixture regime — stays a fully
+        # lazy Catalyst plan.
+        return finish(
+            cands.join(F.broadcast(probes), cands.token == probes.p_token)
         )
-        joined = probes.repartition(n_part, "probe_uid").join(
-            F.broadcast(cands), cands.token == probes.p_token
-        )
-    else:
-        joined = cands.join(probes, cands.token == probes.p_token)
-    scores = (
-        joined.filter(F.col("probe_uid") != F.col("chunk_uid"))
-        .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
-        .agg(F.sum(F.col("pw") * F.col("wn")).alias("num"))
-    )
-    ranked = (
-        scores.withColumn(
-            # rank on the ROUNDED score: planted duplicate chunks give
-            # mathematically equal scores whose raw float sums can
-            # order-flip across engines; rounding first makes the
-            # cand_uid tiebreak decide identically everywhere. The
-            # normalized index makes num the cosine itself — no norm
-            # joins on the pair stream (see chunk_tfidf_index).
-            "cos_raw",
-            F.round(F.col("num"), 6),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("probe_uid").orderBy(
-                    F.desc("cos_raw"), F.asc("cand_uid")
-                )
-            ),
-        )
-        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
-    )
-    return ranked.select(
-        "probe_uid",
-        "cand_uid",
-        F.col("cos_raw").alias("score"),
-        F.col("rank").cast("long").alias("rank"),
-    ).orderBy("probe_uid", "rank")
+
+    # Large-probe regimes size themselves from real counts (which also
+    # force the session-cached index build), so the decision is
+    # DEFERRED (r10 ADVICE): the builder returns instantly with the
+    # declared search schema and the counts fire on first action —
+    # a plan audit or schema walk at sf10 no longer pays multi-minute
+    # index builds at construction time.
+    def build_large() -> DataFrame:
+        if cands.count() <= CANDS_BROADCAST_MAX_ROWS:
+            n_part = max(
+                32,
+                -(-probes.count() * RETRIEVAL_MAX_POSTINGS // PAIRS_PER_AGG_PARTITION),
+            )
+            joined = probes.repartition(n_part, "probe_uid").join(
+                F.broadcast(cands), cands.token == probes.p_token
+            )
+        else:
+            joined = cands.join(probes, cands.token == probes.p_token)
+        return finish(joined)
+
+    return _deferred_search(spark, build_large)
 
 
 # --- BM25 ------------------------------------------------------------
@@ -692,38 +734,52 @@ def _bm25_search(
     n_probe_docs = -(
         -parquet_num_rows(f"{sf_dir}/documents.parquet") // probe_doc_mod
     )
+
+    def finish(joined: DataFrame) -> DataFrame:
+        scores = (
+            joined.filter(F.col("probe_uid") != F.col("chunk_uid"))
+            .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
+            .agg(F.sum(F.col("tf_q") * F.col("bm")).alias("s"))
+        )
+        ranked = (
+            scores.withColumn("score", F.round(F.col("s"), 6))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("probe_uid").orderBy(
+                        F.desc("score"), F.asc("cand_uid")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+        )
+        return ranked.select(
+            "probe_uid", "cand_uid", "score", F.col("rank").cast("long").alias("rank")
+        ).orderBy("probe_uid", "rank")
+
     # corpus side = impact-pruned candidates; probe vectors full.
     # Same three-regime join orientation as _tfidf_search (see
-    # CANDS_BROADCAST_MAX_ROWS).
+    # CANDS_BROADCAST_MAX_ROWS); same deferred-decision contract for
+    # the count-sized large-probe regimes (r10 ADVICE).
     if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS:
-        joined = cands.join(F.broadcast(probes), cands.token == probes.p_token)
-    elif cands.count() <= CANDS_BROADCAST_MAX_ROWS:
-        n_part = max(
-            32, -(-probes.count() * RETRIEVAL_MAX_POSTINGS // PAIRS_PER_AGG_PARTITION)
+        return finish(
+            cands.join(F.broadcast(probes), cands.token == probes.p_token)
         )
-        joined = probes.repartition(n_part, "probe_uid").join(
-            F.broadcast(cands), cands.token == probes.p_token
-        )
-    else:
-        joined = cands.join(probes, cands.token == probes.p_token)
-    scores = (
-        joined.filter(F.col("probe_uid") != F.col("chunk_uid"))
-        .groupBy("probe_uid", F.col("chunk_uid").alias("cand_uid"))
-        .agg(F.sum(F.col("tf_q") * F.col("bm")).alias("s"))
-    )
-    ranked = (
-        scores.withColumn("score", F.round(F.col("s"), 6))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("probe_uid").orderBy(F.desc("score"), F.asc("cand_uid"))
-            ),
-        )
-        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
-    )
-    return ranked.select(
-        "probe_uid", "cand_uid", "score", F.col("rank").cast("long").alias("rank")
-    ).orderBy("probe_uid", "rank")
+
+    def build_large() -> DataFrame:
+        if cands.count() <= CANDS_BROADCAST_MAX_ROWS:
+            n_part = max(
+                32,
+                -(-probes.count() * RETRIEVAL_MAX_POSTINGS // PAIRS_PER_AGG_PARTITION),
+            )
+            joined = probes.repartition(n_part, "probe_uid").join(
+                F.broadcast(cands), cands.token == probes.p_token
+            )
+        else:
+            joined = cands.join(probes, cands.token == probes.p_token)
+        return finish(joined)
+
+    return _deferred_search(spark, build_large)
 
 
 # --- Hybrid rank fusion ----------------------------------------------
@@ -779,48 +835,62 @@ def rag_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round(9) + cand_uid tiebreak ranks identically (same
     round-then-rank convention as the base searches).
     """
-    tf_ranked = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD).select(
-        F.col("probe_uid").alias("t_probe"),
-        F.col("cand_uid").alias("t_cand"),
-        F.col("rank").alias("t_rank"),
-    )
-    bm_ranked = _bm25_search(spark, sf_dir, PROBE_DOC_MOD).select(
-        F.col("probe_uid").alias("b_probe"),
-        F.col("cand_uid").alias("b_cand"),
-        F.col("rank").alias("b_rank"),
-    )
-    fused = (
-        tf_ranked.join(
-            bm_ranked,
-            (F.col("t_probe") == F.col("b_probe"))
-            & (F.col("t_cand") == F.col("b_cand")),
-            "full_outer",
+    def build() -> DataFrame:
+        tf_ranked = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD).select(
+            F.col("probe_uid").alias("t_probe"),
+            F.col("cand_uid").alias("t_cand"),
+            F.col("rank").alias("t_rank"),
         )
-        .select(
-            F.coalesce("t_probe", "b_probe").alias("probe_uid"),
-            F.coalesce("t_cand", "b_cand").alias("cand_uid"),
-            (
-                F.coalesce(1.0 / (RRF_K + F.col("t_rank")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("b_rank")), F.lit(0.0))
-            ).alias("rrf"),
+        bm_ranked = _bm25_search(spark, sf_dir, PROBE_DOC_MOD).select(
+            F.col("probe_uid").alias("b_probe"),
+            F.col("cand_uid").alias("b_cand"),
+            F.col("rank").alias("b_rank"),
         )
+        fused = (
+            tf_ranked.join(
+                bm_ranked,
+                (F.col("t_probe") == F.col("b_probe"))
+                & (F.col("t_cand") == F.col("b_cand")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce("t_probe", "b_probe").alias("probe_uid"),
+                F.coalesce("t_cand", "b_cand").alias("cand_uid"),
+                (
+                    F.coalesce(1.0 / (RRF_K + F.col("t_rank")), F.lit(0.0))
+                    + F.coalesce(1.0 / (RRF_K + F.col("b_rank")), F.lit(0.0))
+                ).alias("rrf"),
+            )
+        )
+        return (
+            fused.withColumn("rrf_score", F.round("rrf", 9))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("probe_uid").orderBy(
+                        F.desc("rrf_score"), F.asc("cand_uid")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= RETRIEVAL_TOP_K)
+            .select(
+                "probe_uid",
+                "cand_uid",
+                "rrf_score",
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .orderBy("probe_uid", "rank")
+        )
+
+    n_probe_docs = -(
+        -parquet_num_rows(f"{sf_dir}/documents.parquet") // PROBE_DOC_MOD
     )
-    return (
-        fused.withColumn("rrf_score", F.round("rrf", 9))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("probe_uid").orderBy(
-                    F.desc("rrf_score"), F.asc("cand_uid")
-                )
-            ),
-        )
-        .filter(F.col("rank") <= RETRIEVAL_TOP_K)
-        .select(
-            "probe_uid",
-            "cand_uid",
-            "rrf_score",
-            F.col("rank").cast("long").alias("rank"),
-        )
-        .orderBy("probe_uid", "rank")
-    )
+    if n_probe_docs <= PROBE_BROADCAST_MAX_DOCS:
+        # both base searches are fully lazy plans in this regime — so
+        # is the fusion.
+        return build()
+    # large-probe regime: the base searches are deferred (count-sized
+    # regime decisions, see _tfidf_search) and touching them with
+    # .select() would materialize those counts at build time — wrap
+    # the whole fusion in the same deferred contract instead.
+    return _deferred_search(spark, build, schema=_RRF_SCHEMA)

@@ -111,6 +111,19 @@ def basket_part_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     part pairs above the support floor, exact co-occurrence count,
     support, confidence(A=>B), and lift. See module docstring for
     the bounded-expansion scale argument.
+
+    ADVERSARIAL-BASELINE STATUS (r11 adjudication of the standing
+    weak flag, same convention as the flat PQ/LSH entries): the
+    registered fixture is a UNIFORM catalog — every pair is ~unique,
+    so the count aggregate gets no map-side reduction and the plan is
+    pure shuffle bytes, the regime a columnar single-node engine wins
+    (measured 5.75x paired DuckDB at sf10). The ladder shows this
+    SAME plan crossing 1x at 32M orders and winning 0.53x at 64M
+    (ZIPF_BASKET_STUDY_r09.json) — the crossover is fixture size, not
+    plan shape — and the production-shaped grain is
+    ``basket_brand_rules_pct`` (Zipf-brand baskets, 0.65x DuckDB at
+    sf10, BASKET_BRAND_PCT_r10.json). This entry stays registered as
+    the exact-pair structure/correctness baseline.
     """
     # Pair generation is ARRAY-side, not a self-join: ONE groupBy
     # collects each basket's sorted distinct part set (collect_set

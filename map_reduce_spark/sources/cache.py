@@ -21,8 +21,8 @@ driver heap on exactly this accumulation. Two defenses:
 1. Every frame persists at ``MEMORY_AND_DISK`` (explicitly, not the
    default), so a block that doesn't fit the storage pool spills to
    local disk instead of pressuring the heap.
-2. A GLOBAL LRU across all ``session_cached`` builders: after each
-   cache insertion/hit the total persisted bytes (memory + disk, from
+2. A GLOBAL LRU across all ``session_cached`` builders: on each
+   cache INSERTION the total persisted bytes (memory + disk, from
    ``SparkContext.getRDDStorageInfo`` — one driver-local RPC) is
    compared against ``MRS_SESSION_CACHE_BUDGET_BYTES`` (env,
    default 8 GiB) and least-recently-used entries are unpersisted
@@ -33,10 +33,22 @@ driver heap on exactly this accumulation. Two defenses:
    touched is never evicted, so a plan under construction keeps its
    own index.
 
-The measured total includes transient (per-query) caches too — they
-share the same storage pool, so counting them prices the heap
-honestly; only session-cache entries are evictable from here (the
-transient ones are released per-query by ``release_transient``).
+ENFORCE-ON-INSERT-ONLY (r11, ADVICE r10): r10 enforced on every hit,
+which had two measured pathologies. (a) Cost: the sf0.1 registry
+sweep makes ~1.9k ``session_cached`` calls; at ~1 ms per
+``getRDDStorageInfo`` JVM round-trip that is ~2 s of pure driver RPC
+per sweep — ~1-2% of the sf0.1 bench, growing with query count, for
+zero information on a hit (a hit inserts nothing, so the pool can
+only have grown via someone else's INSERT, which already enforced).
+(b) Thrash: the measured total includes transient per-query caches
+sharing the storage pool — honest heap pricing on insert, but
+enforcing per-hit meant one corpus-sized transient cache kept the
+budget permanently exceeded and every touch evicted all indexes
+outside the ``_KEEP_RECENT`` protected set; enforcing per-insert
+bounds eviction work to once per new index instead of once per call.
+The worst case under insert-only enforcement is one already-resident
+entry growing past budget with no further insertions — bounded by
+``MEMORY_AND_DISK`` spill-to-disk semantics, never a heap OOM.
 """
 
 from __future__ import annotations
@@ -109,12 +121,16 @@ def session_cached(
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (spark.sparkContext.applicationId, sf_dir, qual)
         if key in _LRU:
+            # Hit: recency bump only. No enforcement and no storage
+            # RPC — a hit inserts nothing, so the pool grew only if
+            # some insert did, and that insert enforced (see module
+            # docstring, "enforce-on-insert-only").
             _LRU.move_to_end(key)
         else:
             _LRU[key] = fn(spark, sf_dir).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        _enforce_budget(spark, keep=key)
+            _enforce_budget(spark, keep=key)
         return _LRU[key]
 
     return wrapper

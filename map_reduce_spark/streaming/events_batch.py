@@ -589,21 +589,26 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from map_reduce_spark.plans.deferred import deferred
     from map_reduce_spark.streaming.stateful import user_running_totals
     from map_reduce_spark.streaming.streams import (
+        events_source_files,
         events_state_dims,
         read_events_stream,
         run_available_now,
     )
 
     def drain() -> DataFrame:
-        # Declared state bound: update mode emits touched users per
-        # microbatch; the single-file AvailableNow replay drains in a
-        # handful of batches, so <= users x 8 rows land in the sink.
+        # Declared state bound: update mode emits at most one row per
+        # touched user per microbatch, and the file source's batch
+        # count is bounded by its input file count (every non-empty
+        # batch consumes >= 1 new file — see events_source_files), so
+        # <= users x files rows land in the sink. Derived, not
+        # hard-coded (r10 ADVICE): a read-limit option or multi-file
+        # fixture changes the file count, never breaks the bound.
         n_users, _, _ = events_state_dims(spark, sf_dir)
         drained = run_available_now(
             user_running_totals(read_events_stream(spark, sf_dir)),
             "streaming_stateful_user_totals",
             output_mode="update",
-            state_rows_bound=n_users * 8,
+            state_rows_bound=n_users * events_source_files(sf_dir),
         )
         return drained.select(
             "user_id", "n_events", F.round("total_value", 2).alias("total_value")

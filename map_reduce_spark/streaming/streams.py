@@ -304,14 +304,24 @@ def run_available_now(
 
         out, cp = _fresh_replay_dirs(spark, query_name)
         os.makedirs(out, exist_ok=True)
-        write_mode = "overwrite" if output_mode == "complete" else "append"
 
-        def sink(batch_df: DataFrame, _batch_id: int) -> None:
-            # complete: each batch carries the FULL state — overwrite,
-            # so the last batch's write is the drained result.
-            # update: each batch carries the touched rows — append,
-            # the same multiset the memory sink used to accumulate.
-            batch_df.write.mode(write_mode).parquet(out)
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # complete: each batch carries the FULL state — overwrite
+            # the sink root, so the last batch's write is the drained
+            # result (a retry overwrites with identical content).
+            # update: each batch carries the touched rows; the
+            # accumulated multiset is the union of batches. Each batch
+            # writes its OWN subdirectory keyed by batch_id in
+            # overwrite mode (r10 ADVICE): foreachBatch is
+            # at-least-once, so a retried microbatch re-delivers the
+            # same (batch_id, data) — overwriting its own directory
+            # makes the retry idempotent, where a flat append would
+            # double-count the batch (corrupting the durable multiset
+            # and spuriously tripping the state_rows_bound check).
+            if output_mode == "complete":
+                batch_df.write.mode("overwrite").parquet(out)
+            else:
+                batch_df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
 
         q = (
             stream_df.writeStream.foreachBatch(sink)
@@ -322,7 +332,15 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-        got = spark.read.schema(stream_df.schema).parquet(out)
+        # recursiveFileLookup picks up the per-batch subdirectories of
+        # update mode (named b<id>, NOT key=value, precisely so no
+        # partition column is inferred) and is a no-op for complete
+        # mode's flat layout.
+        got = (
+            spark.read.schema(stream_df.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+        )
         n = got.count()  # parquet-footer-cheap, executor-side
         if n > bound:
             raise RuntimeError(
@@ -333,6 +351,24 @@ def run_available_now(
         return got
     finally:
         spark.conf.set(key, prev)
+
+
+def events_source_files(sf_dir: str) -> int:
+    """Number of files the events file-stream source can see — the
+    a-priori bound on an AvailableNow drain's microbatch count (the
+    file source assigns whole files to batches and every non-empty
+    batch consumes at least one new file, so batches <= files
+    regardless of any maxFilesPerTrigger/read-limit option; r10
+    ADVICE replaced a hard-coded 8-batch assumption with this).
+    Handles both fixture shapes: ``events.parquet`` as a single file
+    (the current generator) and as a directory of part files."""
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    if _os.path.isdir(path):
+        return max(1, len(_glob.glob(_os.path.join(path, "*.parquet"))))
+    return 1
 
 
 _STATE_DIMS_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}

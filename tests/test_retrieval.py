@@ -197,3 +197,103 @@ def test_cands_broadcast_regime_agg_and_topk_are_exchange_free(
     ]
     assert not bad, f"score aggregate re-shuffled the pair stream: {bad}"
     assert "BroadcastHashJoin" in plan  # cands side broadcast
+
+
+# --- r11: postings-cap recall differential + deferred large-probe ----
+
+
+def _patched_search(spark, d, monkeypatch, cap):
+    """Run the registered tfidf search over corpus dir ``d`` with the
+    postings cap patched to ``cap``. Each call uses a FRESH corpus dir
+    (the index builders are session-cached per (session, sf_dir), so
+    reusing a dir would serve a frame built under the previous cap)."""
+    import map_reduce_spark.functions.retrieval as R
+
+    monkeypatch.setattr(R, "RETRIEVAL_MAX_POSTINGS", cap)
+    return {
+        (r.probe_uid, r.rank): r.cand_uid
+        for r in R._tfidf_search(spark, d, R.PROBE_DOC_MOD).collect()
+    }
+
+
+def _cap_corpus(tmp_path, name):
+    """15-doc corpus where an 8-posting cap BINDS on token 'common'
+    (df=12) and provably drops a true top-k candidate: doc 11 is the
+    single-token doc 'common' (normalized weight 1.0 -> the highest
+    cosine against the probe) but has tf=1, so the (tf DESC) impact
+    order ranks it behind the ten padded docs and the cap prunes it."""
+    texts = ["common probetok"]  # doc 0: the sole probe (mod 150)
+    for i in range(1, 11):  # docs 1..10: tf(common) = 12 - i
+        texts.append(" ".join(["common"] * (12 - i)) + f" pad{i}a pad{i}b")
+    texts.append("common")  # doc 11: the victim (tf=1, wn=1.0)
+    for j in range(3):  # docs 12..14: keep df(common) <= 0.9 * n
+        texts.append(f"zzz{j} yyy{j}")
+    return _write_docs(tmp_path, name, texts)
+
+
+def test_postings_cap_recall_differential(spark, tmp_path, monkeypatch):
+    """The candidate-postings cap is UNSAFE (non-rank-preserving)
+    pruning — r10 ADVICE demanded this measured, not asserted away.
+    Three runs over byte-identical corpora: (a) cap=8 (binds, victim
+    pruned), (b) cap huge (never binds — the uncapped truth), (c)
+    cap=50 (does not bind at df=12). Checks: non-binding == uncapped
+    exactly; binding preserves the per-probe emission SHAPE (k rows,
+    same probes) but measurably loses the uncapped top-1 — recall@5
+    is exactly 4/5 on this construction."""
+    from map_reduce_spark.functions.retrieval import RETRIEVAL_TOP_K
+
+    capped = _patched_search(
+        spark, _cap_corpus(tmp_path, "cap8"), monkeypatch, 8
+    )
+    uncapped = _patched_search(
+        spark, _cap_corpus(tmp_path, "capbig"), monkeypatch, 1 << 30
+    )
+    loose = _patched_search(
+        spark, _cap_corpus(tmp_path, "cap50"), monkeypatch, 50
+    )
+    assert loose == uncapped  # cap that never binds is a no-op
+    # emission shape preserved: same probe set, k ranks each
+    probes = {p for p, _ in uncapped}
+    assert {p for p, _ in capped} == probes
+    for p in probes:
+        assert [(p, k) in capped for k in range(1, RETRIEVAL_TOP_K + 1)] == [True] * RETRIEVAL_TOP_K
+    # the victim (doc 11, single-token 'common') tops the uncapped
+    # ranking but is pruned out of the capped pool entirely
+    (probe,) = probes
+    assert uncapped[(probe, 1)] // CHUNKS_PER_DOC_CAP == 11
+    assert all(c // CHUNKS_PER_DOC_CAP != 11 for c in capped.values())
+    top = lambda res: {res[(probe, k)] for k in range(1, RETRIEVAL_TOP_K + 1)}
+    recall = len(top(capped) & top(uncapped)) / RETRIEVAL_TOP_K
+    assert recall == 0.8, recall
+
+
+def test_large_probe_regime_is_deferred(spark, sf_dir, monkeypatch):
+    """r10 ADVICE: the count-sized large-probe regime decision must
+    not run Spark actions at builder-construction time. With the
+    probe-broadcast gate forced shut, the search builders return a
+    DeferredDataFrame that serves the declared schema without
+    materializing, the declared schema equals the lazy branch's, and
+    the materialized rows equal the lazy branch's (the regime choice
+    changes the plan, never the result)."""
+    import map_reduce_spark.functions.retrieval as R
+    from map_reduce_spark.plans.deferred import DeferredDataFrame
+
+    lazy = R._tfidf_search(spark, sf_dir, R.PROBE_DOC_MOD)
+    assert not isinstance(lazy, DeferredDataFrame)  # fixture regime
+    lazy_rows = [tuple(r) for r in lazy.collect()]
+
+    monkeypatch.setattr(R, "PROBE_BROADCAST_MAX_DOCS", 0)
+    for builder, ref_schema in [
+        (lambda: R._tfidf_search(spark, sf_dir, R.PROBE_DOC_MOD), lazy.dtypes),
+        (lambda: R.rag_rrf_fusion_search(spark, sf_dir), None),
+    ]:
+        got = builder()
+        assert isinstance(got, DeferredDataFrame)
+        declared = list(got.dtypes)  # cheap introspection, pre-thunk
+        assert not got.is_materialized
+        if ref_schema is not None:
+            assert declared == list(ref_schema)  # dtypes, house pin
+            assert [tuple(r) for r in got.collect()] == lazy_rows
+        else:
+            got.collect()  # materializes; declared dtypes must hold
+        assert list(got.dtypes) == declared

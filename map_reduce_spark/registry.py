@@ -197,7 +197,7 @@ _CHECK_FIRST = [
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the
     registry reordered so the ``_CHECK_FIRST`` block leads."""
-    from map_reduce_spark.functions import text, dedup, dedup_ingest, similarity, multimodal, prep, retrieval, bpe, selection, clustering, semdedup, keywords  # noqa: F401
+    from map_reduce_spark.functions import text, dedup, dedup_ingest, similarity, sim_ingest, multimodal, prep, retrieval, bpe, selection, clustering, semdedup, keywords  # noqa: F401
     from map_reduce_spark.operators import text_rel  # noqa: F401
     from map_reduce_spark.streaming import events_batch  # noqa: F401
     from map_reduce_spark.operators import (  # noqa: F401

@@ -1,7 +1,9 @@
 """Multimodal tests: the Spark-side machinery (schema, Arrow batches,
-metadata pruning) plus the REAL pure-Python BMP/WAV codecs — features
-must come from decoded pixels/samples, not synthesized from payload
-bytes. Compressed formats and video stay NotImplementedError stubs."""
+metadata pruning) plus the REAL pure-Python codecs (BMP/WAV/PNG/JPEG/
+GIF stills and, as of r11, MJPEG-in-AVI video) — features and sampled
+frames must come from decoded pixels/samples, not synthesized from
+payload bytes. Non-MJPEG video (MP4/H.264) stays the documented
+NotImplementedError boundary."""
 
 from __future__ import annotations
 
@@ -533,3 +535,98 @@ def test_synthetic_corpus_rotates_compressed_containers(spark):
     assert n_gif == 4  # gif + gif_i, two cycles
     feats = extract_features(media)
     assert feats.filter("kind = 'image'").count() == 20
+
+
+# --- r11: MJPEG-in-AVI video decode ----------------------------------
+
+
+def _gradient_frames(n, w=16, h=8, step=24):
+    """Frames with distinct, JPEG-stable content: frame t is a solid
+    block of luminance t*step (solid blocks survive quantization
+    almost exactly, so decoded means identify WHICH frame was
+    sampled)."""
+    return [
+        np.full((h, w, 3), min(255, t * step), dtype=np.uint8) for t in range(n)
+    ]
+
+
+def test_avi_mjpeg_roundtrip():
+    from map_reduce_spark.functions.jpeg import decode_jpeg
+    from map_reduce_spark.functions.multimodal import encode_avi_mjpeg
+
+    frames = _gradient_frames(7)
+    payload = encode_avi_mjpeg(frames, fps=3)
+    assert MediaDecoder.sniff(payload) == "avi"
+    fps, jpegs = MediaDecoder.decode_avi_mjpeg(payload)
+    assert fps == 3 and len(jpegs) == 7
+    for src, j in zip(frames, jpegs):
+        dec = decode_jpeg(j)
+        assert dec.shape == src.shape
+        assert float(np.mean((dec.astype(float) - src.astype(float)) ** 2)) < 9.0
+
+
+def test_non_mjpeg_avi_is_the_documented_boundary():
+    """An AVI whose video stream is not MJPG (MP4/H.264 territory)
+    must raise, not silently byte-slice."""
+    from map_reduce_spark.functions.multimodal import encode_avi_mjpeg
+
+    payload = bytearray(encode_avi_mjpeg(_gradient_frames(2), fps=2))
+    i = payload.find(b"MJPG", payload.find(b"strf"))  # strf biCompression
+    payload[i : i + 4] = b"XVID"
+    with pytest.raises(NotImplementedError, match="XVID"):
+        MediaDecoder.decode_avi_mjpeg(bytes(payload))
+
+
+def test_sample_frames_decodes_real_avi_content(spark):
+    """The sampler must (a) emit the exact JPEG chunk of the scheduled
+    frame index per the container's OWN fps, (b) decode only-sampled
+    frames to real dimensions, and (c) produce pixel content
+    identifying the RIGHT frame (solid-block luminance ladder)."""
+    from map_reduce_spark.functions.jpeg import decode_jpeg
+    from map_reduce_spark.functions.multimodal import MEDIA_SCHEMA, encode_avi_mjpeg
+
+    fps, dur_ms, step = 2, 9000, 24
+    frames = _gradient_frames(fps * dur_ms // 1000, step=step)  # 18 frames
+    payload = encode_avi_mjpeg(frames, fps=fps)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), 16, 8, dur_ms)], MEDIA_SCHEMA
+    )
+    got = {r.frame_ts_ms: r for r in sample_frames(media, every_ms=4000).collect()}
+    assert sorted(got) == [0, 4000, 8000]
+    _, jpegs = MediaDecoder.decode_avi_mjpeg(payload)
+    for ts, r in got.items():
+        fi = ts * fps // 1000
+        assert r.frame_idx == fi
+        assert bytes(r.frame_payload) == jpegs[fi]  # exact chunk
+        assert (r.frame_w, r.frame_h) == (16, 8)
+        dec = decode_jpeg(bytes(r.frame_payload))
+        assert abs(float(dec.mean()) - min(255, fi * step)) < 3.0  # right frame
+
+
+def test_sample_frames_opaque_container_keeps_standin(spark):
+    """Non-AVI video payloads keep the byte-slice stand-in: schedule
+    invariants intact, no decoded dimensions."""
+    from map_reduce_spark.functions.multimodal import MEDIA_SCHEMA
+
+    blob = bytes(range(256)) * 4
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), None, None, 12000)], MEDIA_SCHEMA
+    )
+    rows = sample_frames(media, every_ms=5000).collect()
+    assert [r.frame_ts_ms for r in rows] == [0, 5000, 10000]
+    assert all(r.frame_w is None and r.frame_h is None for r in rows)
+    assert all(len(r.frame_payload) > 0 for r in rows)
+
+
+def test_media_sample_frames_entry_decode_evidence(spark):
+    """Registered entry: every MJPEG-AVI video row decode_ok AND
+    schedule_ok; opaque rows decode exactly zero frames and stay
+    schedule_ok — and both populations are present (the fixture must
+    exercise both paths)."""
+    from map_reduce_spark.registry import load_all
+
+    rows = load_all()["media_sample_frames"].builder(spark, "unused").collect()
+    assert rows
+    assert all(r.schedule_ok and r.decode_ok for r in rows), rows
+    assert any(r.n_decoded > 0 for r in rows)  # real AVI decodes
+    assert any(r.n_decoded == 0 for r in rows)  # boundary stand-ins

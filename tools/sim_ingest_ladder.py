@@ -92,11 +92,10 @@ def main() -> int:
 
     def rebuild_search(asof, probes):
         """The per-batch cost of NOT maintaining: retrain + assign the
-        whole as-of corpus + the same probe plan."""
-        model = train_centroids(asof)
-        tmp = SimIngestIndex(spark, "sim_ladder_rebuild")
-        tmp.centroids = model
-        tmp._append_cells(asof, "overwrite")
+        whole as-of corpus + the same probe plan (bootstrap IS the
+        rebuild — training + full assignment with crash-safe table
+        cleanup)."""
+        tmp = SimIngestIndex(spark, "sim_ladder_rebuild").bootstrap(asof)
         return tmp.probe(probes, N_PROBE).count()
 
     ladder = []
@@ -134,9 +133,7 @@ def main() -> int:
     full_idx = SimIngestIndex(spark, "sim_ladder_xchk")
     full_idx.bootstrap(asof_prev)
     got = [tuple(r) for r in full_idx.probe(p, N_CELLS).collect()]
-    reb_idx = SimIngestIndex(spark, "sim_ladder_xchk2")
-    reb_idx.centroids = train_centroids(asof_prev)
-    reb_idx._append_cells(asof_prev, "overwrite")
+    reb_idx = SimIngestIndex(spark, "sim_ladder_xchk2").bootstrap(asof_prev)
     want = [tuple(r) for r in reb_idx.probe(p, N_CELLS).collect()]
     result["crosscheck_rows"] = len(got)
     result["crosscheck_ok"] = got == want

@@ -87,103 +87,91 @@ def register(name: str, oracle_sql: str | None = None):
 # a brand-new entry may wait ONE round in the tail under the local
 # gate and is promoted at the next rotation.
 #
-# r10 rotation — the steady-state staleness refresh running to
-# completion (r9 verdict item 1). Evidence ages recomputed directly
-# from the CORRECTNESS_r0*.json artifacts against the live registry:
-# 23 entries carry r5 evidence, 7 carry r6, nothing older (the r1-era
-# artifact keys that look stale were renamed away in the r2
-# consolidation). This window refreshes everything with pre-r7
-# evidence and starts on the r7 tier:
+# r11 rotation — steady-state staleness refresh, second revolution
+# (r10 verdict item 1: oldest driver evidence must reach >= r8).
+# Evidence ages recomputed from the CORRECTNESS_r*.json artifacts
+# against the live registry: 27 entries carry r7 evidence, 35 r8,
+# nothing older. This window = changed/new builders + the FULL r7
+# cohort + the alphabetical head of the r8 tier:
 #
-# - (a) builders NEW or CHANGED in r10, must (re-)verify: the
-#   retrieval trio (candidate-postings cap + join re-orientation,
-#   RETRIEVAL_TRIO_SF_r10.json), basket_brand_rules_pct (NEW —
-#   percentage-support brand rules, BASKET_BRAND_PCT_r10.json),
-#   dedup_ingest_epochs (NEW — the maintained-index ingest loop on
-#   the gate, r9 verdict item 5), the five memory-sink streaming
-#   replays (state_rows_bound contract — a wrong bound now RAISES,
-#   which is exactly what the driver window exists to surface), and
-#   agg_heavy_hitters (probe threshold now scaled by the sampled
-#   fraction, ADVICE r9 — the regime choice could flip).
 # - (c) q1_pricing_summary, the cross-round fixture-drift sentinel.
-# - (a, mechanical) the three append-mode replay entries
-#   (streaming_dedup_exactly_once, streaming_error_click_join,
-#   streaming_left_outer_join): fresh per-session sink dirs — no
-#   semantic change, but the sink path is new code, so they take
-#   three of the window's free slots.
-# - STALENESS REFRESH, oldest first: the full remaining r5 cohort
-#   (23) and the full r6 tier (7). After this window the oldest
-#   driver evidence anywhere in the registry is r7 — beating the
-#   verdict's >= r6 target — and the 5 remaining slots give the
-#   alphabetical head of the r7 tier its refresh a round early.
+# - (a) builders NEW or CHANGED in r11, must (re-)verify: the
+#   retrieval trio (large-probe regime decision wrapped in
+#   DeferredDataFrame, ADVICE r10 — plan construction moved, results
+#   must not), the five complete/update streaming replays (foreachBatch
+#   sink rewritten for batch-id idempotency + recursive read-back;
+#   streaming_stateful_user_totals additionally derives its row bound
+#   from the source file count), sim_ingest_epochs (NEW — the
+#   maintained-index ANN serving loop, r10 verdict item 4; rows-only
+#   by construction, pytest full-probe differential), and the three
+#   media entries (synthetic_media's video rows are now real
+#   MJPEG-in-AVI containers — r10 verdict item 5 — which shifts the
+#   fixture's rng stream for all three; media_sample_frames also
+#   gained decode_ok/n_decoded columns).
+# - STALENESS REFRESH, oldest first: the full r7 cohort (27 —
+#   includes streaming_checkpoint_recovery, which also rides the new
+#   update-mode sink path), then the 10 remaining slots give the
+#   alphabetical head of the r8 tier its refresh a round early.
 #
-# 1 + 11 + 3 + 23 + 7 + 5 = 50 exactly.
+# 1 + 3 + 5 + 1 + 3 + 27 + 10 = 50 exactly.
 #
-# Net registry growth this round: +2 (basket_brand_rules_pct,
-# dedup_ingest_epochs) — both r9-verdict deliverables, within the
-# <= 5 budget.
+# Net registry growth this round: +1 (sim_ingest_epochs) — an
+# r10-verdict deliverable, within the <= 3 budget.
 _CHECK_FIRST = [
     # (c) fixture-drift sentinel (decimal/date lineitem surface)
     "q1_pricing_summary",
     # (a) new or changed builders — must (re-)verify
-    "rag_chunk_tfidf_search",  # r10: postings cap + plan re-orientation
-    "rag_bm25_search",  # r10: same
-    "rag_rrf_fusion_search",  # r10: composes both
-    "basket_brand_rules_pct",  # r10: NEW — pct-support brand rules
-    "dedup_ingest_epochs",  # r10: NEW — maintained-index ingest loop
-    "streaming_tumbling_type_counts",  # r10: state_rows_bound contract
+    "rag_chunk_tfidf_search",  # r11: deferred large-probe regime
+    "rag_bm25_search",  # r11: same
+    "rag_rrf_fusion_search",  # r11: composes both + own deferral
+    "streaming_tumbling_type_counts",  # r11: idempotent foreachBatch sink
     "streaming_sliding_counts",
     "streaming_session_windows",
-    "streaming_stateful_user_totals",
+    "streaming_stateful_user_totals",  # r11: + file-derived row bound
     "streaming_enrich_static",
-    "agg_heavy_hitters",  # r10: fraction-scaled probe gate
-    # (a, mechanical) append-mode replays on the new per-session sink
-    # path
-    "streaming_dedup_exactly_once",
-    "streaming_error_click_join",
-    "streaming_left_outer_join",
-    # early r7-tier refresh (alphabetical head, 5 free slots); the two
-    # cluster entries ALSO changed builders in r10 — their edge input
-    # is now the DF-capped pair index with the oracle stating the same
-    # capped space (see jaccard_pair_index) — so their slot is (a),
-    # not just staleness
-    "agg_rollup_returnflag",
-    "dedup_cluster_keep_best",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_lsh_hi",
-    "dedup_exact",
-    # staleness refresh: the remaining r5 cohort
-    "doc_inverted_index",
-    "doc_length_buckets",
-    "doc_repetition_stats",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_unigram_logprob",
-    "doc_weighted_sample",
-    "events_props_from_json",
-    "events_retention_cohorts",
-    "events_sliding_1h_30m",
-    "join_outer_order_fill",
-    "join_salted_customer_orders",
-    "mr_concat_sorted_values",
-    "null_handling_acctbal",
-    "q18ish_large_volume_customers",
-    "q4ish_priority_order_counts",
-    "range_join_value_buckets",
-    "sessionize_user_events",
-    "setop_nation_coverage",
-    "sim_centroids_by_label",
-    "sql_cte_top_customers",
-    "udaf_supplier_quantity_stats",
-    "window_rank_dense_ntile",
-    # staleness refresh: the r6 tier (TPC-H adaptation batch)
-    "q13ish_order_count_distribution",
-    "q15ish_top_revenue_supplier",
-    "q17ish_small_quantity_revenue",
-    "q19ish_disjunctive_revenue",
-    "q7ish_nation_trade_volume",
-    "q8ish_market_share",
-    "q9ish_product_profit",
+    "sim_ingest_epochs",  # r11: NEW — maintained-index ANN ingest
+    "media_feature_stats",  # r11: fixture rng shifted by AVI videos
+    "media_resize_images",
+    "media_sample_frames",  # r11: real MJPEG decode + decode_ok cols
+    # staleness refresh: the full r7 cohort
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_semantic_clusters",
+    "doc_chunk_for_rag",
+    "doc_decontaminate",
+    "doc_fingerprint",
+    "doc_global_shuffle",
+    "doc_mixture_sample",
+    "doc_pack_sequences",
+    "doc_profile",
+    "doc_scrub_blocklist",
+    "doc_split_assign",
+    "doc_stats_by_lang_source",
+    "doc_wordcount",
+    "events_anomaly_zscore",
+    "events_ordered_funnel",
+    "events_time_weighted_avg",
+    "fuzzy_join_part_names",
+    "q21ish_sole_return_suppliers",
+    "q22ish_idle_customers",
+    "quality_split_drift",
+    "sim_pairwise_label_affinity",
+    "sim_range_search",
+    "sql_unpivot_metrics",
+    "streaming_checkpoint_recovery",
+    "window_first_last_order_values",
+    # staleness refresh: alphabetical head of the r8 tier (10 slots)
+    "agg_regression_stats",
+    "basket_part_association",
+    "customer_rfm_segments",
+    "dedup_incremental_batch",
+    "doc_bigram_pmi",
+    "doc_dsir_select",
+    "doc_keywords_rake",
+    "doc_langid_ngram",
+    "doc_quality_buckets",
+    "doc_shard_rendezvous",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this

@@ -662,6 +662,10 @@ class MediaDecoder:
 # BMP/WAV, the name survives only for external references).
 FakeDecoder = MediaDecoder
 
+# synthetic_media row lists by n — deterministic (seeded), so caching
+# is purely an encode-cost memoization (see the function docstring).
+_MEDIA_ROWS_CACHE: dict[int, list] = {}
+
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (seeded).
@@ -679,7 +683,14 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     sampled frames decode to actual pixels; every third video row
     stays opaque random bytes — the MP4/H.264 stand-in exercising the
     documented codec-boundary path.
+
+    The row list is memoized per ``n`` (deterministic by seed): the
+    driver-side encode cost — ~1 s of pure-Python JPEG/AVI/PNG work at
+    n=96 — is paid once per process, not once per builder call (the
+    bench harness builds each media entry three times).
     """
+    if n in _MEDIA_ROWS_CACHE:
+        return spark.createDataFrame(_MEDIA_ROWS_CACHE[n], MEDIA_SCHEMA)
     rng = np.random.default_rng(42)
     rows = []
     for i in range(n):
@@ -750,6 +761,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             ]
             payload = encode_avi_mjpeg(frames, fps=VIDEO_FPS)
         rows.append((i, kind, bytearray(payload), w, h, dur))
+    _MEDIA_ROWS_CACHE[n] = rows
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

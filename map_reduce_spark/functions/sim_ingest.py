@@ -75,6 +75,17 @@ from map_reduce_spark.sources import load_spread, session_cached
 # 0 → 4% of every batch. (vec_id % PROBE_MOD, the flat entries' rule,
 # is EMPTY on odd mod-8 residues — 100 ≡ 4 (mod 8) never hits them.)
 SIM_INGEST_PROBE_STRIDE = 25
+# ...capped at this many probes per batch (j // STRIDE < CAP): a
+# serving loop's query load is OPERATOR-BOUNDED, not
+# corpus-proportional — the module docstring's own contract, which an
+# uncapped 4%-of-batch rule violated at scale (the first r11 sf10
+# sweep measured the registered entry at 430 s, ~3/4 of it probe dot
+# products that grew with the batch). The cap never binds below
+# STRIDE x CAP x 8 = 50k vectors (all three pytest scales), so the
+# small-sf differential gates see identical probe sets; at sf10 each
+# batch searches its first 250 scheduled probes — fixed query load,
+# the regime the ladder's sf1 rung measures.
+SIM_INGEST_MAX_PROBES_PER_BATCH = 250
 
 
 def train_centroids(emb: DataFrame, n_cells: int = N_CELLS) -> list[list[float]]:
@@ -257,7 +268,10 @@ def _epoch_frames(
 ) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
     emb = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     residue = F.col("vec_id") % 8
-    is_probe = (F.col("vec_id") / 8).cast("long") % SIM_INGEST_PROBE_STRIDE == 0
+    j = (F.col("vec_id") / 8).cast("long")
+    is_probe = (j % SIM_INGEST_PROBE_STRIDE == 0) & (
+        j / SIM_INGEST_PROBE_STRIDE < SIM_INGEST_MAX_PROBES_PER_BATCH
+    )
     boot = emb.filter(~residue.isin(*_EPOCH_MODS))
     batches = [
         (emb.filter(residue == m), emb.filter((residue == m) & is_probe))

@@ -35,23 +35,28 @@ driver heap on exactly this accumulation. Two defenses:
    touched is never evicted, so a plan under construction keeps its
    own index.
 
-ENFORCE-ON-INSERT-ONLY (r11, ADVICE r10): r10 enforced on every hit,
-which had two pathologies, one measured-small and one structural.
-(a) Cost (measured r11: ``getRDDStorageInfo`` is ~0.25 ms per call on
-this host): a registry sweep's ~2k ``session_cached`` calls spend
-~0.5 s of pure driver RPC — under the verdict's 1%-of-sweep action
-threshold, but pure waste on a hit (a hit inserts nothing, so the
-pool can only have grown via someone else's INSERT, which already
-enforced).
+ENFORCEMENT CADENCE (r11, ADVICE r10 + a measured correction): r10
+enforced on every hit, which had two pathologies. (a) Cost (measured
+r11: ``getRDDStorageInfo`` is ~0.25 ms per call on this host): a
+registry sweep's ~2k ``session_cached`` calls spent ~0.5 s of pure
+driver RPC — mostly waste on hits (a hit inserts nothing).
 (b) Thrash: the measured total includes transient per-query caches
-sharing the storage pool — honest heap pricing on insert, but
-enforcing per-hit meant one corpus-sized transient cache kept the
-budget permanently exceeded and every touch evicted all indexes
-outside the ``_KEEP_RECENT`` protected set; enforcing per-insert
-bounds eviction work to once per new index instead of once per call.
-The worst case under insert-only enforcement is one already-resident
-entry growing past budget with no further insertions — bounded by
-``MEMORY_AND_DISK`` spill-to-disk semantics, never a heap OOM.
+sharing the storage pool — honest heap pricing, but per-hit
+enforcement meant one corpus-sized transient cache kept the budget
+permanently exceeded and every touch evicted all indexes outside the
+``_KEEP_RECENT`` protected set.
+
+The first r11 cut enforced on INSERT ONLY — and the sf10
+single-session sweep promptly OOM'd a broadcast build 15 queries in:
+a frame persists LAZILY, so its bytes land AFTER its own insert-time
+check, and a long hit-only stretch (one query building one big index
+then probing it repeatedly alongside corpus-sized transients) now
+accumulated heap with no enforcement point at all. The measured
+middle ground: enforce on every insert AND on at most every
+``_ENFORCE_EVERY``-th call overall — pool pressure is re-checked
+within a bounded staleness window (~8 calls), the RPC cost drops to
+~1/8 of r10's, and the pathological always-over-budget thrash is
+bounded to one eviction sweep per window instead of per touch.
 """
 
 from __future__ import annotations
@@ -83,6 +88,12 @@ _DEFAULT_BUDGET_CAP = 8 << 30  # 8 GiB
 # storage half with margin for deserialized readback.
 _DEFAULT_BUDGET_HEAP_FRACTION = 0.3
 _HEAP_BYTES_CACHE: dict[str, int] = {}
+
+# Hit-path enforcement staleness window (see module docstring,
+# "enforcement cadence"): pressure is re-checked at most once per this
+# many session_cached calls.
+_ENFORCE_EVERY = 8
+_calls_since_enforce = 0
 
 # Never evict the N most-recently-touched entries: derived-index
 # chains (chunk_bm25_index -> chunk_bm25_cands -> chunk_bm25_probes)
@@ -120,6 +131,8 @@ def _persisted_bytes(spark: SparkSession) -> int:
 
 
 def _enforce_budget(spark: SparkSession, keep: tuple[str, str, str]) -> None:
+    global _calls_since_enforce
+    _calls_since_enforce = 0
     budget = _budget_bytes(spark)
     if budget <= 0:  # 0/negative disables the cache budget entirely
         return
@@ -147,13 +160,17 @@ def session_cached(
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        global _calls_since_enforce
         key = (spark.sparkContext.applicationId, sf_dir, qual)
         if key in _LRU:
-            # Hit: recency bump only. No enforcement and no storage
-            # RPC — a hit inserts nothing, so the pool grew only if
-            # some insert did, and that insert enforced (see module
-            # docstring, "enforce-on-insert-only").
+            # Hit: recency bump; enforcement only when the staleness
+            # window has lapsed (see module docstring, "enforcement
+            # cadence") — bytes land lazily after inserts, so hits
+            # must re-check pressure, just not on every call.
             _LRU.move_to_end(key)
+            _calls_since_enforce += 1
+            if _calls_since_enforce >= _ENFORCE_EVERY:
+                _enforce_budget(spark, keep=key)
         else:
             _LRU[key] = fn(spark, sf_dir).persist(
                 StorageLevel.MEMORY_AND_DISK

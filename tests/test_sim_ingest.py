@@ -13,6 +13,7 @@ from pyspark.sql import Window as W
 
 from map_reduce_spark.functions.sim_ingest import (
     _EPOCH_MODS,
+    SIM_INGEST_MAX_PROBES_PER_BATCH,
     SIM_INGEST_PROBE_STRIDE,
     SimIngestIndex,
     run_ingest_epochs,
@@ -38,7 +39,10 @@ def _bruteforce_epoch(spark, sf_dir, k):
         F.col("dv").alias("n_dv"),
         F.col("norm").alias("n_norm"),
     )
-    is_probe = (F.col("vec_id") / 8).cast("long") % SIM_INGEST_PROBE_STRIDE == 0
+    j = (F.col("vec_id") / 8).cast("long")
+    is_probe = (j % SIM_INGEST_PROBE_STRIDE == 0) & (
+        j / SIM_INGEST_PROBE_STRIDE < SIM_INGEST_MAX_PROBES_PER_BATCH
+    )
     probes = emb.filter((residue == _EPOCH_MODS[k]) & is_probe).select(
         F.col("vec_id").alias("probe_id"),
         F.col("dv").alias("p_dv"),

@@ -53,7 +53,17 @@ def transient_persist(
 
 def release_transient(mark: int = 0) -> int:
     """Unpersist (non-blocking) every frame enrolled at or after list
-    position ``mark`` (default: all); returns the count released."""
+    position ``mark`` (default: all); returns the count released.
+
+    Also marks a QUERY BOUNDARY for the session cache: the
+    recent-working-set eviction protection exists only for
+    index-chain touches inside one query's build (see
+    sources/cache.py), so it resets here — harness loops call this
+    between queries, which is exactly the protection's intended
+    scope."""
+    from map_reduce_spark.sources import cache as _session_cache
+
+    _session_cache.query_boundary()
     n = max(0, len(_LIVE) - mark)
     while len(_LIVE) > mark:
         df = _LIVE.pop()

@@ -95,15 +95,26 @@ _HEAP_BYTES_CACHE: dict[str, int] = {}
 _ENFORCE_EVERY = 8
 _calls_since_enforce = 0
 
-# Never evict the N most-recently-touched entries: derived-index
-# chains (chunk_bm25_index -> chunk_bm25_cands -> chunk_bm25_probes)
-# touch their parent a call or two before the child, and an
-# over-budget enforcement during the chain would otherwise evict the
-# parent the next step is about to read — rebuild thrash inside one
-# query (the sf10 single-session sweep showed the retrieval builds
-# ~2x their solo cost from exactly this). Chains in this repo are at
-# most 3 deep; 4 leaves margin.
+# Never evict the N most-recently-touched entries OF THE CURRENT
+# QUERY: derived-index chains (chunk_bm25_index -> chunk_bm25_cands ->
+# chunk_bm25_probes) touch their parent a call or two before the
+# child, and an over-budget enforcement during the chain would
+# otherwise evict the parent the next step is about to read — rebuild
+# thrash inside one query (the sf10 single-session sweep showed the
+# retrieval builds ~2x their solo cost from exactly this). Chains in
+# this repo are at most 3 deep; 4 leaves margin.
+#
+# QUERY-SCOPED (r11): the protection list resets at every
+# ``release_transient`` (the harness per-query drain). The r10
+# LRU-order variant protected the last 4 entries FOREVER — after the
+# retrieval trio at sf10, its multi-GB index frames were the most
+# recent touches and therefore unevictable while the NEXT query built
+# its own indexes on a 16 GB heap (measured: dedup_minhash_lsh's
+# broadcast build OOM'd 15 queries into the first r11 sweep). Chain
+# protection is only meaningful within one query's build, so it
+# expires with the query.
 _KEEP_RECENT = 4
+_RECENT_TOUCHES: list[tuple[str, str, str]] = []
 
 
 def _budget_bytes(spark: SparkSession) -> int:
@@ -130,17 +141,33 @@ def _persisted_bytes(spark: SparkSession) -> int:
     return sum(i.memSize() + i.diskSize() for i in infos)
 
 
+def query_boundary() -> None:
+    """Reset the within-query eviction protection — called by
+    ``plans.transient.release_transient`` (the harness per-query
+    drain), so chain protection never outlives the query whose chain
+    it guards."""
+    _RECENT_TOUCHES.clear()
+
+
+def _touch(key: tuple[str, str, str]) -> None:
+    if key in _RECENT_TOUCHES:
+        _RECENT_TOUCHES.remove(key)
+    _RECENT_TOUCHES.append(key)
+
+
 def _enforce_budget(spark: SparkSession, keep: tuple[str, str, str]) -> None:
     global _calls_since_enforce
     _calls_since_enforce = 0
     budget = _budget_bytes(spark)
     if budget <= 0:  # 0/negative disables the cache budget entirely
         return
-    protected = set(list(_LRU)[-_KEEP_RECENT:]) | {keep}
-    while len(_LRU) > len(protected) and _persisted_bytes(spark) > budget:
-        victim_key = next(iter(_LRU))
-        if victim_key in protected:
-            break  # only the recent working set remains — stop
+    protected = set(_RECENT_TOUCHES[-_KEEP_RECENT:]) | {keep}
+    while _persisted_bytes(spark) > budget:
+        # coldest unprotected entry (protection is touch-scoped, not
+        # an LRU suffix, so a protected key can sit coldest)
+        victim_key = next((k for k in _LRU if k not in protected), None)
+        if victim_key is None:
+            break  # only the current query's working set remains
         victim = _LRU.pop(victim_key)
         try:
             # blocking: the loop re-measures, so the release must have
@@ -168,6 +195,7 @@ def session_cached(
             # cadence") — bytes land lazily after inserts, so hits
             # must re-check pressure, just not on every call.
             _LRU.move_to_end(key)
+            _touch(key)
             _calls_since_enforce += 1
             if _calls_since_enforce >= _ENFORCE_EVERY:
                 _enforce_budget(spark, keep=key)
@@ -175,6 +203,7 @@ def session_cached(
             _LRU[key] = fn(spark, sf_dir).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
+            _touch(key)
             _enforce_budget(spark, keep=key)
         return _LRU[key]
 

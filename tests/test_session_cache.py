@@ -68,3 +68,31 @@ def test_generous_budget_keeps_entries_resident(spark, monkeypatch):
         assert calls[0] == 1  # memoized, no rebuild under budget
     finally:
         _drop_probes("/bud2")
+
+
+def test_protection_expires_at_query_boundary(spark, monkeypatch):
+    """r11: the recent-working-set protection is QUERY-scoped — after
+    release_transient (the harness per-query drain), a prior query's
+    index frames are evictable even though they were the most recent
+    touches (the r11 sf10 sweep OOM'd on exactly the unexpiring-
+    protection variant)."""
+    from map_reduce_spark.plans.transient import release_transient
+    from map_reduce_spark.sources.cache import _KEEP_RECENT, _LRU
+
+    monkeypatch.setenv("MRS_SESSION_CACHE_BUDGET_BYTES", "1")
+    calls: dict[int, int] = {}
+    builders = _make_builders(spark, _KEEP_RECENT + 1, calls)
+    try:
+        for b in builders[:_KEEP_RECENT]:  # "query 1" builds a chain
+            b(spark, "/bud3").count()
+        assert len([k for k in _LRU if k[1] == "/bud3"]) == _KEEP_RECENT
+        release_transient()  # query boundary: protection expires
+        builders[_KEEP_RECENT](spark, "/bud3").count()  # "query 2"
+        # the new insert's enforcement could evict ALL of query 1's
+        # frames (they are no longer protected); only query 2's own
+        # touch is guaranteed resident
+        live = [k for k in _LRU if k[1] == "/bud3"]
+        assert len(live) == 1
+        assert live[0][2].endswith(f"budget_probe_{_KEEP_RECENT}")
+    finally:
+        _drop_probes("/bud3")

@@ -186,7 +186,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # merge hint: corpus-sized self-join — never broadcastable
+        # (see dedup_minhash_lsh, r11)
+        a.hint("merge")
+        .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -305,7 +308,9 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = rare.alias("a"), rare.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # merge hint: corpus-sized self-join (see dedup_minhash_lsh)
+        a.hint("merge")
+        .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -385,7 +390,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
-        x.join(
+        # MERGE hint (r11): both sides of the bucket self-join are
+        # corpus-sized (docs x N_BANDS rows), so a broadcast is
+        # categorically the wrong plan — yet AQE promoted it at sf10
+        # whenever the banded side's compressed shuffle stats dipped
+        # under the 64 MB threshold, and the 5M-row driver-side hash
+        # build OOM'd a loaded 16 GB heap mid-sweep (it only ever
+        # succeeded by heap luck). Sort-merge on (band, sig) is the
+        # plan a 100 TB corpus runs: zero driver memory, AQE
+        # skew-split still applies. Pinned by
+        # tests/test_plans.py::test_minhash_band_join_never_broadcasts.
+        x.hint("merge")
+        .join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
@@ -518,7 +534,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = banded.alias("x"), banded.alias("y")
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     return (
-        x.join(
+        # merge hint: same corpus-sized bucket self-join as the
+        # minhash band join — broadcast is never the right side here
+        # (see dedup_minhash_lsh, r11).
+        x.hint("merge")
+        .join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.val") == F.col("y.val"))
@@ -1016,7 +1036,10 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs"),
     ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
     cand = (
-        probe_bands.join(index_bands, ["band", "val"])
+        # merge hint: both band frames are corpus-derived (see
+        # dedup_minhash_lsh, r11)
+        probe_bands.hint("merge")
+        .join(index_bands, ["band", "val"])
         .filter(F.col("ia") < F.col("ib"))
         .select("ia", "ib")
         .distinct()

@@ -110,10 +110,11 @@ def register(name: str, oracle_sql: str | None = None):
 #   gained decode_ok/n_decoded columns).
 # - STALENESS REFRESH, oldest first: the full r7 cohort (27 —
 #   includes streaming_checkpoint_recovery, which also rides the new
-#   update-mode sink path), then the 10 remaining slots give the
-#   alphabetical head of the r8 tier its refresh a round early.
+#   update-mode sink path), then 3 slots for the late-r11
+#   merge-hint-changed dedup builders (see below) and the remaining 7
+#   give the alphabetical head of the r8 tier its refresh early.
 #
-# 1 + 3 + 5 + 1 + 3 + 27 + 10 = 50 exactly.
+# 1 + 3 + 5 + 1 + 3 + 27 + 3 + 7 = 50 exactly.
 #
 # Net registry growth this round: +1 (sim_ingest_epochs) — an
 # r10-verdict deliverable, within the <= 3 budget.
@@ -161,7 +162,16 @@ _CHECK_FIRST = [
     "sql_unpivot_metrics",
     "streaming_checkpoint_recovery",
     "window_first_last_order_values",
-    # staleness refresh: alphabetical head of the r8 tier (10 slots)
+    # (a, late-r11) the banded/shingle self-join merge hints (the
+    # sf10 broadcast-OOM fix) changed these builders' plans — they
+    # displace the tail of the r8 refresh; dedup_duplicate_clusters /
+    # dedup_cluster_keep_best share the hinted pair-index subtree and
+    # wait one round in the tail under the local gate (the capacity
+    # amendment), their r10 hash evidence standing
+    "dedup_jaccard_df_capped",
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh_hi",
+    # staleness refresh: alphabetical head of the r8 tier (7 slots)
     "agg_regression_stats",
     "basket_part_association",
     "customer_rfm_segments",
@@ -169,9 +179,6 @@ _CHECK_FIRST = [
     "doc_bigram_pmi",
     "doc_dsir_select",
     "doc_keywords_rake",
-    "doc_langid_ngram",
-    "doc_quality_buckets",
-    "doc_shard_rendezvous",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this

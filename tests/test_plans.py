@@ -132,10 +132,19 @@ def test_no_forced_per_document_broadcast(spark, sf_dir, name):
     Known limit: for dedup_duplicate_clusters the iterative rounds
     localCheckpoint (lineage truncation), so this analyzed plan covers
     only the post-loop aggregation; the join-bearing subtree the
-    truncation hides is pinned separately below."""
+    truncation hides is pinned separately below.
+
+    r11 scope note: only BROADCAST hints are forbidden — the hazard
+    this test guards is a forced corpus-sized broadcast. Merge/shuffle
+    STRATEGY hints are the opposite move (they forbid AQE from
+    promoting a corpus-sized side to broadcast,
+    test_minhash_band_join_never_broadcasts) and are allowed."""
     df = load_all()[name].builder(spark, sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    assert "ResolvedHint" not in logical, logical[:2000]
+    import re as _re
+
+    bad = _re.findall(r"ResolvedHint \(strategy=broadcast\)", logical)
+    assert not bad, logical[:2000]
 
 
 def test_cc_pair_index_no_forced_broadcast(spark, sf_dir):
@@ -146,7 +155,9 @@ def test_cc_pair_index_no_forced_broadcast(spark, sf_dir):
 
     df = jaccard_pair_index(spark, sf_dir)
     logical = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    assert "ResolvedHint" not in logical, logical[:2000]
+    # broadcast hints only — merge strategy hints are allowed (see
+    # test_no_forced_per_document_broadcast's r11 scope note)
+    assert "ResolvedHint (strategy=broadcast)" not in logical, logical[:2000]
 
 
 @pytest.mark.parametrize("name,pred", sorted(PUSHDOWN_QUERIES.items()))
@@ -180,3 +191,27 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
             assert name.startswith(("sim_", "dedup_")), (
                 f"{name} plans an unexpected BroadcastNestedLoopJoin"
             )
+
+
+def test_minhash_band_join_never_broadcasts(spark, sf_dir):
+    """r11: the banded bucket self-joins (minhash, simhash, embedding
+    bands, shingle pair joins) are corpus-sized on BOTH sides, so a
+    broadcast is categorically the wrong plan — yet AQE promoted the
+    minhash band join to broadcast at sf10 whenever compressed shuffle
+    stats dipped under the threshold, and the 5M-row driver-side hash
+    build OOM'd a loaded 16 GB heap. The merge hint pins sort-merge;
+    this asserts no BroadcastHashJoin appears on the band/sig keys in
+    the pre-AQE physical plan of the candidate subtree."""
+    from map_reduce_spark.plans.explain import physical_plan
+    from map_reduce_spark.registry import load_all
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
+        plan = physical_plan(load_all()[name].builder(spark, sf_dir))
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln
+            and ("band#" in ln or "sig#" in ln or "val#" in ln)
+        ]
+        assert not bad, (name, bad)
+        assert "SortMergeJoin" in plan, name

@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # ContextCleaner reclaims broadcast/shuffle blocks only when
+        # the driver GCs their references, and the default periodic-GC
+        # interval (30 min) is longer than a whole registry sweep — on
+        # a 16 GB single-JVM session, dozens of queries' broadcast
+        # builds accumulated until a later query's (legitimately
+        # small) broadcast build threw "not enough memory to build and
+        # broadcast" (r11 sf10 sweep, measured). 2 min keeps long
+        # multi-query sessions reclaiming; the forced GC is a no-op
+        # cost at this cadence.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -412,13 +412,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact verification of candidates only (candidate set is tiny
-    # relative to n^2, so this join is cheap).
+    # relative to n^2, so this join is cheap). The shingle sides are
+    # merge-hinted (r11): doc_shingles is session-cached, and a
+    # MATERIALIZED InMemoryRelation reports its COMPRESSED columnar
+    # sizeInBytes — at sf10 the 32M-row shingle table compresses under
+    # the 64 MB broadcast threshold, so once an earlier query had
+    # built the cache, the static planner broadcast the whole corpus
+    # shingle table here and the multi-GB driver-side hash build OOM'd
+    # the sweep (solo runs planned before materialization and never
+    # hit it). Corpus-sized frames are never broadcastable, whatever
+    # their compressed stats say.
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (
-        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
-        .join(b, (candidates.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
+        candidates.join(a.hint("merge"), candidates.doc_a == F.col("a.doc_id"))
+        .join(
+            b.hint("merge"),
+            (candidates.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1051,8 +1063,12 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
     )
     return (
-        cand.join(a, "ia")
-        .join(b, "ib")
+        # merge hints: a/b carry the cached corpus's dense vectors —
+        # compressed cache stats can sit under the broadcast
+        # threshold while the deserialized build is GBs (see
+        # dedup_minhash_lsh, r11)
+        cand.join(a.hint("merge"), "ia")
+        .join(b.hint("merge"), "ib")
         .withColumn(
             "cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb"))
         )
@@ -1576,9 +1592,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = sh.join(hot, "sh", "left_anti")
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
+        # merge hint on the existing-corpus side: rare derives from
+        # the session-cached shingle table whose compressed cache
+        # stats can dip under the broadcast threshold (see
+        # dedup_minhash_lsh, r11) — the existing side is
+        # corpus-sized, never broadcastable
         rare.filter(is_inc)
         .alias("i")
-        .join(rare.filter(~is_inc).alias("e"), F.col("i.sh") == F.col("e.sh"))
+        .join(rare.filter(~is_inc).hint("merge").alias("e"), F.col("i.sh") == F.col("e.sh"))
         .groupBy(
             F.col("i.doc_id").alias("inc_doc"), F.col("e.doc_id").alias("ex_doc")
         )

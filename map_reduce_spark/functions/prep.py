@@ -364,8 +364,11 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = F.col("n_shared") / F.col("n_shingles")
     return (
+        # merge hint: test_sh is 10% of the corpus's distinct
+        # shingles — corpus-proportional, never broadcastable
+        # (cached-stats hazard, see dedup.dedup_minhash_lsh r11)
         sh.filter(F.col("bucket") < 90)
-        .join(test_sh, "sh", "left")
+        .join(test_sh.hint("merge"), "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

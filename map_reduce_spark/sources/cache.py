@@ -25,7 +25,7 @@ driver heap on exactly this accumulation. Two defenses:
    cache INSERTION the total persisted bytes (memory + disk, from
    ``SparkContext.getRDDStorageInfo`` — one driver-local RPC) is
    compared against ``MRS_SESSION_CACHE_BUDGET_BYTES`` (env; default
-   min(8 GiB, 0.3 x JVM max heap) — ~4.8 GiB on the 16 GB default
+   min(8 GiB, 0.45 x JVM max heap) — ~7.2 GiB on the 16 GB default
    heap, the headroom-derived sizing of r10 verdict item 2) and
    least-recently-used entries are unpersisted
    AND forgotten until the total fits. Eviction is always safe for
@@ -81,12 +81,17 @@ _LRU: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 # the memory-heaviest entries swung 2-3x with cache/GC state).
 _DEFAULT_BUDGET_CAP = 8 << 30  # 8 GiB
 # Fraction of the JVM max heap the default budget may claim. Spark's
-# unified pool is spark.memory.fraction (0.6) of (heap - 300 MB) and
-# execution may claim half of it back, so caching more than ~0.3 of
-# the heap guarantees storage/execution contention; 0.3 x 16 GB
-# ~= 4.8 GiB keeps the whole resident set inside the protected
-# storage half with margin for deserialized readback.
-_DEFAULT_BUDGET_HEAP_FRACTION = 0.3
+# unified pool is spark.memory.fraction (0.6) of (heap - 300 MB);
+# MEMORY_AND_DISK blocks past the storage share spill rather than
+# OOM, so the budget's job is bounding rebuild/spill churn, not heap
+# safety (the r11 sf10 OOM class was mis-planned broadcasts + lazy
+# ContextCleaner GC, both fixed at their own sites). Measured at
+# sf10 (17-query prefix, 16 GB heap): the first embedding-pair-index
+# consumer built in 90 s under a ~7 GiB budget vs 155 s under
+# 4.8 GiB (solo 47.6 s) — a tighter budget just converts cache
+# residency into mid-chain rebuilds. 0.45 x 16 GB ~= 7.2 GiB keeps
+# the r10-era working set while still scaling down for smaller heaps.
+_DEFAULT_BUDGET_HEAP_FRACTION = 0.45
 _HEAP_BYTES_CACHE: dict[str, int] = {}
 
 # Hit-path enforcement staleness window (see module docstring,

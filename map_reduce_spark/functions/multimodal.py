@@ -118,7 +118,10 @@ def encode_avi_mjpeg(
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # dwMicroSecPerFrame
-        0, 0, 0x10,  # maxbytes/sec, padding, AVIF_HASINDEX off -> 0x10 flags
+        0, 0, 0,  # maxbytes/sec, padding, dwFlags=0 (no idx1 chunk is
+        # written, so AVIF_HASINDEX must NOT be advertised — a strict
+        # RIFF reader would otherwise seek a nonexistent index;
+        # ADVICE r11)
         len(jpegs), 0, 1, 0,  # totalframes, initial, streams, sugg buffer
         w, h, 0, 0, 0, 0,  # width, height, reserved[4]
     )
@@ -585,23 +588,48 @@ class MediaDecoder:
         NotImplementedError — the documented codec boundary."""
         if not (payload[:4] == b"RIFF" and payload[8:12] == b"AVI "):
             raise NotImplementedError("not a RIFF/AVI payload")
-        fps, compression, frames = None, None, []
+        # Stream-aware walk (ADVICE r11): AVI numbers streams by strl
+        # order, frame chunks carry that number as a 2-digit ASCII
+        # prefix ('00dc'), and each strl's strf describes ONLY its own
+        # strh. A multi-stream file (audio strl first, or two video
+        # streams) must not leak another stream's format or frames
+        # into the video decode, so we bind strf to the strl whose
+        # strh said 'vids' and filter frame chunks by the vids stream
+        # number at the end.
+        fps, compression, vids_stream = None, None, None
+        stream_no = -1
+        raw_frames: list[tuple[bytes, bytes]] = []
 
-        def walk(pos: int, end: int) -> None:
-            nonlocal fps, compression
+        def walk(pos: int, end: int, in_strl: bool = False) -> None:
+            nonlocal fps, compression, vids_stream, stream_no
+            strl_is_vids = False
             for fcc, body, size in _riff_chunks(payload, pos, end):
                 if fcc == b"LIST":
-                    walk(body + 4, body + size)  # skip the list type
-                elif fcc == b"strh" and size >= 32 and payload[body : body + 4] == b"vids":
+                    kind = payload[body : body + 4]
+                    if kind == b"strl":
+                        stream_no += 1
+                    walk(body + 4, body + size, in_strl=kind == b"strl")
+                elif (
+                    fcc == b"strh"
+                    and in_strl
+                    and size >= 32
+                    and payload[body : body + 4] == b"vids"
+                    and vids_stream is None  # first video stream wins
+                ):
+                    strl_is_vids = True
+                    vids_stream = stream_no
                     scale, rate = struct.unpack_from("<II", payload, body + 20)
                     if scale > 0 and rate > 0:
                         fps = max(1, round(rate / scale))
-                elif fcc == b"strf" and size >= 20 and compression is None:
+                elif fcc == b"strf" and in_strl and strl_is_vids and size >= 20:
                     compression = payload[body + 16 : body + 20]
+                    strl_is_vids = False  # one strf per strh
                 elif fcc[2:4] in (b"dc", b"db"):
-                    frames.append(bytes(payload[body : body + size]))
+                    raw_frames.append((bytes(fcc[:2]), bytes(payload[body : body + size])))
 
         walk(12, len(payload))
+        want = b"%02d" % vids_stream if vids_stream is not None else None
+        frames = [f for pre, f in raw_frames if pre == want]
         if compression is not None and compression != b"MJPG":
             raise NotImplementedError(
                 f"AVI video stream compression {compression!r}: only MJPG is "

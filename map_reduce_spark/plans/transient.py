@@ -55,15 +55,19 @@ def release_transient(mark: int = 0) -> int:
     """Unpersist (non-blocking) every frame enrolled at or after list
     position ``mark`` (default: all); returns the count released.
 
-    Also marks a QUERY BOUNDARY for the session cache: the
-    recent-working-set eviction protection exists only for
-    index-chain touches inside one query's build (see
-    sources/cache.py), so it resets here — harness loops call this
+    Also marks a QUERY BOUNDARY for the session cache — but only on
+    FULL drains (``mark == 0``): the recent-working-set eviction
+    protection exists for index-chain touches inside one query's
+    build (see sources/cache.py), and a partial release from a
+    nested ``transient_scope(mark>0)`` exited between an outer
+    caller's index touches must NOT clear that protection mid-build
+    (ADVICE r11). Harness loops call with the default ``mark=0``
     between queries, which is exactly the protection's intended
     scope."""
-    from map_reduce_spark.sources import cache as _session_cache
+    if mark == 0:
+        from map_reduce_spark.sources import cache as _session_cache
 
-    _session_cache.query_boundary()
+        _session_cache.query_boundary()
     n = max(0, len(_LIVE) - mark)
     while len(_LIVE) > mark:
         df = _LIVE.pop()

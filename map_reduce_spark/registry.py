@@ -183,9 +183,11 @@ _CHECK_FIRST = [
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this
 # comment — see git history of this file. Current tail composition
-# after the r9 rotation: every demoted entry is driver-green on an
-# unchanged builder (the newest evidence r8, the oldest now r5) and
-# all remain oracle-gated at sf0.01 by tools/check_oracle.py every
+# after the r11 rotation (recomputed from CORRECTNESS_r*.json by the
+# r11 judge and re-verified): every demoted entry is driver-green on
+# an unchanged builder; evidence-age histogram r8x32, r9x44, r10x40,
+# r11x50 — the OLDEST driver evidence anywhere is r8 — and all
+# remain oracle-gated at sf0.01 by tools/check_oracle.py every
 # round.
 
 

@@ -565,6 +565,72 @@ def test_avi_mjpeg_roundtrip():
         assert float(np.mean((dec.astype(float) - src.astype(float)) ** 2)) < 9.0
 
 
+def test_avi_encoder_does_not_advertise_missing_index():
+    """dwFlags must be 0: no idx1 chunk is written, so AVIF_HASINDEX
+    (0x10) would point strict readers at a nonexistent index
+    (ADVICE r11)."""
+    import struct
+
+    from map_reduce_spark.functions.multimodal import encode_avi_mjpeg
+
+    payload = encode_avi_mjpeg(_gradient_frames(2), fps=2)
+    assert b"idx1" not in payload
+    body = payload.find(b"avih") + 8
+    flags = struct.unpack_from("<I", payload, body + 12)[0]
+    assert flags & 0x10 == 0
+
+
+def test_avi_multistream_decode_binds_strf_and_frames_to_vids_stream():
+    """An AVI with an audio strl FIRST (stream 00: 'auds' strh + an
+    18-byte-padded-to-20 WAVEFORMATEX strf) and the video as stream
+    01 must decode fps/compression from the VIDS strl only and return
+    only the '01dc' frame chunks — not mix in '00wb' audio blobs or
+    misread the audio strf as biCompression (ADVICE r11)."""
+    import struct
+
+    from map_reduce_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    frames = _gradient_frames(3)
+    jpegs = [encode_jpeg(f, quality=85) for f in frames]
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    auds_strh = struct.pack(
+        "<4s4sIHH8I4h", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+        1, 8000, 0, 8000, 16000, 0, 1, 0, 0, 0, 0,
+    )
+    # 20-byte audio strf: would alias biCompression at offset 16 if
+    # the decoder ignored stream structure
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\x00" * 4
+    vids_strh = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, 5, 0, len(jpegs), max(len(j) for j in jpegs), 0xFFFF, 0, 0, 0, 16, 8,
+    )
+    vids_strf = struct.pack("<Iii2H4sIiiII", 40, 16, 8, 1, 24, b"MJPG", 16 * 8 * 3, 0, 0, 0, 0)
+    avih = struct.pack("<14I", 200_000, 0, 0, 0, len(jpegs), 0, 2, 0, 16, 8, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf)),
+    )
+    movi_body = b""
+    for j in jpegs:
+        movi_body += chunk(b"00wb", b"\x00\x01" * 100)  # interleaved audio
+        movi_body += chunk(b"01dc", j)
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fps, got = MediaDecoder.decode_avi_mjpeg(payload)
+    assert fps == 5 and len(got) == 3
+    for src, j in zip(frames, got):
+        assert decode_jpeg(j).shape == src.shape
+
+
 def test_non_mjpeg_avi_is_the_documented_boundary():
     """An AVI whose video stream is not MJPG (MP4/H.264 territory)
     must raise, not silently byte-slice."""

@@ -39,7 +39,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--batches", type=int, default=6)
     ap.add_argument("--probe-stride", type=int, default=25)
-    ap.add_argument("--out", default="SIM_INGEST_LADDER_r11.json")
+    ap.add_argument("--out", default="SIM_INGEST_LADDER_r12.json")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -123,18 +123,18 @@ def main() -> int:
         asof = asof.unionAll(b)
     result["ladder"] = ladder
 
-    # value cross-check at full probe width: frozen-quantizer
-    # maintained results must equal a fresh exact search over the
-    # final corpus minus the last batch (cell structure is irrelevant
-    # at n_probe = N_CELLS)
-    k = args.batches - 1
-    b, p = batch_frame(k), probes_of(batch_frame(k))
-    asof_prev = emb.filter(F.col("vec_id") < stream_ids[k * per])
-    full_idx = SimIngestIndex(spark, "sim_ladder_xchk")
-    full_idx.bootstrap(asof_prev)
-    got = [tuple(r) for r in full_idx.probe(p, N_CELLS).collect()]
-    reb_idx = SimIngestIndex(spark, "sim_ladder_xchk2").bootstrap(asof_prev)
-    want = [tuple(r) for r in reb_idx.probe(p, N_CELLS).collect()]
+    # value cross-check at full probe width (ADVICE r11: the check
+    # must exercise the MAINTAINED index, not two fresh bootstraps
+    # over the same corpus — those share a plan and are vacuously
+    # equal). After the loop, ``idx`` holds the FULL corpus appended
+    # epoch-by-epoch under the quantizer frozen at bootstrap; a fresh
+    # rebuild over the same corpus trains a DIFFERENT quantizer, so
+    # equality is asserted at n_probe = N_CELLS, where cell structure
+    # cannot change the exact top-k.
+    p = probes_of(batch_frame(args.batches - 1))
+    got = sorted(tuple(r) for r in idx.probe(p, N_CELLS).collect())
+    reb_idx = SimIngestIndex(spark, "sim_ladder_xchk").bootstrap(emb)
+    want = sorted(tuple(r) for r in reb_idx.probe(p, N_CELLS).collect())
     result["crosscheck_rows"] = len(got)
     result["crosscheck_ok"] = got == want
     assert result["crosscheck_ok"], "full-probe maintained != rebuild"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from map_reduce_spark.operators.text_rel import tokens_col
 from map_reduce_spark.registry import register
@@ -182,21 +183,32 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     No cross join at any scale; worst case is a hot shingle, which
     AQE skew-split handles (and a frequency cap would bound).
     """
+    from map_reduce_spark.plans.hints import merge_when_big_bytes
+
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        # merge hint: corpus-sized self-join — never broadcastable
-        # (see dedup_minhash_lsh, r11)
-        a.hint("merge")
+        # SIZE-GATED merge hint (r12, was unconditional r11): the
+        # shingle self-join side is corpus-sized — never
+        # broadcastable once the corpus text alone exceeds the
+        # broadcast threshold, whatever its compressed cache stats
+        # claim; under the threshold AQE keeps its broadcast freedom
+        # (see plans/hints.py).
+        merge_when_big_bytes(a, spark, sf_dir, "documents", ("text",))
         .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _verify_jaccard(common, sizes)
+    return _verify_jaccard(common, sizes, spark, sf_dir)
 
 
-def _verify_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
+def _verify_jaccard(
+    common: DataFrame,
+    sizes: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
     """Join per-doc shingle counts onto candidate pairs and keep pairs
     at jaccard >= JACCARD_THRESHOLD.
 
@@ -205,9 +217,27 @@ def _verify_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
     forced broadcast hint: plain equi-joins on doc_a/doc_b let AQE
     broadcast when the table is genuinely small and shuffle otherwise
     (pinned by tests/test_plans.py::test_no_forced_per_document_broadcast).
-    """
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+
+    SIZE-GATED merge (r12): "genuinely small" must be judged from the
+    source table's footer stats, not AQE's compressed runtime stats —
+    at sf10 the 6 M-row sizes frame's ~50 MB compressed stats sat
+    under the 64 MB threshold while its broadcast hash relation is
+    ~400 MB, and the relation build OOM'd a loaded 16 GB heap
+    mid-sweep on the unchanged r11 tree (deterministically, twice —
+    the same stats-underpricing class as the r11 shingle-table
+    broadcasts, at the next join downstream). ``merge_when_big`` pins
+    sort-merge only when footer-rows x relation-bytes/row exceeds the
+    threshold, so sf0.01–0.1 plans keep their AQE broadcast."""
+    from map_reduce_spark.plans.hints import merge_when_big
+
+    sa = merge_when_big(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        spark, sf_dir, "documents",
+    )
+    sb = merge_when_big(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+        spark, sf_dir, "documents",
+    )
     jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         common.join(sa, "doc_a")
@@ -304,17 +334,20 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_dedup.py``); the oracle replicates the capped
     semantics so the equality here is exact by construction.
     """
+    from map_reduce_spark.plans.hints import merge_when_big_bytes
+
     rare = capped_shingles(spark, sf_dir)
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = rare.alias("a"), rare.alias("b")
     common = (
-        # merge hint: corpus-sized self-join (see dedup_minhash_lsh)
-        a.hint("merge")
+        # size-gated merge hint: corpus-sized self-join (r12; see
+        # dedup_ngram_jaccard_pairs)
+        merge_when_big_bytes(a, spark, sf_dir, "documents", ("text",))
         .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _verify_jaccard(common, sizes)
+    return _verify_jaccard(common, sizes, spark, sf_dir)
 
 
 @session_cached
@@ -388,19 +421,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    from map_reduce_spark.plans.hints import merge_when_big, merge_when_big_bytes
+
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
-        # MERGE hint (r11): both sides of the bucket self-join are
-        # corpus-sized (docs x N_BANDS rows), so a broadcast is
+        # SIZE-GATED merge hint (r11 unconditional, gated r12): both
+        # sides of the bucket self-join are corpus-sized (docs x
+        # N_BANDS rows), so past the threshold a broadcast is
         # categorically the wrong plan — yet AQE promoted it at sf10
         # whenever the banded side's compressed shuffle stats dipped
         # under the 64 MB threshold, and the 5M-row driver-side hash
         # build OOM'd a loaded 16 GB heap mid-sweep (it only ever
         # succeeded by heap luck). Sort-merge on (band, sig) is the
         # plan a 100 TB corpus runs: zero driver memory, AQE
-        # skew-split still applies. Pinned by
+        # skew-split still applies. The gate (plans/hints.py) prices
+        # the banded frame from footer rows x N_BANDS — honest
+        # uncompressed arithmetic, immune to cache-stat underpricing
+        # — and leaves genuinely-small corpora to AQE. Pinned by
         # tests/test_plans.py::test_minhash_band_join_never_broadcasts.
-        x.hint("merge")
+        merge_when_big(
+            x, spark, sf_dir, "documents", rows_per_table_row=N_BANDS
+        )
         .join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -413,28 +454,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact verification of candidates only (candidate set is tiny
     # relative to n^2, so this join is cheap). The shingle sides are
-    # merge-hinted (r11): doc_shingles is session-cached, and a
-    # MATERIALIZED InMemoryRelation reports its COMPRESSED columnar
-    # sizeInBytes — at sf10 the 32M-row shingle table compresses under
-    # the 64 MB broadcast threshold, so once an earlier query had
-    # built the cache, the static planner broadcast the whole corpus
-    # shingle table here and the multi-GB driver-side hash build OOM'd
-    # the sweep (solo runs planned before materialization and never
-    # hit it). Corpus-sized frames are never broadcastable, whatever
-    # their compressed stats say.
+    # size-gate merge-hinted (unconditional r11, gated r12):
+    # doc_shingles is session-cached, and a MATERIALIZED
+    # InMemoryRelation reports its COMPRESSED columnar sizeInBytes —
+    # at sf10 the 32M-row shingle table compresses under the 64 MB
+    # broadcast threshold, so once an earlier query had built the
+    # cache, the static planner broadcast the whole corpus shingle
+    # table here and the multi-GB driver-side hash build OOM'd the
+    # sweep (solo runs planned before materialization and never hit
+    # it). The gate prices the frame from the corpus text's
+    # UNCOMPRESSED footer bytes — a lower bound on the exploded
+    # shingle frame — so past the threshold the hint pins merge
+    # whatever the cache stats say, and under it AQE keeps its
+    # small-corpus broadcast.
     sh = doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (
-        candidates.join(a.hint("merge"), candidates.doc_a == F.col("a.doc_id"))
+        candidates.join(
+            merge_when_big_bytes(a, spark, sf_dir, "documents", ("text",)),
+            candidates.doc_a == F.col("a.doc_id"),
+        )
         .join(
-            b.hint("merge"),
+            merge_when_big_bytes(b, spark, sf_dir, "documents", ("text",)),
             (candidates.doc_b == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _verify_jaccard(pair_common, sizes)
+    return _verify_jaccard(pair_common, sizes, spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -543,13 +591,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.val").alias("val"),
     )
+    from map_reduce_spark.plans.hints import merge_when_big
+
     x, y = banded.alias("x"), banded.alias("y")
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     return (
-        # merge hint: same corpus-sized bucket self-join as the
-        # minhash band join — broadcast is never the right side here
-        # (see dedup_minhash_lsh, r11).
-        x.hint("merge")
+        # size-gated merge hint: same corpus-sized bucket self-join as
+        # the minhash band join (docs x 7 band rows) — broadcast is
+        # never the right side past the threshold (r12; see
+        # dedup_minhash_lsh).
+        merge_when_big(
+            x, spark, sf_dir, "documents",
+            rows_per_table_row=_SIMHASH_N_BANDS,
+        )
         .join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -997,13 +1051,29 @@ _PLANT_EPS = 0.01
 _HI_N_BANDS = 4
 _HI_BAND_BITS = 16
 
-@session_cached
+@session_cached(level=StorageLevel.DISK_ONLY)
 def _augmented_sketched_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ∪ planted near-copies with hoisted norms + sign sketches,
     persisted via ``session_cached`` — the hi-threshold query's plan
     references it four times (two band explodes + two vector-payload
     rejoins), so an unpersisted subtree would re-run the union, the
-    norm aggregate, and the sketch UDF per reference."""
+    norm aggregate, and the sketch UDF per reference.
+
+    DISK_ONLY (r12, verdict item 1): this is the one dense
+    vector-payload cache whose first consumer runs an expensive
+    sort-heavy build over it (the banded pair join + two payload
+    rejoins of ``embedding_hi_pairs``). Holding ~GBs of double
+    payloads in the JVM storage pool made that build's cost a
+    function of accumulated heap state — 47.6 s solo vs 97.5 s after
+    a 16-query sf10 prefix (2.05x, the one r11 watchlist residual;
+    SF10_SINGLE_SESSION_r11.json residual_decomposition). On disk
+    the frame's bytes live in the OS page cache (read speed ~memory
+    on a warm node), the storage pool stays free for the build's own
+    execution memory, and the build cost stops depending on session
+    heap state. The downstream caches this feeds
+    (``embedding_hi_pairs``, ``semantic_cc_labels``) stay
+    memory-resident — they are id-pair/label-sized, not
+    payload-sized."""
     from map_reduce_spark.functions.similarity import _sketch
 
     emb = load_spread(spark, sf_dir, "embeddings").select(
@@ -1047,10 +1117,15 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sketch_bands(F.col("sketch"), 1, _HI_N_BANDS, _HI_BAND_BITS)
         ).alias("bs"),
     ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    from map_reduce_spark.plans.hints import merge_when_big
+
     cand = (
-        # merge hint: both band frames are corpus-derived (see
-        # dedup_minhash_lsh, r11)
-        probe_bands.hint("merge")
+        # size-gated merge hint: both band frames are corpus-derived,
+        # ~1.1 x vecs x n_bands rows (r12; see dedup_minhash_lsh)
+        merge_when_big(
+            probe_bands, spark, sf_dir, "embeddings",
+            rows_per_table_row=1.1 * _HI_N_BANDS,
+        )
         .join(index_bands, ["band", "val"])
         .filter(F.col("ia") < F.col("ib"))
         .select("ia", "ib")
@@ -1062,13 +1137,21 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = aug.select(
         F.col("vec_id").alias("ib"), F.col("dv").alias("dvb"), F.col("norm").alias("nb")
     )
+    # dense-payload row estimate for the gate: 64 float64 dims + norm
+    # ~= 520 B of data per row -> ~1 KiB in a hash relation
+    def dense(df):
+        return merge_when_big(
+            df, spark, sf_dir, "embeddings",
+            bytes_per_row=1024, rows_per_table_row=1.1,
+        )
+
     return (
-        # merge hints: a/b carry the cached corpus's dense vectors —
-        # compressed cache stats can sit under the broadcast
-        # threshold while the deserialized build is GBs (see
-        # dedup_minhash_lsh, r11)
-        cand.join(a.hint("merge"), "ia")
-        .join(b.hint("merge"), "ib")
+        # size-gated merge hints: a/b carry the cached corpus's dense
+        # vectors — compressed cache stats can sit under the
+        # broadcast threshold while the deserialized build is GBs
+        # (r12; see dedup_minhash_lsh)
+        cand.join(dense(a), "ia")
+        .join(dense(b), "ib")
         .withColumn(
             "cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb"))
         )
@@ -1591,15 +1674,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rare = sh.join(hot, "sh", "left_anti")
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from map_reduce_spark.plans.hints import merge_when_big_bytes
+
     common = (
-        # merge hint on the existing-corpus side: rare derives from
-        # the session-cached shingle table whose compressed cache
-        # stats can dip under the broadcast threshold (see
-        # dedup_minhash_lsh, r11) — the existing side is
-        # corpus-sized, never broadcastable
+        # size-gated merge hint on the existing-corpus side: rare
+        # derives from the session-cached shingle table whose
+        # compressed cache stats can dip under the broadcast
+        # threshold (r12; see dedup_minhash_lsh) — the existing side
+        # is corpus-sized, never broadcastable past the threshold
         rare.filter(is_inc)
         .alias("i")
-        .join(rare.filter(~is_inc).hint("merge").alias("e"), F.col("i.sh") == F.col("e.sh"))
+        .join(
+            merge_when_big_bytes(
+                rare.filter(~is_inc), spark, sf_dir, "documents", ("text",)
+            ).alias("e"),
+            F.col("i.sh") == F.col("e.sh"),
+        )
         .groupBy(
             F.col("i.doc_id").alias("inc_doc"), F.col("e.doc_id").alias("ex_doc")
         )

@@ -192,6 +192,7 @@ class DedupIngestIndex:
         self.post_t = f"{name}_post"
         self.fp_t = f"{name}_fp"
         self.dfp_t = f"{name}_dfp"
+        self.tomb_t = f"{name}_tomb"
         self.verd_t = f"{name}_verdicts"
         self._seq = 0
 
@@ -225,21 +226,125 @@ class DedupIngestIndex:
         from urllib.parse import urlparse
 
         warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
-        for t in (self.post_t, self.fp_t, self.dfp_t, self.verd_t):
+        for t in (self.post_t, self.fp_t, self.dfp_t, self.tomb_t, self.verd_t):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             loc = urlparse(f"{warehouse}/{t}").path
             shutil.rmtree(loc, ignore_errors=True)
         self._seq = 0
         self._append_delta(corpus, "overwrite")
+        self.spark.createDataFrame([], "doc_id long").write.format(
+            "parquet"
+        ).mode("overwrite").saveAsTable(self.tomb_t)
         return self
+
+    def delete(self, ids: DataFrame) -> None:
+        """Retract documents from the index — takedowns / license
+        revocations (r11 verdict item 5). ``ids`` is a (doc_id) frame
+        of CURRENTLY-INDEXED documents.
+
+        Logical deletion in two appends, no corpus-sized rewrite:
+
+        1. NEGATIVE df partials: the deleted docs' postings (read
+           from the bucketed postings table itself — a takedown
+           carries ids, not text; the semi-join probes with a
+           broadcast of the delete batch, so the index side scans in
+           bucket layout, zero Exchange) are aggregated per shingle
+           and appended to ``<name>_dfp`` with NEGATED counts. The
+           probe-time df — the co-bucketed sum of partials — then
+           prices the post-delete corpus exactly, so a shingle whose
+           hotness was due to deleted boilerplate can drop back
+           under the cap with no vocabulary rewrite.
+        2. TOMBSTONES: ids append to ``<name>_tomb``; every probe
+           read of the fingerprint and postings tables excludes
+           tombstoned docs via a broadcast anti-join (the tombstone
+           set is takedown-sized — operator-bounded, not
+           corpus-proportional; ``compact`` bounds it over time).
+
+        Physical removal is ``compact``'s job — the
+        Delta/Iceberg-style separation of logical delete (cheap,
+        immediate) from storage reclamation (batched, off the
+        serving path)."""
+        # idempotence guard: re-deleting an already-tombstoned doc
+        # must not subtract its df mass twice. localCheckpoint pins
+        # the filtered id set BEFORE the tombstone append below
+        # (whose sink is a table this plan reads) and keeps the neg
+        # aggregation's broadcast side stable across both writes.
+        ids = (
+            ids.select("doc_id")
+            .join(self.spark.table(self.tomb_t), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        ids.write.format("parquet").mode("append").saveAsTable(self.tomb_t)
+        neg = (
+            self.spark.table(self.post_t)
+            .join(F.broadcast(ids), "doc_id", "left_semi")
+            .groupBy("sh")
+            .agg((-F.count(F.lit(1))).alias("cnt"))
+        )
+        self._write(neg, self.dfp_t, "sh", "append")
+
+    def compact(self) -> None:
+        """Physically reclaim deleted rows and per-epoch small files:
+        rewrite each bucketed state table minus tombstoned docs (df
+        partials re-aggregate to one row per shingle), then truncate
+        the tombstone list. The rewrite is EXCHANGE-FREE — each table
+        reads in its own bucket layout and writes back under the same
+        ``bucketBy``, so no shuffle at any size — and lands via
+        write-temp / drop / rename (Spark cannot overwrite a table
+        from a plan that reads it). N append epochs leave N files per
+        bucket and probe plans degrade with file count
+        (COMPACTION_LADDER_r12.json measures the decay and the
+        post-compact recovery); a real deployment runs this on the
+        maintenance cadence, not per batch."""
+        def rewrite(df: DataFrame, table: str, key: str) -> None:
+            tmp = f"{table}_compacting"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            self._write(df, tmp, key, "overwrite")
+            self.spark.sql(f"DROP TABLE {table}")
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+        tomb = F.broadcast(self.spark.table(self.tomb_t))
+        rewrite(
+            self.spark.table(self.post_t).join(tomb, "doc_id", "left_anti"),
+            self.post_t,
+            "sh",
+        )
+        rewrite(
+            self.spark.table(self.fp_t).join(tomb, "doc_id", "left_anti"),
+            self.fp_t,
+            "f",
+        )
+        # df partials recompute FROM the just-compacted postings (a
+        # fresh read AFTER the rename — the pre-rewrite plan's file
+        # listing is gone), not by summing the old partials: one
+        # bucket-local count per shingle, and any partial-write drift
+        # a crash between delete()'s two appends could leave behind
+        # heals here instead of persisting.
+        rewrite(
+            self.spark.table(self.post_t)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("cnt")),
+            self.dfp_t,
+            "sh",
+        )
+        self.spark.createDataFrame([], "doc_id long").write.format(
+            "parquet"
+        ).mode("overwrite").saveAsTable(self.tomb_t)
 
     # -- the ingest loop ---------------------------------------------------
     def probe(self, batch: DataFrame) -> DataFrame:
         """Verdicts for ``batch`` against the CURRENT index, without
         maintenance — one lazy plan over the bucketed tables."""
-        post = self.spark.table(self.post_t)
+        # Tombstone exclusion (r12): deleted docs stay physically
+        # present until compact(), so every index read drops them via
+        # a broadcast anti-join — the tombstone set is takedown-sized
+        # by contract. The df partials need no filter: delete()
+        # appended the deleted docs' mass as NEGATIVE partials, so
+        # the co-bucketed sum below already prices the live corpus.
+        tomb = F.broadcast(self.spark.table(self.tomb_t))
+        post = self.spark.table(self.post_t).join(tomb, "doc_id", "left_anti")
         dfp = self.spark.table(self.dfp_t)
-        fp_e = self.spark.table(self.fp_t)
+        fp_e = self.spark.table(self.fp_t).join(tomb, "doc_id", "left_anti")
         # Current df = zero-Exchange co-bucketed sum of the partials;
         # the hot list is heavy-tail-sized, broadcast into the three
         # anti joins below.
@@ -329,30 +434,52 @@ class DedupIngestIndex:
 # deterministic, fixture-independent):
 #   bootstrap corpus : doc_id % 8 NOT IN (1, 3, 5)   (~5/8 of docs)
 #   batch 0          : doc_id % 8 = 1
+#   DELETE epoch     : doc_id % 16 = 8  (takedown of bootstrap docs)
 #   batch 1          : doc_id % 8 = 3
 #   batch 2          : doc_id % 8 = 5
 # Each batch is probed against the index AS OF its epoch (bootstrap
-# plus all earlier batches) and then folded in — so batch 1 can match
-# batch 0's documents, which is precisely the maintained-state
+# plus all earlier batches, minus any docs deleted by then) and then
+# folded in — so batch 1 can match batch 0's documents but NOT a
+# taken-down bootstrap doc, which is precisely the maintained-state
 # semantics a single self-contained plan cannot express and the
 # reason this entry runs the real DedupIngestIndex loop.
 _EPOCH_MODS = (1, 3, 5)
+# Retraction epoch (r11 verdict item 5): after batch 0 folds in, the
+# docs with doc_id % 16 == 8 (a deterministic slice of the BOOTSTRAP
+# corpus — residue 0 mod 8 is never a batch residue; chosen because
+# this slice contains later batches' best-match docs at ALL THREE
+# gate scales, so the delete epoch is non-vacuous: verdicts provably
+# differ from the no-delete history) are taken down.
+# Batches 1 and 2 probe the index as of (bootstrap + batch 0) MINUS
+# the deleted docs; the oracle recomputes each epoch from exactly
+# that merged (insert - delete) corpus, so the hash gate certifies
+# the tombstone exclusion AND the negative-df repricing, not just
+# appends.
+_DELETE_MOD16 = 8
+_DELETE_AFTER_BATCH = 0  # deletion lands between batch 0 and batch 1
 
 
 def _epoch_block(k: int) -> str:
     """One epoch's verdict CTE chain (DuckDB): the incremental-dedup
     oracle of dedup.py parameterized by epoch membership. The
     existing side at epoch k is everything except this and later
-    batches' residues."""
+    batches' residues, minus the deleted docs once the retraction
+    epoch has passed."""
     later = ", ".join(str(m) for m in _EPOCH_MODS[k:])
     inc = _EPOCH_MODS[k]
+    dead = (
+        f" AND NOT (doc_id % 16 = {_DELETE_MOD16})"
+        if k > _DELETE_AFTER_BATCH
+        else ""
+    )
+    e_dead = dead.replace("doc_id", "e.doc_id")
     return f"""
     exact{k} AS (
         SELECT i.doc_id, min(e.doc_id) AS exact_match
-        FROM fp i JOIN fp e ON i.f = e.f AND e.doc_id % 8 NOT IN ({later})
+        FROM fp i JOIN fp e ON i.f = e.f AND e.doc_id % 8 NOT IN ({later}){e_dead}
         WHERE i.doc_id % 8 = {inc} GROUP BY i.doc_id),
     hot{k} AS (
-        SELECT sh FROM shingles WHERE doc_id % 8 NOT IN ({later})
+        SELECT sh FROM shingles WHERE doc_id % 8 NOT IN ({later}){dead}
         GROUP BY sh HAVING count(*) > {SHINGLE_DF_CAP}),
     rare{k} AS MATERIALIZED (
         SELECT doc_id, sh FROM shingles
@@ -362,7 +489,7 @@ def _epoch_block(k: int) -> str:
     common{k} AS (
         SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc, count(*) AS n_common
         FROM rare{k} i JOIN rare{k} e ON i.sh = e.sh
-        WHERE i.doc_id % 8 = {inc} AND e.doc_id % 8 NOT IN ({later})
+        WHERE i.doc_id % 8 = {inc} AND e.doc_id % 8 NOT IN ({later}){e_dead}
         GROUP BY 1, 2),
     near{k} AS (
         SELECT inc_doc, ex_doc,
@@ -423,6 +550,12 @@ def _ingest_epoch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.bootstrap(docs.filter(~residue.isin(*_EPOCH_MODS)))
     for seq, m in enumerate(_EPOCH_MODS):
         idx.ingest(docs.filter(residue == m))
+        if seq == _DELETE_AFTER_BATCH:
+            idx.delete(
+                docs.filter(F.col("doc_id") % 16 == _DELETE_MOD16).select(
+                    "doc_id"
+                )
+            )
     return (
         spark.table(idx.verd_t)
         .select("batch_seq", "doc_id", "verdict", "match_doc", "jaccard")
@@ -433,21 +566,26 @@ def _ingest_epoch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_ingest_epochs", oracle_sql=_INGEST_EPOCHS_SQL)
 def dedup_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained-index ingest loop as a driver-gated query (r9
-    verdict item 5): bootstrap the bucketed fingerprint / postings /
-    df-partial indexes on ~5/8 of the corpus, then ingest three fixed
-    micro-batches in sequence — each probed against the index AS OF
-    its epoch (so later batches can match earlier batches' documents,
-    the genuinely stateful semantics no single lazy plan expresses),
-    each folded into the index afterwards. Returns the durable
-    verdict log: (batch_seq, doc_id, verdict, match_doc, jaccard).
+    verdict item 5; delete epoch r12, r11 verdict item 5): bootstrap
+    the bucketed fingerprint / postings / df-partial indexes on ~5/8
+    of the corpus, ingest batch 0, RETRACT a deterministic slice of
+    the bootstrap docs (doc_id % 16 == 8 — tombstones + negative df
+    partials, the takedown path a real corpus pipeline needs), then
+    ingest batches 1 and 2 — each probed against the index AS OF its
+    epoch (so later batches can match earlier batches' documents but
+    never a taken-down doc), each folded into the index afterwards.
+    Returns the durable verdict log: (batch_seq, doc_id, verdict,
+    match_doc, jaccard).
 
     The DuckDB oracle recomputes every epoch's verdicts from the
-    merged corpus with the incremental-dedup SQL parameterized by
-    epoch membership — equality holds ONLY if the maintained index
-    tracked exactly the right state at every step (no batch seeing
-    itself, no stale df, no lost appends), which is what puts the
-    ingest loop on the hash gate rather than pytest alone (the same
-    sanction that promoted the streaming checkpoint-recovery replay).
+    merged (insert - delete) corpus with the incremental-dedup SQL
+    parameterized by epoch membership — equality holds ONLY if the
+    maintained index tracked exactly the right state at every step
+    (no batch seeing itself, no stale df, no lost appends, no
+    deleted doc serving after its takedown and no live doc mispriced
+    by the negative partials), which is what puts the ingest loop on
+    the hash gate rather than pytest alone (the same sanction that
+    promoted the streaming checkpoint-recovery replay).
 
     DEFERRED + session-cached: the loop materializes verdicts before
     each append by necessity (see DedupIngestIndex.ingest); one run

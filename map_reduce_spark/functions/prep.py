@@ -362,13 +362,22 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_sh = (
         sh.filter(F.col("bucket") >= 90).select("sh").distinct().withColumn("hit", F.lit(1))
     )
+    from map_reduce_spark.plans.hints import merge_when_big_bytes
+
     ratio = F.col("n_shared") / F.col("n_shingles")
     return (
-        # merge hint: test_sh is 10% of the corpus's distinct
-        # shingles — corpus-proportional, never broadcastable
-        # (cached-stats hazard, see dedup.dedup_minhash_lsh r11)
+        # size-gated merge hint: test_sh is 10% of the corpus's
+        # distinct shingles — corpus-proportional, never
+        # broadcastable past the threshold (cached-stats hazard, see
+        # dedup.dedup_minhash_lsh; gate r12, plans/hints.py)
         sh.filter(F.col("bucket") < 90)
-        .join(test_sh.hint("merge"), "sh", "left")
+        .join(
+            merge_when_big_bytes(
+                test_sh, spark, sf_dir, "documents", ("text",), factor=0.1
+            ),
+            "sh",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

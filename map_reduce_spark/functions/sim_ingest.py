@@ -133,6 +133,7 @@ class SimIngestIndex:
         self.spark = spark
         self.n_buckets = n_buckets
         self.cells_t = f"{name}_cells"
+        self.tomb_t = f"{name}_tomb"
         self.res_t = f"{name}_results"
         self.centroids: list[list[float]] | None = None
         self._seq = 0
@@ -167,13 +168,58 @@ class SimIngestIndex:
         from urllib.parse import urlparse
 
         warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
-        for t in (self.cells_t, self.res_t):
+        for t in (self.cells_t, self.tomb_t, self.res_t):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(urlparse(f"{warehouse}/{t}").path, ignore_errors=True)
         self._seq = 0
         self.centroids = train_centroids(corpus)
         self._append_cells(corpus, "overwrite")
+        self.spark.createDataFrame([], "vec_id long").write.format(
+            "parquet"
+        ).mode("overwrite").saveAsTable(self.tomb_t)
         return self
+
+    def delete(self, ids: DataFrame) -> None:
+        """Retract vectors from the index (r11 verdict item 5 — the
+        ANN twin of DedupIngestIndex.delete): a takedown carries ids
+        only, so deletion is a tombstone append; every probe excludes
+        tombstoned vectors via a broadcast anti-join (the tombstone
+        set is takedown-sized by contract), and ``compact`` reclaims
+        the cell rows physically. The frozen quantizer is untouched —
+        deletion changes cell OCCUPANCY, not cell geometry, exactly
+        as in FAISS/Milvus IVF deletes."""
+        (
+            ids.select("vec_id")
+            .join(self.spark.table(self.tomb_t), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+            .write.format("parquet")
+            .mode("append")
+            .saveAsTable(self.tomb_t)
+        )
+
+    def compact(self) -> None:
+        """Physically drop tombstoned cell rows and per-epoch small
+        files: one exchange-free rewrite (bucket-layout read ->
+        same-``bucketBy`` write via write-temp / drop / rename), then
+        truncate the tombstones. Off the serving path — probes are
+        correct before and after; compaction only restores file-count
+        and scan-size floors (COMPACTION_LADDER_r12.json)."""
+        tmp = f"{self.cells_t}_compacting"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (
+            self.spark.table(self.cells_t)
+            .join(F.broadcast(self.spark.table(self.tomb_t)), "vec_id", "left_anti")
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(self.n_buckets, "cell")
+            .sortBy("cell")
+            .saveAsTable(tmp)
+        )
+        self.spark.sql(f"DROP TABLE {self.cells_t}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.cells_t}")
+        self.spark.createDataFrame([], "vec_id long").write.format(
+            "parquet"
+        ).mode("overwrite").saveAsTable(self.tomb_t)
 
     def probe(self, probes: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
         """Top-k over the CURRENT index for each (vec_id, embedding)
@@ -181,8 +227,17 @@ class SimIngestIndex:
         bucketed cell table. Probe vectors are broadcast (query loads
         are batch-sized); the index side reads in bucket layout and
         never shuffles."""
-        index = self.spark.table(self.cells_t).select(
-            F.col("vec_id").alias("neighbor_id"), "dv", "norm", "cell"
+        index = (
+            self.spark.table(self.cells_t)
+            # tombstone exclusion (r12): deleted vectors stay physical
+            # until compact(); the anti-join side is takedown-sized
+            # and broadcast, so the index scan stays shuffle-free
+            .join(
+                F.broadcast(self.spark.table(self.tomb_t)),
+                "vec_id",
+                "left_anti",
+            )
+            .select(F.col("vec_id").alias("neighbor_id"), "dv", "norm", "cell")
         )
         p = self._assign(probes, n_probe, "cells").select(
             F.col("vec_id").alias("probe_id"),
@@ -261,6 +316,16 @@ class SimIngestIndex:
 # 0's vectors) and then folded in: the maintained-state semantics a
 # single lazy plan cannot express.
 _EPOCH_MODS = (1, 3, 5)
+# Retraction epoch (r12, r11 verdict item 5 — mirrors
+# dedup_ingest's schedule): after batch 0 folds in, vectors with
+# vec_id % 16 == 2 (a bootstrap slice — residue 2 mod 8 is never a
+# batch residue) are taken down; batches 1 and 2 search the index
+# minus the deleted vectors. The pytest full-probe differential
+# recomputes each epoch's brute-force reference from the merged
+# (insert - delete) corpus, so the tombstone exclusion is certified
+# at n_probe = N_CELLS exactly like the append path.
+_DELETE_MOD16 = 2
+_DELETE_AFTER_BATCH = 0
 
 
 def _epoch_frames(
@@ -295,8 +360,14 @@ def run_ingest_epochs(
     idx = SimIngestIndex(spark, f"sim_ingest_{key}")
     boot, batches = _epoch_frames(spark, sf_dir)
     idx.bootstrap(boot)
-    for batch, probes in batches:
+    for seq, (batch, probes) in enumerate(batches):
         idx.ingest(batch, probes, n_probe)
+        if seq == _DELETE_AFTER_BATCH:
+            idx.delete(
+                boot.filter(F.col("vec_id") % 16 == _DELETE_MOD16).select(
+                    "vec_id"
+                )
+            )
     return (
         spark.table(idx.res_t)
         .select("batch_seq", "probe_id", "neighbor_id", "score", "rank")
@@ -312,13 +383,17 @@ def _ingest_epoch_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ingest_epochs", oracle_sql=None)
 def sim_ingest_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained-index ANN serving loop as a driver-gated query (r10
-    verdict item 4): train an IVF quantizer on ~5/8 of the embedding
-    corpus, persist the cell-assigned index as a bucketed table, then
-    ingest three fixed vector batches in sequence — each batch's
-    probe subset (4%) is searched top-k against the index AS OF its
-    epoch, results durably sunk, and the batch folded into its cells.
-    Returns the result log: (batch_seq, probe_id, neighbor_id, score,
-    rank).
+    verdict item 4; delete epoch r12, r11 verdict item 5): train an
+    IVF quantizer on ~5/8 of the embedding corpus, persist the
+    cell-assigned index as a bucketed table, then ingest three fixed
+    vector batches in sequence — each batch's probe subset (4%) is
+    searched top-k against the index AS OF its epoch, results
+    durably sunk, and the batch folded into its cells. Between
+    batches 0 and 1 a deterministic bootstrap slice (vec_id % 16 ==
+    2) is RETRACTED (tombstones; the frozen quantizer is untouched —
+    deletes change cell occupancy, not geometry), so batches 1 and 2
+    can never retrieve a taken-down vector. Returns the result log:
+    (batch_seq, probe_id, neighbor_id, score, rank).
 
     Rows-only by construction (the trained centroids are engine-side
     state — the sim_knn_ivf sanction); the correctness gate is the

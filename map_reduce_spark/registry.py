@@ -87,108 +87,106 @@ def register(name: str, oracle_sql: str | None = None):
 # a brand-new entry may wait ONE round in the tail under the local
 # gate and is promoted at the next rotation.
 #
-# r11 rotation — steady-state staleness refresh, second revolution
-# (r10 verdict item 1: oldest driver evidence must reach >= r8).
+# r12 rotation — steady-state staleness refresh, third revolution
+# (r11 verdict item 2: oldest driver evidence must reach >= r9).
 # Evidence ages recomputed from the CORRECTNESS_r*.json artifacts
-# against the live registry: 27 entries carry r7 evidence, 35 r8,
-# nothing older. This window = changed/new builders + the FULL r7
-# cohort + the alphabetical head of the r8 tier:
+# against the live registry at the start of r12: r8 x 32, r9 x 44,
+# r10 x 40, r11 x 50 — nothing older than r8. This window = changed
+# builders + the FULL r8 tier + the ADVICE-r11 append-mode replays +
+# the alphabetical head of the r9 tier:
 #
 # - (c) q1_pricing_summary, the cross-round fixture-drift sentinel.
-# - (a) builders NEW or CHANGED in r11, must (re-)verify: the
-#   retrieval trio (large-probe regime decision wrapped in
-#   DeferredDataFrame, ADVICE r10 — plan construction moved, results
-#   must not), the five complete/update streaming replays (foreachBatch
-#   sink rewritten for batch-id idempotency + recursive read-back;
-#   streaming_stateful_user_totals additionally derives its row bound
-#   from the source file count), sim_ingest_epochs (NEW — the
-#   maintained-index ANN serving loop, r10 verdict item 4; rows-only
-#   by construction, pytest full-probe differential), and the three
-#   media entries (synthetic_media's video rows are now real
-#   MJPEG-in-AVI containers — r10 verdict item 5 — which shifts the
-#   fixture's rng stream for all three; media_sample_frames also
-#   gained decode_ok/n_decoded columns).
-# - STALENESS REFRESH, oldest first: the full r7 cohort (27 —
-#   includes streaming_checkpoint_recovery, which also rides the new
-#   update-mode sink path), then 3 slots for the late-r11
-#   merge-hint-changed dedup builders (see below) and the remaining 7
-#   give the alphabetical head of the r8 tier its refresh early.
+# - (a) builders CHANGED in r12, must re-verify: the two ingest-loop
+#   entries (each gains a RETRACTION epoch — tombstones + negative
+#   df partials for dedup, tombstoned cells for ANN; r11 verdict
+#   item 5 — the dedup oracle now recomputes every epoch from the
+#   merged insert-minus-delete corpus), the embedding-pair-index
+#   consumers (its augmented build-side cache moved to DISK_ONLY —
+#   r11 verdict item 1), the exact-jaccard chain (its sizes joins
+#   now carry the SIZE-GATED merge hint of plans/hints.py — r11
+#   verdict item 4 — replacing AQE's compressed-stats call), the two
+#   cluster entries that waited one round in the tail under the
+#   capacity amendment (dedup_duplicate_clusters /
+#   dedup_cluster_keep_best, r10 hash evidence standing), and the
+#   three media entries (the AVI encoder no longer advertises
+#   AVIF_HASINDEX — ADVICE r11 — shifting every video payload's
+#   bytes).
+# - ADVICE r11: the three APPEND-mode streaming replays, whose
+#   driver evidence predates the r11 per-batch-subdirectory sink
+#   layout the complete/update replays re-verified under.
+# - STALENESS REFRESH: the full r8 tier (32), then the remaining 3
+#   slots start the r9 tier alphabetically.
 #
-# 1 + 3 + 5 + 1 + 3 + 27 + 3 + 7 = 50 exactly.
+# 1 + 11 + 3 + 32 + 3 = 50 exactly.
 #
-# Net registry growth this round: +1 (sim_ingest_epochs) — an
-# r10-verdict deliverable, within the <= 3 budget.
+# Net registry growth this round: 0 (the delete epochs extend
+# existing entries rather than adding rows).
 _CHECK_FIRST = [
     # (c) fixture-drift sentinel (decimal/date lineitem surface)
     "q1_pricing_summary",
-    # (a) new or changed builders — must (re-)verify
-    "rag_chunk_tfidf_search",  # r11: deferred large-probe regime
-    "rag_bm25_search",  # r11: same
-    "rag_rrf_fusion_search",  # r11: composes both + own deferral
-    "streaming_tumbling_type_counts",  # r11: idempotent foreachBatch sink
-    "streaming_sliding_counts",
-    "streaming_session_windows",
-    "streaming_stateful_user_totals",  # r11: + file-derived row bound
-    "streaming_enrich_static",
-    "sim_ingest_epochs",  # r11: NEW — maintained-index ANN ingest
-    "media_feature_stats",  # r11: fixture rng shifted by AVI videos
+    # (a) builders changed in r12 — must re-verify
+    "dedup_ingest_epochs",  # r12: + delete epoch (oracle recomputes)
+    "sim_ingest_epochs",  # r12: + delete epoch (rows-only)
+    "dedup_semantic_clusters",  # r12: DISK_ONLY pair-index input
+    "dedup_embedding_lsh_hi",  # r12: same cache level change
+    "dedup_ngram_jaccard_pairs",  # r12: size-gated sizes-join hints
+    "dedup_jaccard_df_capped",  # r12: same, via _verify_jaccard
+    "dedup_duplicate_clusters",  # capacity-amendment promotion (r11 wait)
+    "dedup_cluster_keep_best",  # capacity-amendment promotion (r11 wait)
+    "media_feature_stats",  # r12: AVI dwFlags=0 shifts payload bytes
     "media_resize_images",
-    "media_sample_frames",  # r11: real MJPEG decode + decode_ok cols
-    # staleness refresh: the full r7 cohort
-    "dedup_exact_substring",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_semantic_clusters",
-    "doc_chunk_for_rag",
-    "doc_decontaminate",
-    "doc_fingerprint",
-    "doc_global_shuffle",
-    "doc_mixture_sample",
-    "doc_pack_sequences",
-    "doc_profile",
-    "doc_scrub_blocklist",
-    "doc_split_assign",
-    "doc_stats_by_lang_source",
-    "doc_wordcount",
-    "events_anomaly_zscore",
-    "events_ordered_funnel",
-    "events_time_weighted_avg",
-    "fuzzy_join_part_names",
-    "q21ish_sole_return_suppliers",
-    "q22ish_idle_customers",
-    "quality_split_drift",
-    "sim_pairwise_label_affinity",
-    "sim_range_search",
-    "sql_unpivot_metrics",
-    "streaming_checkpoint_recovery",
-    "window_first_last_order_values",
-    # (a, late-r11) the banded/shingle self-join merge hints (the
-    # sf10 broadcast-OOM fix) changed these builders' plans — they
-    # displace the tail of the r8 refresh; dedup_duplicate_clusters /
-    # dedup_cluster_keep_best share the hinted pair-index subtree and
-    # wait one round in the tail under the local gate (the capacity
-    # amendment), their r10 hash evidence standing
-    "dedup_jaccard_df_capped",
-    "dedup_simhash_pairs",
-    "dedup_embedding_lsh_hi",
-    # staleness refresh: alphabetical head of the r8 tier (7 slots)
-    "agg_regression_stats",
-    "basket_part_association",
-    "customer_rfm_segments",
-    "dedup_incremental_batch",
-    "doc_bigram_pmi",
-    "doc_dsir_select",
-    "doc_keywords_rake",
+    "media_sample_frames",
+    # ADVICE r11: append-mode replays on the rewritten sink layout
+    "streaming_dedup_exactly_once",
+    "streaming_error_click_join",
+    "streaming_left_outer_join",
+    # staleness refresh: the full r8 tier (32)
+    "agg_hll_rollup",
+    "doc_bpe_tokens",
+    "doc_langid_ngram",
+    "doc_quality_buckets",
+    "doc_shard_rendezvous",
+    "dq_validate_constraints",
+    "er_resolve_parts",
+    "events_ab_test",
+    "events_attribution_touch",
+    "events_bot_flags",
+    "events_cusum_drift",
+    "events_gap_fill",
+    "events_hypertable_rollup",
+    "events_markov_transitions",
+    "events_pattern_detect",
+    "events_rolling_7d_actives",
+    "events_seasonal_indices",
+    "graph_khop_reachability",
+    "graph_pagerank",
+    "ivm_orders_daily_totals",
+    "join_bloom_prefilter",
+    "layout_zorder_stats",
+    "merge_orders_upsert",
+    "ml_kmeans_embeddings",
+    "orders_abc_classes",
+    "orders_cohort_ltv",
+    "part_skyline_pareto",
+    "q11ish_concentrated_part_values",
+    "q20ish_dominant_part_suppliers",
+    "sim_knn_sq8",
+    "stats_table_profile",
+    "streaming_idempotent_sink",
+    # staleness refresh: alphabetical head of the r9 tier (3 slots)
+    "agg_approx_distinct",
+    "agg_distinct_parts_per_supplier",
+    "agg_exact_percentiles",
 ]
 # Demotion history (which sentinel covers which demoted surface, and
 # why each wait was sound) lives in the r5-r8 revisions of this
-# comment — see git history of this file. Current tail composition
-# after the r11 rotation (recomputed from CORRECTNESS_r*.json by the
-# r11 judge and re-verified): every demoted entry is driver-green on
-# an unchanged builder; evidence-age histogram r8x32, r9x44, r10x40,
-# r11x50 — the OLDEST driver evidence anywhere is r8 — and all
-# remain oracle-gated at sf0.01 by tools/check_oracle.py every
-# round.
+# comment — see git history of this file. Tail composition going
+# into r12 (recomputed from CORRECTNESS_r*.json, verified by the r11
+# judge): every demoted entry is driver-green on an unchanged
+# builder; evidence-age histogram r8x32, r9x44, r10x40, r11x50 —
+# oldest anywhere r8, and the whole r8 tier is IN this window, so a
+# green r12 gate lifts the floor to r9. All tail entries remain
+# oracle-gated at sf0.01 by tools/check_oracle.py every round.
 
 
 def load_all() -> dict[str, QuerySpec]:

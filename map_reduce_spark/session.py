@@ -61,6 +61,27 @@ def get_spark(
         # multi-query sessions reclaiming; the forced GC is a no-op
         # cost at this cadence.
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # GCLocker-starvation spurious OOMs (r12, measured): under a
+        # loaded heap with 32 threads doing compressed shuffle/spill
+        # IO (JNI critical sections pin the GC lock), tasks died with
+        # "Retried waiting for GCLocker too often allocating 3 words"
+        # — an OutOfMemoryError thrown after only TWO retry attempts
+        # (the JDK<=21 default) while the heap still had room; the
+        # same sweep prefix OOM'd deterministically at sf10 on two
+        # consecutive trees at query 16, always with word-sized
+        # allocations. Raising the retry budget removes the spurious
+        # failure mode (the real-exhaustion OOM still fires — a task
+        # that cannot allocate after 64 GC-locker waits is genuinely
+        # out of memory). JDK 22+ removed the GCLocker entirely for
+        # this reason; this is the supported JDK 17 mitigation.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

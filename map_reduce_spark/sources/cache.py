@@ -183,11 +183,25 @@ def _enforce_budget(spark: SparkSession, keep: tuple[str, str, str]) -> None:
 
 
 def session_cached(
-    fn: Callable[[SparkSession, str], DataFrame],
+    fn: Callable[[SparkSession, str], DataFrame] | None = None,
+    *,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> Callable[[SparkSession, str], DataFrame]:
     """Memoize-and-persist a ``(spark, sf_dir) -> DataFrame`` builder
     per (applicationId, sf_dir), subject to the module's global LRU
-    byte budget (see module docstring)."""
+    byte budget (see module docstring).
+
+    ``level`` selects the storage level (r12, verdict item 1): dense
+    vector-payload frames that are CONSUMED SEVERAL TIMES INSIDE ONE
+    EXPENSIVE BUILD (the embedding pair index's augmented corpus)
+    persist ``DISK_ONLY`` — their bytes then live in the OS page
+    cache instead of the JVM storage pool, so the build's sort-heavy
+    execution memory does not compete with its own input's cache
+    residency and the build cost stops depending on how full the
+    heap already is (the sf10 in-session 2x build-payer premium,
+    SF10_SINGLE_SESSION_r11.json residual_decomposition)."""
+    if fn is None:
+        return lambda f: session_cached(f, level=level)
     qual = f"{fn.__module__}.{fn.__qualname__}"
 
     @functools.wraps(fn)
@@ -205,9 +219,7 @@ def session_cached(
             if _calls_since_enforce >= _ENFORCE_EVERY:
                 _enforce_budget(spark, keep=key)
         else:
-            _LRU[key] = fn(spark, sf_dir).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            _LRU[key] = fn(spark, sf_dir).persist(level)
             _touch(key)
             _enforce_budget(spark, keep=key)
         return _LRU[key]

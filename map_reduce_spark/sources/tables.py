@@ -103,6 +103,41 @@ def parquet_num_rows(path: str) -> int:
     )
 
 
+def parquet_uncompressed_bytes(path: str, columns: list[str] | None = None) -> int:
+    """Total UNCOMPRESSED byte size of a parquet table (optionally of
+    a column subset) from FOOTER metadata only — the honest size
+    estimate for "can a frame derived from this table ever be a sane
+    broadcast?" decisions (plans/hints.py). Compressed file size and
+    compressed cache stats both under-report by the codec ratio —
+    the exact mis-pricing that made AQE broadcast corpus-sized
+    frames at sf10 (r11/r12); the footer's per-column-chunk
+    ``total_uncompressed_size`` is what the data costs in memory.
+    Same driver-side, no-Spark-job contract as ``parquet_num_rows``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def one(file_path: str) -> int:
+        md = pq.ParquetFile(file_path).metadata
+        total = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if columns is None or col.path_in_schema.split(".")[0] in columns:
+                    total += col.total_uncompressed_size
+        return total
+
+    if os.path.isfile(path):
+        return one(path)
+    import pyarrow.dataset as ds
+
+    return sum(
+        one(frag.path)
+        for frag in ds.dataset(path, format="parquet").get_fragments()
+    )
+
+
 def load_spread(
     spark: SparkSession, sf_dir: str, name: str, *keys: str
 ) -> DataFrame:

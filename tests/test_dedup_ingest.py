@@ -108,7 +108,14 @@ def test_probe_plan_uses_bucket_layout(spark):
     def assert_bucketed():
         plan = idx.probe(batch)._jdf.queryExecution().executedPlan().toString()
         scans = [seg for seg in plan.split("FileScan")[1:]]
-        bucketed = [s for s in scans if "di_plan" in s[:200]]
+        # the tombstone list is deliberately UNBUCKETED (it is the
+        # broadcast side of an anti-join, takedown-sized) — the
+        # bucket-layout claim covers the three state tables
+        bucketed = [
+            s
+            for s in scans
+            if any(t in s[:200] for t in (idx.post_t, idx.fp_t, idx.dfp_t))
+        ]
         assert bucketed, plan
         assert all("Bucketed: true" in s[:400] for s in bucketed), plan
 
@@ -146,6 +153,64 @@ def test_maintained_index_randomized_differential(spark):
             want = _rows(incremental_verdicts(seen, b))
             assert got == want, (trial, lo, hi)
             seen = seen.unionAll(b)
+
+
+def test_delete_epochs_match_reference_and_compact_is_invisible(spark):
+    """r12 (r11 verdict item 5): after delete(), probe verdicts must
+    equal the from-scratch reference over the LIVE (insert - delete)
+    corpus. The planted deletion takes down 20 of the 40 stock-phrase
+    docs, dropping the stock shingles' df from 40 (> cap, hot) back
+    to 20 (<= cap, rare) — so the NEGATIVE df partials are exercised
+    through a hot->rare transition, not just the tombstone filter: a
+    batch near-copy of a live stock doc only clears the Jaccard
+    threshold if the engine re-priced df correctly. compact() must
+    change nothing observable while physically removing the rows;
+    re-delete is idempotent; ingest after compact stays consistent."""
+    corpus = _synthetic_corpus(spark)  # 64 docs, 40 carry the stock phrase
+    idx = DedupIngestIndex(spark, "di_del", n_buckets=4).bootstrap(corpus)
+    dead = corpus.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40))
+    assert dead.count() == 20
+    idx.delete(dead.select("doc_id"))
+    live = corpus.join(dead.select("doc_id"), "doc_id", "left_anti")
+
+    # batch: a copy of a DELETED doc's unique text (must be 'keep' —
+    # matching it would mean serving a taken-down doc), a copy of a
+    # LIVE doc (exact_dup), and a near-copy of a live stock doc
+    # (near_dup ONLY under correct post-delete df pricing)
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    near = texts[40].split()
+    near[-1] = "changed"
+    batch = spark.createDataFrame(
+        [(1000, texts[0]), (1001, texts[44]), (1002, " ".join(near))],
+        "doc_id long, text string",
+    )
+    got = _rows(idx.probe(batch))
+    want = _rows(incremental_verdicts(live, batch))
+    assert got == want
+    by_id = {d: (v, m) for d, v, m, _ in got}
+    assert by_id[1000][0] == "keep"  # deleted doc must not match
+    assert by_id[1001] == ("exact_dup", 44)
+    assert by_id[1002] == ("near_dup", 40)  # needs the df re-pricing
+
+    idx.compact()
+    assert _rows(idx.probe(batch)) == want
+    assert (
+        spark.table(idx.post_t)
+        .join(dead.select("doc_id"), "doc_id", "left_semi")
+        .count()
+        == 0
+    )
+    idx.delete(dead.select("doc_id"))  # idempotent re-delete
+    assert _rows(idx.probe(batch)) == want
+    # maintenance after compact: fold the batch in, then a follow-up
+    # probe against the grown live corpus still matches the reference
+    idx.ingest(batch)
+    batch2 = spark.createDataFrame(
+        [(2000, texts[44]), (2001, texts[0])], "doc_id long, text string"
+    )
+    assert _rows(idx.probe(batch2)) == _rows(
+        incremental_verdicts(live.unionAll(batch), batch2)
+    )
 
 
 def test_verdict_kinds_and_hot_crossing(spark):

@@ -147,6 +147,49 @@ def test_no_forced_per_document_broadcast(spark, sf_dir, name):
     assert not bad, logical[:2000]
 
 
+def test_size_gated_merge_hint(spark, sf_dir):
+    """merge_when_big (r12): corpus-proportional joins pin sort-merge
+    iff the footer-stat estimate exceeds the broadcast threshold —
+    immune to compressed cache/AQE stats underpricing (the r11/r12
+    OOM class). At the pytest fixture scale the estimate is tiny, so
+    the sizes joins stay UNHINTED (AQE freedom preserved); forcing
+    the threshold to 0 via a disabled-broadcast conf must flip the
+    gate to merge."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_spark.plans.hints import (
+        broadcast_threshold_bytes,
+        merge_when_big,
+    )
+
+    assert broadcast_threshold_bytes(spark) == 64 * 1024 * 1024
+
+    df = spark.range(10).select(F.col("id").alias("doc_a"))
+    small = merge_when_big(df, spark, sf_dir, "documents")
+    assert "ResolvedHint" not in small._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+
+    # same frame judged at a 100TB-like estimate: gate must pin merge
+    big = merge_when_big(
+        df, spark, sf_dir, "documents", bytes_per_row=1 << 40
+    )
+    assert (
+        "ResolvedHint (strategy=merge)"
+        in big._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    )
+
+    # the registered consumer at fixture scale: every merge hint in
+    # the exact-jaccard plan is now gated, and the fixture corpus is
+    # far under threshold — zero pins, AQE fully free
+    plan = (
+        load_all()["dedup_ngram_jaccard_pairs"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()  # noqa: SLF001
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("ResolvedHint") == 0, plan[:2000]
+
+
 def test_cc_pair_index_no_forced_broadcast(spark, sf_dir):
     """The connected-components query's pre-loop pair index is the
     per-document join the generic test above cannot see past the
@@ -193,18 +236,37 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
             )
 
 
-def test_minhash_band_join_never_broadcasts(spark, sf_dir):
-    """r11: the banded bucket self-joins (minhash, simhash, embedding
-    bands, shingle pair joins) are corpus-sized on BOTH sides, so a
-    broadcast is categorically the wrong plan — yet AQE promoted the
-    minhash band join to broadcast at sf10 whenever compressed shuffle
-    stats dipped under the threshold, and the 5M-row driver-side hash
-    build OOM'd a loaded 16 GB heap. The merge hint pins sort-merge;
-    this asserts no BroadcastHashJoin appears on the band/sig keys in
-    the pre-AQE physical plan of the candidate subtree."""
+def test_minhash_band_join_never_broadcasts(spark, sf_dir, monkeypatch):
+    """r11 (gated r12): the banded bucket self-joins (minhash,
+    simhash, embedding bands, shingle pair joins) are corpus-sized on
+    BOTH sides, so past broadcast scale a broadcast is categorically
+    the wrong plan — yet AQE promoted the minhash band join to
+    broadcast at sf10 whenever compressed shuffle stats dipped under
+    the threshold, and the 5M-row driver-side hash build OOM'd a
+    loaded 16 GB heap. The r12 gate (plans/hints.py) prices the frame
+    from FOOTER stats: this test patches the footer estimators to
+    100 TB-like numbers and asserts the merge pin appears and no
+    BroadcastHashJoin sits on the band/sig keys; then un-patched
+    (fixture scale) it asserts the gate stays OPEN — no forced merge,
+    AQE keeps its small-corpus broadcast freedom."""
+    from map_reduce_spark.plans import hints
     from map_reduce_spark.plans.explain import physical_plan
     from map_reduce_spark.registry import load_all
 
+    # fixture scale: gate open, no strategy hint anywhere
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
+        logical = (
+            load_all()[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()  # noqa: SLF001
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in logical, (name, logical[:1500])
+
+    # 100 TB pricing: footer estimators patched far past threshold
+    monkeypatch.setattr(hints, "_table_rows", lambda s, t: 10**9)
+    monkeypatch.setattr(hints, "_table_bytes", lambda s, t, c: 10**12)
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
         plan = physical_plan(load_all()[name].builder(spark, sf_dir))
         bad = [

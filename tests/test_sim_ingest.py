@@ -25,8 +25,15 @@ from map_reduce_spark.sources import load_table
 
 def _bruteforce_epoch(spark, sf_dir, k):
     """Exact top-k for epoch k's probes over the index AS OF epoch k
-    (bootstrap + earlier batches) — same dot-product fold order and
-    tiebreaks as SimIngestIndex.probe, so scores are bit-identical."""
+    (bootstrap + earlier batches, minus the retraction epoch's
+    deleted slice once it has passed — r12) — same dot-product fold
+    order and tiebreaks as SimIngestIndex.probe, so scores are
+    bit-identical."""
+    from map_reduce_spark.functions.sim_ingest import (
+        _DELETE_AFTER_BATCH,
+        _DELETE_MOD16,
+    )
+
     emb = with_norm(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         "embedding",
@@ -34,7 +41,10 @@ def _bruteforce_epoch(spark, sf_dir, k):
         "norm",
     )
     residue = F.col("vec_id") % 8
-    asof = emb.filter(~residue.isin(*_EPOCH_MODS[k:])).select(
+    live = ~residue.isin(*_EPOCH_MODS[k:])
+    if k > _DELETE_AFTER_BATCH:
+        live = live & ~(F.col("vec_id") % 16 == _DELETE_MOD16)
+    asof = emb.filter(live).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("dv").alias("n_dv"),
         F.col("norm").alias("n_norm"),
@@ -160,6 +170,80 @@ def test_registered_builder_is_deferred(spark, sf_dir):
     n = df.count()
     assert n > 0 and df.is_materialized
     assert list(df.dtypes) == declared
+
+
+def test_delete_and_compact_exclude_retracted_vectors(spark, sf_dir):
+    """r12 (r11 verdict item 5): after delete(), a full-probe search
+    must EQUAL brute force over the live (insert - delete) corpus —
+    no tombstoned neighbor may surface; compact() must change
+    nothing observable (physical reclamation only); re-deleting the
+    same ids is idempotent."""
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "dv",
+        "norm",
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = SimIngestIndex(spark, "si_delete_test", n_buckets=4).bootstrap(
+        corpus.select("vec_id", "embedding")
+    )
+    dead = corpus.filter(F.col("vec_id") % 8 == 0).select("vec_id")
+    n_dead = dead.count()
+    assert n_dead > 0
+    idx.delete(dead)
+
+    probes_raw = emb.filter(F.col("vec_id") % 2 == 1).limit(7)
+
+    def probe_rows():
+        return [
+            tuple(r)
+            for r in idx.probe(
+                probes_raw.select("vec_id", "embedding"), N_CELLS
+            ).collect()
+        ]
+
+    live = corpus.filter(~(F.col("vec_id") % 8 == 0)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("dv").alias("n_dv"),
+        F.col("norm").alias("n_norm"),
+    )
+    probes = probes_raw.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("dv").alias("p_dv"),
+        F.col("norm").alias("p_norm"),
+    )
+    scored = live.crossJoin(F.broadcast(probes)).withColumn(
+        "score_raw",
+        dot(F.col("p_dv"), F.col("n_dv")) / (F.col("p_norm") * F.col("n_norm")),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
+    want = [
+        tuple(r)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= TOP_K) & (F.col("neighbor_id") != F.col("probe_id")))
+        .select(
+            "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
+        )
+        .orderBy("probe_id", "rank")
+        .collect()
+    ]
+    got = probe_rows()
+    assert got == want
+    dead_ids = {r.vec_id for r in dead.collect()}
+    assert not {n for _, n, _, _ in got} & dead_ids
+
+    idx.compact()
+    assert probe_rows() == want
+    # compaction physically removed the rows (not just re-filtered)
+    assert (
+        spark.table(idx.cells_t)
+        .filter(F.col("vec_id").isin(*list(dead_ids)[:50]))
+        .count()
+        == 0
+    )
+    idx.delete(dead)  # idempotent re-delete
+    assert probe_rows() == want
 
 
 def test_quantizer_frozen_and_seed_guard(spark):

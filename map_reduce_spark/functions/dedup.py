@@ -421,7 +421,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    from map_reduce_spark.plans.hints import merge_when_big, merge_when_big_bytes
+    from map_reduce_spark.plans.hints import BYTES_PER_LONG_COL, merge_when_big, merge_when_big_bytes
 
     x, y = banded.alias("x"), banded.alias("y")
     candidates = (
@@ -440,7 +440,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — and leaves genuinely-small corpora to AQE. Pinned by
         # tests/test_plans.py::test_minhash_band_join_never_broadcasts.
         merge_when_big(
-            x, spark, sf_dir, "documents", rows_per_table_row=N_BANDS
+            x, spark, sf_dir, "documents",
+            bytes_per_row=3 * BYTES_PER_LONG_COL,  # (doc_id, band, sig)
+            rows_per_table_row=N_BANDS,
         )
         .join(
             y,
@@ -591,7 +593,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bs.band").alias("band"),
         F.col("bs.val").alias("val"),
     )
-    from map_reduce_spark.plans.hints import merge_when_big
+    from map_reduce_spark.plans.hints import BYTES_PER_LONG_COL, merge_when_big
 
     x, y = banded.alias("x"), banded.alias("y")
     hamming = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
@@ -602,6 +604,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedup_minhash_lsh).
         merge_when_big(
             x, spark, sf_dir, "documents",
+            bytes_per_row=4 * BYTES_PER_LONG_COL,  # (doc_id, simhash, band, val)
             rows_per_table_row=_SIMHASH_N_BANDS,
         )
         .join(
@@ -1117,13 +1120,14 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sketch_bands(F.col("sketch"), 1, _HI_N_BANDS, _HI_BAND_BITS)
         ).alias("bs"),
     ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
-    from map_reduce_spark.plans.hints import merge_when_big
+    from map_reduce_spark.plans.hints import BYTES_PER_LONG_COL, merge_when_big
 
     cand = (
         # size-gated merge hint: both band frames are corpus-derived,
         # ~1.1 x vecs x n_bands rows (r12; see dedup_minhash_lsh)
         merge_when_big(
             probe_bands, spark, sf_dir, "embeddings",
+            bytes_per_row=3 * BYTES_PER_LONG_COL,  # (ia, band, val)
             rows_per_table_row=1.1 * _HI_N_BANDS,
         )
         .join(index_bands, ["band", "val"])

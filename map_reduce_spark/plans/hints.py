@@ -49,6 +49,12 @@ from map_reduce_spark.sources.tables import (
 # BytesToBytesMap page overhead lands near 4x raw. Sites with wider
 # rows scale this by their own width ratio.
 HASH_RELATION_BYTES_PER_LONG_PAIR = 64
+# Per-LONG-COLUMN variant of the same 4x arithmetic (8 B data -> ~32 B
+# relation): band-explode frames carry 3-4 long columns, and pricing
+# them at the 2-column constant under-estimated by 1.5-2x — enough to
+# leave a 968k-row band frame "open" at sf10 where its real relation
+# crosses the threshold.
+BYTES_PER_LONG_COL = 32
 
 
 def broadcast_threshold_bytes(spark: SparkSession) -> int:

@@ -61,16 +61,54 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# (applicationId, sf_dir, name) -> lazy scan DataFrame. r12 (guide
+# §1/§7.3 — driver-side fixed costs): each ``spark.read.parquet``
+# call pays 150-650 ms of driver work (DataSource resolution + footer
+# schema inference + py4j), and the bench manifest makes ~300 such
+# calls per iteration — ~50 s/pass of pure plan-construction
+# overhead, measured. The returned DataFrame is an immutable lazy
+# scan: every downstream op derives a NEW plan, nothing mutates the
+# shared object, and every execution still reads the parquet files —
+# this memoizes the PLAN, never data or results. Keyed by
+# applicationId so a stopped/fresh session (tests) can never serve a
+# DataFrame bound to a dead context.
+_SCAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_put(key: tuple[str, str, str], df: DataFrame) -> DataFrame:
+    if len(_SCAN_MEMO) > 256:  # stale sessions' entries — drop, cheap to rebuild
+        _SCAN_MEMO.clear()
+    _SCAN_MEMO[key] = df
+    return df
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-normalized events scan (``ts`` in its on-disk physical
+    type) — the schema source for the streaming file source, which
+    must not infer and applies ``normalize_event_ts`` itself."""
+    key = (spark.sparkContext.applicationId, sf_dir, "__events_raw__")
+    df = _SCAN_MEMO.get(key)
+    if df is not None:
+        return df
+    # Harmless for TIMESTAMP(MICROS) fixtures; required so a
+    # TIMESTAMP(NANOS) fixture generation loads at all (the reader
+    # rejects NANOS outright without it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _memo_put(key, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCAN_MEMO.get(key)
+    if df is not None:
+        return df
     if name == "events":
-        # Harmless for TIMESTAMP(MICROS) fixtures; required so a
-        # TIMESTAMP(NANOS) fixture generation loads at all (the reader
-        # rejects NANOS outright without it).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_event_ts(load_events_raw(spark, sf_dir))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _memo_put(key, df)
 
 
 def parquet_num_rows(path: str) -> int:
@@ -157,7 +195,24 @@ def load_spread(
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+# applicationId -> sf_dir whose views are CURRENTLY registered — same
+# rationale as _SCAN_MEMO: the SQL-surface builders call
+# register_views per build, and re-registering 10 identical views per
+# query re-pays the py4j/catalog cost for nothing. Views are
+# name-global per session, so a different sf_dir must re-register
+# (and update the marker), not be skipped.
+_VIEWS_REGISTERED: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
+    """Register every fixture table as a temp view for spark.sql use
+    (idempotent while the session's registered data directory is
+    unchanged)."""
+    app = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(app) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if len(_VIEWS_REGISTERED) > 64:
+        _VIEWS_REGISTERED.clear()
+    _VIEWS_REGISTERED[app] = sf_dir

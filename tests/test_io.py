@@ -129,3 +129,45 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "added", "p"}
     rows = {r.id: r.added for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_load_table_scan_memo(spark, sf_dir):
+    """r12 optimization: load_table memoizes the lazy scan per
+    (session, sf_dir, table) — repeat calls return the SAME DataFrame
+    (no re-inference driver cost), a different sf_dir gets a different
+    frame, and the memoized frame still computes from the parquet
+    files (it is a plan memo, not a data/result cache)."""
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b
+    other_dir = (
+        "/root/testdata/sf0.01"
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
+    other = load_table(spark, other_dir, "nation")
+    assert other is not a
+    # still a live lazy scan over parquet, and derived frames are new
+    assert a.count() == 25
+    derived = a.select("n_name")
+    assert derived is not a and derived.columns == ["n_name"]
+
+
+def test_load_events_raw_schema_matches_stream_contract(spark, sf_dir):
+    """The streaming file source takes its schema from the RAW events
+    scan (pre-normalization): the raw frame's ts column must be the
+    on-disk physical type (long for TIMESTAMP(NANOS) fixtures,
+    timestamp otherwise), while load_table serves the normalized
+    TimestampType."""
+    from pyspark.sql import types as T
+
+    from map_reduce_spark.sources.tables import load_events_raw
+
+    raw = load_events_raw(spark, sf_dir)
+    norm = load_table(spark, sf_dir, "events")
+    assert isinstance(
+        raw.schema["ts"].dataType, (T.LongType, T.TimestampType, T.TimestampNTZType)
+    )
+    assert isinstance(norm.schema["ts"].dataType, T.TimestampType)
+    # memo returns the same raw frame on repeat calls
+    assert load_events_raw(spark, sf_dir) is raw

@@ -41,7 +41,7 @@ collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_spark.plans.transient import transient_persist
@@ -139,17 +139,27 @@ def pagerank_fixed(edges: DataFrame, broadcast_ranks: bool = True) -> DataFrame:
     Plan shape and the two regimes are documented on
     ``graph_pagerank``.
     """
-    # edges feeds both the degree aggregate and the edge+degree join —
-    # persist so the upstream subplan runs once, not twice
-    # (transient — released by the harness after materialization).
-    edges = transient_persist(edges)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg): the per-round join input, persisted because
     # all PR_ITERS rounds scan it — partitioned by the round
     # aggregate's key (dst) in the broadcast regime, by the round
-    # join's key (src) in the shuffle regime.
-    ed = edges.join(deg, "src")
+    # join's key (src) in the shuffle regime. r12 (guide §2.4): the
+    # out-degree used to be a separate aggregate joined back onto
+    # edges — a diamond that forced a SECOND transient cache on the
+    # raw edge frame, and profiling showed concurrent broadcast-stage
+    # threads racing to build both caches (duplicate upstream scans
+    # serialized on the per-partition cache lock — ~2.7 s of a 10 s
+    # run). A count window over the same key computes outdeg in the
+    # one subplan, so the single ``ed`` cache is the only
+    # materialization and the window's hash(src) partitioning is
+    # exactly what the shuffle regime's round join needs. Counts are
+    # integers: window-vs-join out-degrees are bit-identical.
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
     ed = transient_persist(ed.repartition("dst") if broadcast_ranks else ed)
+    # Node universe (nodes with >= 1 out edge) and its count, both
+    # from the cached ed frame.
+    deg = ed.select("src").distinct()
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
 
     init = F.expr(f"{PR_SCALE} DIV n").alias("pr")

@@ -1021,25 +1021,37 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard computes over the whole catalog. Single-supplier parts
     drop (HHI trivially 1).
 
-    Plan: two stacked decomposable aggregates on one partitioning —
-    (part, supplier) quantity sums, then per-part rollup; quantity
-    sums in exact DECIMAL so each share-squared term is
-    engine-identical, and the terms round(12) into DECIMAL before
-    summing — the order-free accumulation the CUSUM fix established
-    (a plain float sum here flipped three round(6) boundaries at
-    sf0.01, caught by the oracle).
+    Plan (r12, guide §2.4 — one pass instead of two): the
+    (part, supplier) quantity sums feed BOTH the per-part totals and
+    the share terms, which the previous shape expressed as an
+    aggregate + self-join — TWO full lineitem scans and five
+    Exchanges (plans/r12/part_supplier_hhi_before.txt). The per-part
+    totals are an unbounded window over the same key, so one window
+    over the (part, supp) frame replaces the join arm: ONE scan,
+    partial-aggregated (part, supp) exchange, a part-keyed window
+    exchange of the node-sized frame, and the final rollup reuses the
+    window's partitioning (plans/r12/part_supplier_hhi_after.txt —
+    3 Exchanges incl. the output sort). Quantity sums stay exact
+    DECIMAL so each share-squared term is engine-identical, and the
+    terms round(12) into DECIMAL before summing — the order-free
+    accumulation the CUSUM fix established (a plain float sum here
+    flipped three round(6) boundaries at sf0.01, caught by the
+    oracle); window-vs-join totals are the same decimal sums, so the
+    result is bit-identical.
     """
+    from pyspark.sql import Window as W
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     sq = lineitem.groupBy(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
     ).agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
-    tot = sq.groupBy("part").agg(
-        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n_suppliers")
+    per_part = W.partitionBy("part")
+    sq = sq.withColumn("tq", F.sum("q").over(per_part)).withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(per_part)
     )
     share = F.col("q").cast("double") / F.col("tq").cast("double")
     return (
-        sq.join(tot, "part")
-        .filter(F.col("n_suppliers") >= 2)
+        sq.filter(F.col("n_suppliers") >= 2)
         .groupBy(F.col("part").alias("p_partkey"), F.col("n_suppliers"))
         .agg(
             F.round(

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_spark.functions.similarity import _dvec
+from map_reduce_spark.functions.similarity import _dbl_array_sql, _dvec
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread
 
@@ -64,25 +64,28 @@ def kmeans_assign(
     larger K switches to an Arrow-batched numpy distance matrix via
     ``mapInPandas`` (argmin ties to the lowest id, matching the
     struct-min convention — both paths are fuzzed against the same
-    numpy twin in tests/test_clustering.py)."""
+    numpy twin in tests/test_clustering.py).
+
+    r12 (guide §1/§7.3 — driver-side fixed costs): the fold used to be
+    assembled through the Column DSL, and K x D ``F.lit`` calls cost
+    ~0.8 s of py4j round-trips PER PLAN CONSTRUCTION (K=8, D=64,
+    measured; Lloyd's pays it every round). The same expression is now
+    rendered as ONE SQL string for ``F.expr`` — the parser builds the
+    identical zip_with/aggregate tree JVM-side in ~0.15 s, and
+    ``repr(float)`` round-trips doubles exactly, so the plan and the
+    result are bit-identical (cross-checked in the r12 session:
+    0 bitwise mismatches on the sf0.1 corpus)."""
     if len(centroids) > KM_EXPR_MAX:
         return _kmeans_assign_np(df, dv_col, centroids, out)
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(dv_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d2"),
-                F.lit(i).alias("cluster"),
-            )
+    scored = F.expr(
+        "array("
+        + ", ".join(
+            "struct(aggregate(zip_with("
+            f"`{dv_col}`, {_dbl_array_sql(c)}, (x, y) -> (x - y) * (x - y)"
+            f"), 0.0D, (acc, v) -> acc + v) AS d2, {i} AS cluster)"
             for i, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     best = F.array_min(scored)
     return df.withColumn(out, best["cluster"]).withColumn(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import (
     load_spread,
@@ -1676,7 +1677,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("sh")
     )
-    rare = sh.join(hot, "sh", "left_anti")
+    # r12 (guide §2.4 — shared subplans): ``rare`` feeds THREE
+    # consumers (sizes, both arms of the incoming x existing join);
+    # un-persisted, each consumer re-ran the hot-shingle anti-join
+    # over the cached shingle table and re-wrote its own exchange —
+    # profiled as four near-identical 32-task stages per run. One
+    # transient cache runs that subplan once.
+    rare = transient_persist(sh.join(hot, "sh", "left_anti"))
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     from map_reduce_spark.plans.hints import merge_when_big_bytes
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table
+from map_reduce_spark.sources.cache import session_cached
 
 # One tokenizer, used by every documents-table query (and mirrored in
 # each oracle): lowercase, split on non-letters, drop empties. The
@@ -33,6 +34,29 @@ def tokens_col(col: str = "text"):
     """Array of lowercase word tokens (JVM-side, codegen'd — no UDF)."""
     return F.filter(
         F.split(F.lower(F.col(col)), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
+
+
+@session_cached
+def doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with its token array materialized — the
+    shared tokenized-corpus index, persisted per (session, corpus)
+    via ``session_cached``.
+
+    r12 (guide §2.4 — shared derived tables): ~15 registered doc
+    queries each re-ran ``load_spread(documents) + tokens_col()``
+    from parquet — profiled at ~10 CPU-s per pass at sf0.1 (the
+    regex split IS the corpus-width work) and several queries run
+    the pass 2-4x inside one plan (curation manifest, heavy-hitter
+    probe diamonds). One tokenized frame per (session, corpus) is
+    the in-session analogue of a pipeline materializing its
+    tokenized corpus once — the same discipline as the shingle
+    table (``dedup.doc_shingles``), under the same LRU byte budget.
+    Row content is exactly what every call site computed inline
+    (same spread partitioning, same tokenizer), so results are
+    unchanged."""
+    return load_spread(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_col()
     )
 
 
@@ -54,9 +78,9 @@ def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode multiplies rows but partial aggregation collapses
     them map-side before the single shuffle on `word`.
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = doc_toks(spark, sf_dir)
     return (
-        docs.select(F.explode(tokens_col()).alias("word"))
+        docs.select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "word")
@@ -97,9 +121,9 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by document frequency; for 100 TB you'd cap it (slice) or bucket
     by (word, doc_id range).
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    docs = doc_toks(spark, sf_dir)
     pairs = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("word")
+        "doc_id", F.explode(F.array_distinct("toks")).alias("word")
     )
     return (
         pairs.groupBy("word")
@@ -183,8 +207,7 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built array-side via ``bigram_zip``; the oracle uses the
     equivalent positional self-join.
     """
-    docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select(tokens_col().alias("toks"))
+    toks = doc_toks(spark, sf_dir).select("toks")
     bigrams = toks.select(
         F.explode(
             bigram_zip(F.col("toks"), lambda a, b: F.concat_ws(" ", a, b))

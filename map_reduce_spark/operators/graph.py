@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
-from map_reduce_spark.sources import load_table
+from map_reduce_spark.sources import load_table, session_cached
 
 # PageRank fixed-point scale: rank mass 1.0 == PR_SCALE. Total mass
 # across all nodes stays ~PR_SCALE (teleport re-injects what integer
@@ -115,10 +115,18 @@ def _purchase_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_cached
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (src, dst) bigint edges of the doubled bipartite
     purchase graph. Customers get nid = 2*custkey, suppliers
-    nid = 2*suppkey + 1."""
+    nid = 2*suppkey + 1.
+
+    SESSION-CACHED (r12, guide §2.4): the orders x lineitem join +
+    pair distinct is the corpus-width work shared by graph_pagerank
+    and graph_khop_reachability, each of which previously rebuilt it
+    per call (and khop additionally re-persisted it transiently).
+    (src, dst) bigint pairs only — ~2x the purchase relation, well
+    under the LRU budget; eviction transparently rebuilds."""
     rel = _purchase_rel(spark, sf_dir)
     c_nid = (F.col("c") * 2).alias("cn")
     s_nid = (F.col("s") * 2 + 1).alias("sn")
@@ -127,7 +135,40 @@ def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionAll(bwd)
 
 
-def pagerank_fixed(edges: DataFrame, broadcast_ranks: bool = True) -> DataFrame:
+def _edges_with_outdeg(edges: DataFrame, broadcast_ranks: bool) -> DataFrame:
+    """(src, dst, outdeg) round-input frame of ``pagerank_fixed`` —
+    un-persisted; see the partitioning rationale in the comment
+    inside ``pagerank_fixed``."""
+    ed = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+    return ed.repartition("dst") if broadcast_ranks else ed
+
+
+@session_cached
+def _pr_edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (src, dst, outdeg) frame for the REGISTERED
+    pagerank entry (r12, guide §2.4): the out-degree window +
+    regime repartition over the bipartite edges re-ran on every
+    builder call; the regime flag is a deterministic function of the
+    corpus (parquet-footer node bound), so the frame is a pure
+    function of (spark, sf_dir) like every other session cache."""
+    from map_reduce_spark.sources.tables import parquet_num_rows
+
+    n_upper = parquet_num_rows(f"{sf_dir}/customer.parquet") + parquet_num_rows(
+        f"{sf_dir}/supplier.parquet"
+    )
+    return _edges_with_outdeg(
+        _bipartite_edges(spark, sf_dir),
+        broadcast_ranks=n_upper <= PR_BROADCAST_MAX_NODES,
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    broadcast_ranks: bool = True,
+    prebuilt_ed: DataFrame | None = None,
+) -> DataFrame:
     """(nid, pr) fixed-point PageRank over an arbitrary directed
     (src, dst) bigint edge frame — the engine core behind
     ``graph_pagerank``, factored out so the randomized differential
@@ -153,10 +194,11 @@ def pagerank_fixed(edges: DataFrame, broadcast_ranks: bool = True) -> DataFrame:
     # materialization and the window's hash(src) partitioning is
     # exactly what the shuffle regime's round join needs. Counts are
     # integers: window-vs-join out-degrees are bit-identical.
-    ed = edges.withColumn(
-        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ed = (
+        prebuilt_ed
+        if prebuilt_ed is not None
+        else transient_persist(_edges_with_outdeg(edges, broadcast_ranks))
     )
-    ed = transient_persist(ed.repartition("dst") if broadcast_ranks else ed)
     # Node universe (nodes with >= 1 out edge) and its count, both
     # from the cached ed frame.
     deg = ed.select("src").distinct()
@@ -266,6 +308,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank_fixed(
         _bipartite_edges(spark, sf_dir),
         broadcast_ranks=n_upper <= PR_BROADCAST_MAX_NODES,
+        prebuilt_ed=_pr_edge_frame(spark, sf_dir),
     )
     return pr.select(
         F.when(F.col("nid") % 2 == 1, "supplier")
@@ -579,7 +622,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the visited set deduplicated instead of exploding the
     frontier multiplicatively.
     """
-    edges = transient_persist(_bipartite_edges(spark, sf_dir))
+    edges = _bipartite_edges(spark, sf_dir)
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == KHOP_SEED_NATION)
     seeds = (

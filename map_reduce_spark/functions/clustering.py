@@ -244,6 +244,31 @@ def _centroid_partials(
     )
 
 
+# Trained Lloyd centroids keyed by (applicationId, corpus dir, k,
+# iters) — the exact convention of similarity.py's _CENTROID_CACHE /
+# _PQ_CACHE (r5 ADVICE: app-id key so a regenerated fixture dir in a
+# NEW session never reuses a stale model). A trained clustering is
+# built once per corpus and consumed repeatedly (registered k-means
+# summary, SemDeDup verdicts); re-training per builder call re-ran
+# KM_ITERS distributed rounds for a deterministic result (r12).
+_TRAINED_CENTROIDS: dict[tuple[str, str, int, int], list[list[float]]] = {}
+
+
+def corpus_kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int, iters: int
+) -> list[list[float]]:
+    """Session-memoized ``lloyd_kmeans`` over the embeddings fixture.
+    Pure function of (corpus, k, iters): deterministic lowest-id
+    init, fixed round count."""
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    if key not in _TRAINED_CENTROIDS:
+        emb = load_spread(spark, sf_dir, "embeddings").withColumn(
+            "dv", _dvec("embedding")
+        )
+        _TRAINED_CENTROIDS[key] = lloyd_kmeans(emb, "vec_id", "dv", k, iters)
+    return _TRAINED_CENTROIDS[key]
+
+
 def kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster summary after KM_ITERS Lloyd's rounds on embeddings:
     per cluster, member count, mean squared distance to the centroid
@@ -253,7 +278,7 @@ def kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, sf_dir, "embeddings").withColumn(
         "dv", _dvec("embedding")
     )
-    centroids = lloyd_kmeans(emb, "vec_id", "dv", KM_K, KM_ITERS)
+    centroids = corpus_kmeans_centroids(spark, sf_dir, KM_K, KM_ITERS)
     assigned = kmeans_assign(emb, "dv", centroids, "cluster")
     norms = {i: math.sqrt(sum(x * x for x in c)) for i, c in enumerate(centroids)}
     norm_expr = F.element_at(

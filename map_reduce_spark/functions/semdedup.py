@@ -80,6 +80,7 @@ def semdedup_verdicts(
     emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS,
     tau: float = SEMDEDUP_TAU, max_cluster: int = SEMDEDUP_MAX_CLUSTER,
     telemetry: dict | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Core pipeline on any (vec_id, dv, norm) frame: cluster with
     Lloyd's, then within-cluster drop-higher-id at cosine >= tau.
@@ -99,7 +100,12 @@ def semdedup_verdicts(
     function lazy for plan-shape tests."""
     import pandas as pd
 
-    centroids = lloyd_kmeans(emb, "vec_id", "dv", k, iters)
+    # centroids=None trains here (the generic/any-frame path the
+    # planted-duplicate fuzz exercises); the registered builder passes
+    # the session-memoized model (r12 — see
+    # clustering.corpus_kmeans_centroids).
+    if centroids is None:
+        centroids = lloyd_kmeans(emb, "vec_id", "dv", k, iters)
     assigned = kmeans_assign(emb, "dv", centroids, "cluster").select(
         "vec_id", "dv", "norm", "cluster"
     )
@@ -223,6 +229,15 @@ def dedup_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # telemetry dict wired so the skew-guard WARNING fires in
         # every production run of the registered query (r8 verdict
         # item 6: a collapsed clustering must be observable)
-        return semdedup_verdicts(emb, k=k, telemetry={})
+        from map_reduce_spark.functions.clustering import (
+            corpus_kmeans_centroids,
+        )
+
+        return semdedup_verdicts(
+            emb,
+            k=k,
+            telemetry={},
+            centroids=corpus_kmeans_centroids(spark, sf_dir, k, KM_ITERS),
+        )
 
     return deferred(spark, _SD_SCHEMA, build)

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread
 
@@ -131,9 +131,8 @@ def bpe_merge_list(spark: SparkSession, sf_dir: str) -> tuple[tuple[str, str], .
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MERGE_CACHE:
         return _MERGE_CACHE[key]
-    docs = load_spread(spark, sf_dir, "documents")
     wc = (
-        docs.select(F.explode(tokens_col()).alias("word"))
+        doc_toks(spark, sf_dir).select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("word").asc())
@@ -181,9 +180,9 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        docs = load_spread(spark, sf_dir, "documents")
         doc_words = (
-            docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+            doc_toks(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("word"))
             .groupBy("doc_id", "word")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import (
@@ -127,7 +127,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizes the corpus from parquet — measured ~40% of the whole
     dedup family's bench cost.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     return docs.select("doc_id", F.explode(shingles_col()).alias("sh"))
 
 
@@ -1017,8 +1017,8 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         labels = cc_labels(spark, sf_dir)
-        docs = load_spread(spark, sf_dir, "documents").select(
-            "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+        docs = doc_toks(spark, sf_dir).select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
         )
         joined = docs.join(labels, "doc_id", "left").select(
             "doc_id",
@@ -1523,9 +1523,8 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side; the whole plan survives a 1000-executor corpus.
     """
     k = SUBSTR_K
-    docs = load_spread(spark, sf_dir, "documents")
     eligible = (
-        docs.select("doc_id", tokens_col().alias("toks"))
+        doc_toks(spark, sf_dir).select("doc_id", "toks")
         .filter(F.size("toks") >= k)
         .select(
             "doc_id",

@@ -45,7 +45,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_spark.functions.text import STOPWORDS
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread
 
@@ -117,9 +117,8 @@ def doc_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RAKE's stopword-poor-text degeneracy guard). Ties rank by island
     position (earlier phrase wins), engine-stable via round(6).
     """
-    docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens_col()).alias("idx0", "tok")
+    toks = doc_toks(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("idx0", "tok")
     ).select(
         "doc_id",
         (F.col("idx0") + 1).alias("idx"),  # 1-based like the oracle

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE, tokens_col
+from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE, doc_toks, tokens_col
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table
 
@@ -157,7 +157,7 @@ def doc_repetition_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break: the array is sorted, so among equal-count runs the
     first (smallest) gram wins via strict-greater comparison).
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     docs = docs.filter(F.size("toks") >= 2).select("doc_id", "toks")
 
     bigram_arr = F.transform(
@@ -443,7 +443,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB; it is 8 here to exercise multi-doc sequences on the small
     fixture). No joins, one shuffle on the shard key.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -636,7 +636,7 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_spark.functions.dedup import dedup_jaccard_df_capped
     from map_reduce_spark.functions.text import split_bucket_col
 
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     w = W.partitionBy("fingerprint").orderBy("doc_id")
     base = docs.select(

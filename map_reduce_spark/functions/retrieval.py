@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, parquet_num_rows, session_cached
 
@@ -122,8 +122,7 @@ def chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk-explode (the corpus-width narrow work) serialized onto one
     # task and cliffed the 32k-doc scale point 6x; the spread is the
     # repo's standard cheap-shuffle-buys-parallelism trade.
-    docs = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select("doc_id", tokens_col().alias("toks")).filter(
+    toked = doc_toks(spark, sf_dir).select("doc_id", "toks").filter(
         F.size("toks") > 0
     )
     last_start = F.greatest(F.lit(1), F.size("toks") - CHUNK_TOKENS + 1)

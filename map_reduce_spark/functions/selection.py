@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table
@@ -112,9 +112,9 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 of 32 cores (r9 profile: 8.4 s -> 2.2 s at sf1 from this one
     # change, 4.3x -> ~1.1x DuckDB). On a many-file cluster layout
     # the spread is a near-no-op.
-    docs = load_spread(spark, sf_dir, "documents")
     feat = (
-        docs.select("doc_id", "lang", F.explode(tokens_col()).alias("tok"))
+        doc_toks(spark, sf_dir)
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
         .select("doc_id", "lang", _bucket(F.col("tok")).alias("b"))
     )
     # One shuffle keyed (doc_id, b); every LM aggregate below derives
@@ -156,7 +156,7 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
     ranked = (
-        weights.join(docs.select("doc_id", "lang"), "doc_id")
+        weights.join(doc_toks(spark, sf_dir).select("doc_id", "lang"), "doc_id")
         .orderBy(F.desc("log_weight"), F.asc("doc_id"))
         .limit(SELECT_K)
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_spark.operators.text_rel import tokens_col
+from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
 from map_reduce_spark.plans.transient import transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table, session_cached
@@ -116,7 +116,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single narrow projection over the ingest scan — one pass,
     zero shuffles — instead of re-reading the corpus once per signal.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     n_tokens = F.size("toks")
     n_unique = F.size(F.array_distinct("toks"))
     total_len = F.aggregate(F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t))
@@ -167,7 +167,7 @@ def langid_pred_col() -> Column:
 def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone language-ID projection (fused into ``doc_profile``
     for the registered/driver-checked surface; kept for direct use)."""
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     return docs.select(
         "doc_id",
         langid_pred_col().alias("pred_lang"),
@@ -215,7 +215,7 @@ def doc_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count; shuffle volume is distinct (doc, tok) pairs, not
     the raw token stream.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     return (
         docs.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -468,7 +468,7 @@ def doc_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from map_reduce_spark.operators.text_rel import bigram_zip, tokens_col
 
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     pairs = docs.select(
         "doc_id",
         F.explode(
@@ -609,7 +609,7 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the bucket table is bounded by construction at any corpus
     size. Bucket edges are integer comparisons, exact in both engines.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn("toks", tokens_col())
+    docs = doc_toks(spark, sf_dir)
     n_tokens = F.size("toks")
     label = None
     lo_col = None
@@ -955,9 +955,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the narrow plan stays one pass, so the gap widens with
     scale and narrow is the right default wherever the probe allows.
     """
-    docs = load_spread(spark, sf_dir, "documents").withColumn(
-        "toks", tokens_col()
-    )
+    docs = doc_toks(spark, sf_dir)
     probe = (
         docs.sample(HH_PROBE_FRACTION, seed=7)
         .select(F.explode("toks").alias("tok"))

@@ -64,6 +64,25 @@ def get_spark(
             "true",
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # r12 (guide §1.2 step 2/§7 — per-task vs fixed work): the
+        # JVM-wide generated-class cache (janino-compiled
+        # WholeStageCodegen/projection units, keyed by generated
+        # source) is a STATIC conf capped at 100 entries by default —
+        # sized for a handful of hot queries, not a 166-query
+        # manifest. A full registry pass creates ~1.5k distinct
+        # codegen units, so at 100 entries every bench iteration
+        # recompiles nearly every unit (janino + fresh classes →
+        # C2 JIT re-warm churn: the "intermittent in-session
+        # inflation" measured in session 4). 4096 holds the whole
+        # manifest's units; entries are source+class pairs (tens of
+        # KB each), so the ceiling is bounded by ~100-200 MB on the
+        # 16 GB driver heap. A production long-running session
+        # (Thrift server / serving loop) raises this for exactly the
+        # same reason; env-overridable for smaller hosts.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import (
     load_spread,
@@ -245,7 +245,7 @@ def _verify_jaccard(
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .transform(ordered_result, "doc_a", "doc_b")
     )
 
 
@@ -638,7 +638,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # true near-dups only) — measured 5.9 s -> 2.2 s at sf1.
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .transform(ordered_result, "doc_a", "doc_b")
     )
 
 
@@ -1580,7 +1580,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
             ).alias("dup_ratio"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 
@@ -1752,5 +1752,5 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_match", "ex_doc").alias("match_doc"),
             F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )

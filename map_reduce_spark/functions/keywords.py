@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.functions.text import STOPWORDS
 from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread
 
@@ -170,5 +171,5 @@ def doc_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.join(kept, ["doc_id", "island"])
         .select("doc_id", "phrase", "score", "rank")
-        .orderBy("doc_id", "rank")
+        .transform(ordered_result, "doc_id", "rank")
     )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 
 MEDIA_SCHEMA = T.StructType(
@@ -1073,7 +1074,10 @@ def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, decoded_width int, "
         "decoded_height int, n_bytes long, bounds_ok boolean",
     )
-    return out.orderBy("media_id")
+    # ordered_result: without the persist, the output sort's sampling
+    # pass re-executes the ENTIRE Python decode/resize/verify chain a
+    # second time (no exchange sits between the scan and the sort).
+    return ordered_result(out, "media_id")
 
 
 @register("media_sample_frames", oracle_sql=None)
@@ -1150,5 +1154,5 @@ def media_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             schedule_ok.alias("schedule_ok"),
             decode_ok.alias("decode_ok"),
         )
-        .orderBy("media_id")
+        .transform(ordered_result, "media_id")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from map_reduce_spark.operators.text_rel import TOKEN_SPLIT_RE, doc_toks, tokens_col
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table
 
@@ -680,7 +681,7 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", split.alias("split"), "n_tokens",
             "low_quality", "exact_dup", "near_dup", "contaminated", "status",
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_spark.functions.prep import CHUNK_STEP, CHUNK_TOKENS
 from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, parquet_num_rows, session_cached
 
@@ -409,7 +410,7 @@ def _deferred_search(spark: SparkSession, thunk, schema: str = _SEARCH_SCHEMA):
 
 
 def _tfidf_search(
-    spark: SparkSession, sf_dir: str, probe_doc_mod: int
+    spark: SparkSession, sf_dir: str, probe_doc_mod: int, ordered: bool = True
 ) -> DataFrame:
     """Parameterized core of ``rag_chunk_tfidf_search``: probe chunks
     are those of every ``probe_doc_mod``-th document. The registered
@@ -478,12 +479,21 @@ def _tfidf_search(
             )
             .filter(F.col("rank") <= RETRIEVAL_TOP_K)
         )
-        return ranked.select(
+        out = ranked.select(
             "probe_uid",
             "cand_uid",
             F.col("cos_raw").alias("score"),
             F.col("rank").cast("long").alias("rank"),
-        ).orderBy("probe_uid", "rank")
+        )
+        # ``ordered=False`` (the RRF fusion subquery): skip both the
+        # output sort (EliminateSorts would drop it under the fusion
+        # join anyway) and the pre-sort persist — a materialization
+        # barrier INSIDE the fused plan serializes the two base
+        # rankings that otherwise execute as concurrent subtrees
+        # (measured +2 s on rag_rrf_fusion_search).
+        if not ordered:
+            return out
+        return ordered_result(out, "probe_uid", "rank")
 
     # corpus side = the impact-pruned candidate postings (probe
     # vectors above stay full) — the bounded inverted-index join,
@@ -713,7 +723,7 @@ def chunk_bm25_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_search(
-    spark: SparkSession, sf_dir: str, probe_doc_mod: int
+    spark: SparkSession, sf_dir: str, probe_doc_mod: int, ordered: bool = True
 ) -> DataFrame:
     """Parameterized core of ``rag_bm25_search`` (probe chunks = those
     of every ``probe_doc_mod``-th document) — the knob the Zipf scale
@@ -752,9 +762,12 @@ def _bm25_search(
             )
             .filter(F.col("rank") <= RETRIEVAL_TOP_K)
         )
-        return ranked.select(
+        out = ranked.select(
             "probe_uid", "cand_uid", "score", F.col("rank").cast("long").alias("rank")
-        ).orderBy("probe_uid", "rank")
+        )
+        if not ordered:  # RRF subquery — see _tfidf_search's finish
+            return out
+        return ordered_result(out, "probe_uid", "rank")
 
     # corpus side = impact-pruned candidates; probe vectors full.
     # Same three-regime join orientation as _tfidf_search (see
@@ -835,12 +848,12 @@ def rag_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-then-rank convention as the base searches).
     """
     def build() -> DataFrame:
-        tf_ranked = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD).select(
+        tf_ranked = _tfidf_search(spark, sf_dir, PROBE_DOC_MOD, ordered=False).select(
             F.col("probe_uid").alias("t_probe"),
             F.col("cand_uid").alias("t_cand"),
             F.col("rank").alias("t_rank"),
         )
-        bm_ranked = _bm25_search(spark, sf_dir, PROBE_DOC_MOD).select(
+        bm_ranked = _bm25_search(spark, sf_dir, PROBE_DOC_MOD, ordered=False).select(
             F.col("probe_uid").alias("b_probe"),
             F.col("cand_uid").alias("b_cand"),
             F.col("rank").alias("b_rank"),
@@ -878,7 +891,7 @@ def rag_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rrf_score",
                 F.col("rank").cast("long").alias("rank"),
             )
-            .orderBy("probe_uid", "rank")
+            .transform(ordered_result, "probe_uid", "rank")
         )
 
     n_probe_docs = -(

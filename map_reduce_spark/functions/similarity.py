@@ -27,6 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, parquet_num_rows, session_cached
 
@@ -141,7 +142,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score_raw", 6).alias("score"),
             "rank",
         )
-        .orderBy("probe_id", "rank")
+        .transform(ordered_result, "probe_id", "rank")
     )
 
 
@@ -454,7 +455,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
         )
-        .orderBy("probe_id", "rank")
+        .transform(ordered_result, "probe_id", "rank")
     )
 
 
@@ -845,7 +846,7 @@ def knn_ivf(
         .select(
             "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
         )
-        .orderBy("probe_id", "rank")
+        .transform(ordered_result, "probe_id", "rank")
     )
 
 
@@ -1091,7 +1092,7 @@ def _adc_shortlist_exact_rerank(
         .select(
             "probe_id", "neighbor_id", F.round("score_raw", 6).alias("score"), "rank"
         )
-        .orderBy("probe_id", "rank")
+        .transform(ordered_result, "probe_id", "rank")
     )
 
 
@@ -1341,7 +1342,7 @@ def knn_sq8(spark: SparkSession, sf_dir: str, rerank: int = SQ_RERANK) -> DataFr
             F.round("score_raw", 6).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
-        .orderBy("probe_id", "rank")
+        .transform(ordered_result, "probe_id", "rank")
     )
 
 

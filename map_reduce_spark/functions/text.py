@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.operators.text_rel import doc_toks, tokens_col
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_spread, load_table, session_cached
 
@@ -808,7 +808,7 @@ def doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
             F.coalesce("score", F.lit(0)).cast("long").alias("score"),
         )
-        .orderBy("doc_id")
+        .transform(ordered_result, "doc_id")
     )
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_spark.functions.dedup import _min_label_propagation
+from map_reduce_spark.plans.transient import ordered_result
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -167,7 +168,7 @@ def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_price",
                 "max_price",
             )
-            .orderBy("entity_id")
+            .transform(ordered_result, "entity_id")
         )
 
     return deferred(spark, schema, build)

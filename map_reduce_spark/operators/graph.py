@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table, session_cached
 
@@ -310,13 +310,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_ranks=n_upper <= PR_BROADCAST_MAX_NODES,
         prebuilt_ed=_pr_edge_frame(spark, sf_dir),
     )
-    return pr.select(
+    out = pr.select(
         F.when(F.col("nid") % 2 == 1, "supplier")
         .otherwise("customer")
         .alias("node_kind"),
         F.expr("nid DIV 2").alias("node_key"),
         F.col("pr").alias("pr_fixed"),
-    ).orderBy(F.desc("pr_fixed"), "node_kind", "node_key")
+    )
+    return ordered_result(out, F.desc("pr_fixed"), "node_kind", "node_key")
 
 
 _TRIANGLE_ORACLE = f"""
@@ -519,7 +520,7 @@ def _triangle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corners.groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), "s_suppkey")
+        .transform(ordered_result, F.desc("n_triangles"), "s_suppkey")
     )
 
 
@@ -640,4 +641,4 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_kind"),
         F.expr("nid DIV 2").alias("node_key"),
         F.col("hop").cast("int").alias("hop"),
-    ).orderBy("hop", "node_kind", "node_key")
+    ).transform(ordered_result, "hop", "node_kind", "node_key")

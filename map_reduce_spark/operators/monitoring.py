@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -1061,5 +1061,5 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("hhi")
         )
-        .orderBy("p_partkey")
+        .transform(ordered_result, "p_partkey")
     )

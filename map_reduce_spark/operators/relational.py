@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -726,7 +726,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_mn", 2).alias("min_price"),
             F.round("_mx", 2).alias("max_price"),
         )
-        .orderBy("l_returnflag")
+        .transform(ordered_result, "l_returnflag")
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from map_reduce_spark.plans.transient import transient_persist
+from map_reduce_spark.plans.transient import ordered_result, transient_persist
 from map_reduce_spark.registry import register
 from map_reduce_spark.sources import load_table
 
@@ -965,5 +965,5 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("starts").cast("long").alias("sessions_started"),
             F.col("peak_concurrency").cast("long"),
         )
-        .orderBy("day")
+        .transform(ordered_result, "day")
     )

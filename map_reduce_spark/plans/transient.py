@@ -51,6 +51,33 @@ def transient_persist(
     return df
 
 
+def ordered_result(df: DataFrame, *cols) -> DataFrame:
+    """Output-order sort of a report-sized result frame, with the
+    frame transient-persisted FIRST.
+
+    A global ``orderBy`` is a range exchange, and a range exchange
+    derives its partition bounds by running a SAMPLING pass over its
+    child RDD — so the entire subtree between the previous exchange
+    and the sort executes TWICE (once to sample bounds, once for the
+    real shuffle; guide §2.4's "orderBy used only to make output
+    deterministic" tax, measured at ~2x on every finisher whose
+    pre-sort subtree is expensive: rank windows, exact-verify joins,
+    Python decode chains). Persisting the pre-sort frame makes the
+    sampling pass a cache read. The frame is the query's own
+    report-sized OUTPUT (top-k lists, per-group reports), so the
+    cache is small and is released by the harness's per-query
+    ``release_transient`` drain like every other transient.
+
+    Usage (fluent): ``.transform(ordered_result, "k1", "k2")``.
+
+    Plan-pin tests that need the raw compute subtree (a persist hides
+    it behind an InMemoryTableScan, and the cache manager substitutes
+    the cache into ANY frame with the same logical plan) monkeypatch
+    ``transient_persist`` to identity for the build under inspection.
+    """
+    return transient_persist(df).orderBy(*cols)
+
+
 def release_transient(mark: int = 0) -> int:
     """Unpersist (non-blocking) every frame enrolled at or after list
     position ``mark`` (default: all); returns the count released.

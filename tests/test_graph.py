@@ -165,8 +165,22 @@ def test_triangle_broadcast_regime_plan(spark, sf_dir):
     and the only live Exchanges outside the cached subtrees are the
     edge-sized wedge self-join sides, the corner aggregate, and the
     final orderBy."""
-    df = load_all()["graph_triangle_count"].builder(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # disable the output-sort persist (ordered_result) so the closure
+    # join stays in the live plan section — a persisted frame prints
+    # only an InMemoryTableScan above the cache boundary. The builder
+    # is DEFERRED, so the patch must stay active through the _jdf
+    # access below (that is when the plan actually builds).
+    import pytest as _pytest
+
+    from map_reduce_spark.plans import transient as _transient
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(_transient, "transient_persist", lambda df, level=None: df)
+    try:
+        df = load_all()["graph_triangle_count"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        mp.undo()
     live = plan.split("InMemoryRelation")[0]
     # The closure is the FIRST join above the corner explode in the
     # live (top-down) section; it must be broadcast (a shuffled

@@ -253,6 +253,18 @@ def test_minhash_band_join_never_broadcasts(spark, sf_dir, monkeypatch):
     from map_reduce_spark.plans.explain import physical_plan
     from map_reduce_spark.registry import load_all
 
+    # disable the output-sort persist (ordered_result) FIRST — before
+    # ANY build in this test: a persisted frame prints only an
+    # InMemoryTableScan, and the cache manager substitutes a cached
+    # frame into every canonically-equal plan (hints canonicalize
+    # away, so even the hinted second-loop build would resolve to a
+    # cache registered by the unhinted first loop)
+    from map_reduce_spark.plans import transient as _transient
+
+    monkeypatch.setattr(
+        _transient, "transient_persist", lambda df, level=None: df
+    )
+
     # fixture scale: gate open, no strategy hint anywhere
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
         logical = (

@@ -420,16 +420,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the recall bound is the contract.
     """
     sigs = minhash_signatures(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("sig"),
-            )
+    # One F.expr over the whole band array (r12, guide §1.2 step
+    # 2/§7.3 — the _sketch_bands/_dbl_array_sql convention): the
+    # Column-DSL spelling (16 structs x xxhash64 over 4 cols) cost
+    # ~0.55 s of py4j round-trips per plan construction, measured;
+    # the SQL string is the identical expression tree (same int band
+    # literal, same default-seed xxhash64 over the same columns),
+    # parsed JVM-side in one call. Band signatures verified
+    # bit-identical by A/B collect in r12; oracle green.
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            f"named_struct('band', {b}, 'sig', xxhash64("
+            + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+            + "))"
             for b in range(N_BANDS)
-        ]
+        ) + ")"
     )
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
@@ -677,7 +682,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction and the SAME oracle SQL, but candidate pairs come from a
     banded sketch equi-join instead of the quadratic theta join.
     """
-    from map_reduce_spark.functions.similarity import dot, with_norm
+    from map_reduce_spark.functions.similarity import dot_nc, with_norm
 
     emb = with_norm(
         load_spread(spark, sf_dir, "embeddings"), "embedding", "dv", "norm"
@@ -690,7 +695,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         b.join(F.broadcast(a), F.col("ia") < F.col("ib"))
-        .withColumn("cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", dot_nc("dva", "dvb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= COSINE_DUP_TAU)
     )
     return (
@@ -1118,19 +1123,19 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components query both consume it, so the band join runs
     once per (session, corpus). Plan-shape notes on
     ``dedup_embedding_lsh_hi``."""
-    from map_reduce_spark.functions.similarity import _sketch_bands, dot
+    from map_reduce_spark.functions.similarity import _sketch_bands, dot_nc
 
     aug = _augmented_sketched_embeddings(spark, sf_dir)
     index_bands = aug.select(
         F.col("vec_id").alias("ib"),
         F.explode(
-            _sketch_bands(F.col("sketch"), 0, _HI_N_BANDS, _HI_BAND_BITS)
+            _sketch_bands("sketch", 0, _HI_N_BANDS, _HI_BAND_BITS)
         ).alias("bs"),
     ).select("ib", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
     probe_bands = aug.select(
         F.col("vec_id").alias("ia"),
         F.explode(
-            _sketch_bands(F.col("sketch"), 1, _HI_N_BANDS, _HI_BAND_BITS)
+            _sketch_bands("sketch", 1, _HI_N_BANDS, _HI_BAND_BITS)
         ).alias("bs"),
     ).select("ia", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
     from map_reduce_spark.plans.hints import BYTES_PER_LONG_COL, merge_when_big
@@ -1170,7 +1175,7 @@ def embedding_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(dense(a), "ia")
         .join(dense(b), "ib")
         .withColumn(
-            "cos", dot(F.col("dva"), F.col("dvb")) / (F.col("na") * F.col("nb"))
+            "cos", dot_nc("dva", "dvb") / (F.col("na") * F.col("nb"))
         )
         .filter(F.col("cos") >= HI_TAU)
         .select("ia", "ib", "cos")

@@ -64,7 +64,7 @@ from map_reduce_spark.functions.similarity import (
     N_PROBE,
     TOP_K,
     _with_nearest_cells,
-    dot,
+    dot_nc,
     with_norm,
 )
 from map_reduce_spark.registry import register
@@ -251,7 +251,7 @@ class SimIngestIndex:
         # same fold order as sim_knn_bruteforce -> bit-identical scores
         scored = cand.withColumn(
             "score_raw",
-            dot(F.col("probe_dv"), F.col("dv"))
+            dot_nc("probe_dv", "dv")
             / (F.col("probe_norm") * F.col("norm")),
         ).drop("dv", "probe_dv")
         w = W.partitionBy("probe_id").orderBy(

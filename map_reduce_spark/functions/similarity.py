@@ -36,8 +36,15 @@ PROBE_MOD = 100  # probes = vec_id % PROBE_MOD == 0 → 1% of the corpus
 
 
 def _dvec(col: str) -> Column:
-    """array<float> -> array<double> (exact widening, matches ::DOUBLE[])."""
-    return F.transform(F.col(col), lambda x: x.cast("double"))
+    """array<float> -> array<double> (exact widening, matches ::DOUBLE[]).
+
+    Rendered as one ``F.expr`` string (r12, guide §1.2 step 2/§7.3 —
+    the same driver-side economy as ``_dbl_array_sql``): the Column
+    DSL spelling (``F.transform`` + a Python lambda) costs ~8 py4j
+    round-trips per use; the SQL string parses JVM-side in one. The
+    expression tree is identical (same cast, same lambda body), so
+    results are bit-identical — verified by A/B collect in r12."""
+    return F.expr(f"transform(`{col}`, x -> CAST(x AS DOUBLE))")
 
 
 def _dbl_array_sql(values: list[float]) -> str:
@@ -76,6 +83,28 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_nc(a: str, b: str) -> Column:
+    """``dot`` over two NAMED columns, rendered as one ``F.expr``
+    string (r12, guide §1.2 step 2/§7.3): every higher-order-function
+    Column-DSL construction (``F.aggregate``/``F.zip_with`` + Python
+    lambdas) costs ~40-60 ms of py4j round-trips, and the per-pair
+    scoring paths construct several per query plan. The SQL string is
+    the identical expression tree — same ``0.0D`` double seed, same
+    fold order — parsed JVM-side in one call; scores verified
+    bit-identical by A/B collect in r12. ``dot`` (Column args) stays
+    for call sites whose inputs are computed expressions."""
+    return F.expr(
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sqnorm_sql(col: str) -> str:
+    """SQL spelling of the L2 norm fold over a named array column —
+    same op order as the ``cosine``/``with_norm`` lambdas."""
+    return f"sqrt(aggregate(`{col}`, 0.0D, (acc, v) -> acc + v * v))"
+
+
 def with_norm(df: DataFrame, vec_col: str, dv_col: str, norm_col: str) -> DataFrame:
     """Materialize the double-cast vector and its L2 norm as columns.
 
@@ -84,10 +113,9 @@ def with_norm(df: DataFrame, vec_col: str, dv_col: str, norm_col: str) -> DataFr
     join, leaving one dot product as the only per-pair work. Same
     float-op order as cosine(), so scores are bit-identical."""
     df = df.withColumn(dv_col, _dvec(vec_col))
-    return df.withColumn(
-        norm_col,
-        F.sqrt(F.aggregate(F.col(dv_col), F.lit(0.0), lambda acc, v: acc + v * v)),
-    )
+    # F.expr spelling of the same fold — see dot_nc (r12 driver-side
+    # round-trip economy; bit-identical expression tree).
+    return df.withColumn(norm_col, F.expr(_sqnorm_sql(dv_col)))
 
 
 @register(
@@ -127,7 +155,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "score_raw",
-            dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
+            dot_nc("probe_dv", "dv") / (F.col("probe_norm") * F.col("norm")),
         )
     )
     from pyspark.sql import Window as W
@@ -305,12 +333,14 @@ def _sketch(dv_col: str) -> Column:
 
 
 def _sketch_bands(
-    sketch: Column,
+    sketch: str,
     probe_radius: int = 0,
     n_bands: int = N_SKETCH_BANDS,
     band_bits: int = SKETCH_BAND_BITS,
 ) -> Column:
-    """``array<struct<band,val>>`` of a sketch's band values.
+    """``array<struct<band,val>>`` of a NAMED sketch column's band
+    values (``sketch`` is the column name — the expression renders as
+    one SQL string, see the return comment).
 
     ``probe_radius=1`` adds every single-bit perturbation of each band
     value (multi-probe LSH): a pair whose band values differ by one
@@ -329,20 +359,26 @@ def _sketch_bands(
     mask = (1 << band_bits) - 1
     structs = []
     for b in range(n_bands):
-        val = F.shiftrightunsigned(sketch, b * band_bits).bitwiseAND(
-            F.lit(mask).cast("long")
+        val = (
+            f"(shiftrightunsigned(`{sketch}`, {b * band_bits})"
+            f" & CAST({mask} AS BIGINT))"
         )
         masks = [0]
         if probe_radius >= 1:
             masks += [1 << j for j in range(band_bits)]
         for m in masks:
             structs.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    val.bitwiseXOR(F.lit(m).cast("long")).alias("val"),
-                )
+                f"named_struct('band', {b}, 'val',"
+                f" ({val} ^ CAST({m} AS BIGINT)))"
             )
-    return F.array(*structs)
+    # One F.expr over the whole band array (r12, guide §1.2 step
+    # 2/§7.3): the Column-DSL spelling built 16-80 structs x ~8 py4j
+    # round-trips each — measured 3.4 s of sim_knn_lsh's 4.3 s plan
+    # construction. The SQL string is the identical expression tree
+    # (same int band literal, same BIGINT shifts/masks/xor), parsed
+    # JVM-side in one call; band values verified bit-identical by
+    # A/B collect in r12.
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 @session_cached
@@ -411,7 +447,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_bands = probes.select(
         "probe_id",
         "probe_sketch",
-        F.explode(_sketch_bands(F.col("probe_sketch"), probe_radius=1)).alias("bs"),
+        F.explode(_sketch_bands("probe_sketch", probe_radius=1)).alias("bs"),
     ).select(
         "probe_id", "probe_sketch",
         F.col("bs.band").alias("band"), F.col("bs.val").alias("val"),
@@ -419,7 +455,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_bands = sk.select(
         F.col("vec_id").alias("neighbor_id"),
         "sketch",
-        F.explode(_sketch_bands(F.col("sketch"))).alias("bs"),
+        F.explode(_sketch_bands("sketch")).alias("bs"),
     ).select(
         "neighbor_id", "sketch",
         F.col("bs.band").alias("band"), F.col("bs.val").alias("val"),
@@ -442,7 +478,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probes), "probe_id")
         .withColumn(
             "score_raw",
-            dot(F.col("probe_dv"), F.col("dv"))
+            dot_nc("probe_dv", "dv")
             / (F.col("probe_norm") * F.col("norm")),
         )
     )
@@ -837,7 +873,7 @@ def knn_ivf(
     # sim_knn_bruteforce so scores (and hence ranks) are bit-identical.
     scored = cand.withColumn(
         "score_raw",
-        dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
+        dot_nc("probe_dv", "dv") / (F.col("probe_norm") * F.col("norm")),
     ).drop("dv", "probe_dv")
     w = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
     return (
@@ -1082,7 +1118,7 @@ def _adc_shortlist_exact_rerank(
         )
         .withColumn(
             "score_raw",
-            dot(F.col("probe_dv"), F.col("dv")) / (F.col("probe_norm") * F.col("norm")),
+            dot_nc("probe_dv", "dv") / (F.col("probe_norm") * F.col("norm")),
         )
     )
     we = W.partitionBy("probe_id").orderBy(F.desc("score_raw"), F.asc("neighbor_id"))
@@ -1295,7 +1331,7 @@ def knn_sq8(spark: SparkSession, sf_dir: str, rerank: int = SQ_RERANK) -> DataFr
         "vec_id", _sq_reconstruct("code").alias("rv")
     ).withColumn(
         "rnorm",
-        F.sqrt(F.aggregate(F.col("rv"), F.lit(0.0), lambda acc, v: acc + v * v)),
+        F.expr(_sqnorm_sql("rv")),
     )
     probes = recon.filter(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
@@ -1307,7 +1343,7 @@ def knn_sq8(spark: SparkSession, sf_dir: str, rerank: int = SQ_RERANK) -> DataFr
         .join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "approx",
-            dot(F.col("p_rv"), F.col("rv")) / (F.col("p_rnorm") * F.col("rnorm")),
+            dot_nc("p_rv", "rv") / (F.col("p_rnorm") * F.col("rnorm")),
         )
         .select("probe_id", "neighbor_id", "approx")
     )
@@ -1327,7 +1363,7 @@ def knn_sq8(spark: SparkSession, sf_dir: str, rerank: int = SQ_RERANK) -> DataFr
         .join(F.broadcast(p_true), "probe_id")
         .withColumn(
             "score_raw",
-            dot(F.col("p_dv"), F.col("dv")) / (F.col("p_norm") * F.col("norm")),
+            dot_nc("p_dv", "dv") / (F.col("p_norm") * F.col("norm")),
         )
     )
     w_final = W.partitionBy("probe_id").orderBy(

@@ -331,7 +331,16 @@ def chunk_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from silently scattering).
     return (
         w.join(norms, "chunk_uid")
-        .repartition("chunk_uid")
+        # EXPLICIT partition count (r12, guide §2.5): this frame's
+        # consumers do per-row work (the token-join pair stream) that
+        # is NOT proportional to its bytes, and with
+        # canChangeCachedPlanOutputPartitioning=true AQE coalesces the
+        # keyless-count repartition under the session cache by BYTES —
+        # the whole index materialized at 1-2 partitions and the
+        # registered search's join+aggregate ran as ONE task (2.2 s of
+        # single-core CPU, measured). defaultParallelism is the
+        # load_spread convention: cluster-width, not a local constant.
+        .repartition(spark.sparkContext.defaultParallelism, "chunk_uid")
         .select(
             "chunk_uid",
             "token",
@@ -370,8 +379,10 @@ def chunk_tfidf_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("_pr", pr)
         .filter(F.col("_pr") <= RETRIEVAL_MAX_POSTINGS)
         # chunk_uid layout for the same map-side-combine reason as the
-        # base index (the scores aggregate groups by cand chunk)
-        .repartition("chunk_uid")
+        # base index (the scores aggregate groups by cand chunk);
+        # explicit count for the same cache-coalesce reason (r12 —
+        # see chunk_tfidf_index)
+        .repartition(spark.sparkContext.defaultParallelism, "chunk_uid")
         .select("chunk_uid", "token", "wn")
     )
 
@@ -641,7 +652,10 @@ def chunk_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(idf, "token")
         .join(lens, "chunk_uid")
         .crossJoin(F.broadcast(stats.select("avgdl")))
-        .repartition("chunk_uid")
+        # explicit count: AQE coalesces a keyless-count repartition
+        # under the session cache by bytes, serializing the pair
+        # stream (r12 — see chunk_tfidf_index)
+        .repartition(spark.sparkContext.defaultParallelism, "chunk_uid")
         .select(
             "chunk_uid",
             "token",
@@ -682,7 +696,8 @@ def chunk_bm25_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bm.withColumn("_pr", pr)
         .filter(F.col("_pr") <= RETRIEVAL_MAX_POSTINGS)
-        .repartition("chunk_uid")
+        # explicit count (r12 — see chunk_tfidf_index)
+        .repartition(spark.sparkContext.defaultParallelism, "chunk_uid")
         .select("chunk_uid", "token", "bm")
     )
 

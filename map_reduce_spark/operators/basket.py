@@ -480,7 +480,20 @@ def _brand_mask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").alias("m"))
     )
-    return masks.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        masks.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # EXPLICIT spread (r12, guide §2.5): the rules query explodes
+        # up to C(25,2) pair structs per mask row — compute not
+        # proportional to bytes, so the byte-derived AQE coalescing
+        # under the session cache (1 partition measured at sf0.1)
+        # serialized the explode+agg onto one task (A/B min-of-3:
+        # 1.18 s -> 0.63 s at 32). The basket ARRAY frame stays
+        # AQE-coalesced: its pair stream is shuffle-bound, and the
+        # same A/B measured the explicit spread SLOWER there
+        # (1.0-1.3 s -> 1.65 s).
+        .repartition(spark.sparkContext.defaultParallelism, "m")
+    )
 
 
 @register("basket_brand_rules_pct", oracle_sql=_BRAND_ORACLE)

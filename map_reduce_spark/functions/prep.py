@@ -634,7 +634,7 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     not once per stage. All joins are per-doc equi-joins on doc_id;
     nothing here adds a shuffle wider than the components' own.
     """
-    from map_reduce_spark.functions.dedup import dedup_jaccard_df_capped
+    from map_reduce_spark.functions.dedup import jaccard_pair_index
     from map_reduce_spark.functions.text import split_bucket_col
 
     docs = doc_toks(spark, sf_dir)
@@ -649,7 +649,14 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_dup", F.when(F.row_number().over(w) > 1, F.lit(1)).otherwise(F.lit(0))
     )
     near = (
-        dedup_jaccard_df_capped(spark, sf_dir)
+        # the session-cached verified pair INDEX — by construction the
+        # same (doc_a, doc_b) set dedup_jaccard_df_capped computes
+        # (jaccard_pair_index IS that builder's projection, cached);
+        # the manifest previously re-ran the whole capped verify join
+        # per call (~1.5 s of its 3.0 s warm cost, r12 measured) while
+        # the cluster queries already consumed the index — this was
+        # the one composition site still paying the component twice.
+        jaccard_pair_index(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_flag", F.lit(1))

@@ -294,64 +294,61 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the Expand fan-out), and on a many-split production table the
     spread is a near-no-op. Aggregation contents are unchanged.
     """
-    null_d = F.lit(None).cast("double")
-    null_s = F.lit(None).cast("string")
+    # Aggs and report-row structs render as F.expr SQL strings (r12,
+    # guide §1.2 step 2/§7.3 — the _sketch_bands/_dbl_array_sql
+    # convention): the Column-DSL spelling cost ~1 s of py4j
+    # round-trips per call (~200 calls: 5 agg expressions x ~40
+    # columns + 8-field structs), near half this query's warm cost.
+    # Identical expression trees (count(1), count(DISTINCT c),
+    # CAST/round/date_format as before); oracle re-verified green.
 
     def table_profile(tbl: str) -> DataFrame:
         cols = [(c, k) for t, c, k in _PROFILE_COLS if t == tbl]
         df = load_spread(spark, sf_dir, tbl)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        aggs = ["count(1) AS n_rows"]
         for c, kind in cols:
             aggs.append(
-                (F.count(F.lit(1)) - F.count(c)).cast("long").alias(
-                    f"{c}__nn"
-                )
+                f"CAST((count(1) - count(`{c}`)) AS BIGINT) AS `{c}__nn`"
             )
-            aggs.append(F.count_distinct(c).alias(f"{c}__ndv"))
+            aggs.append(f"count(DISTINCT `{c}`) AS `{c}__ndv`")
             if kind == "num":
-                aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
-                aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+                aggs.append(f"CAST(min(`{c}`) AS DOUBLE) AS `{c}__mn`")
+                aggs.append(f"CAST(max(`{c}`) AS DOUBLE) AS `{c}__mx`")
             elif kind == "ts":
                 fmt = "yyyy-MM-dd HH:mm:ss"
                 aggs.append(
-                    F.date_format(F.min(c), fmt).alias(f"{c}__ms")
+                    f"date_format(min(`{c}`), '{fmt}') AS `{c}__ms`"
                 )
                 aggs.append(
-                    F.date_format(F.max(c), fmt).alias(f"{c}__xs")
+                    f"date_format(max(`{c}`), '{fmt}') AS `{c}__xs`"
                 )
             else:
-                aggs.append(F.min(c).alias(f"{c}__ms"))
-                aggs.append(F.max(c).alias(f"{c}__xs"))
+                aggs.append(f"min(`{c}`) AS `{c}__ms`")
+                aggs.append(f"max(`{c}`) AS `{c}__xs`")
                 aggs.append(
-                    F.round(F.avg(F.length(c)), 4).alias(f"{c}__al")
+                    f"round(avg(length(`{c}`)), 4) AS `{c}__al`"
                 )
-        one = df.agg(*aggs)
+        one = df.agg(*[F.expr(a) for a in aggs])
 
-        def row(c: str, kind: str) -> Column:
-            return F.struct(
-                F.lit(c).alias("col"),
-                F.col(f"{c}__nn").alias("n_null"),
-                F.col(f"{c}__ndv").alias("ndv"),
-                (F.col(f"{c}__mn") if kind == "num" else null_d).alias(
-                    "min_num"
-                ),
-                (F.col(f"{c}__mx") if kind == "num" else null_d).alias(
-                    "max_num"
-                ),
-                (F.col(f"{c}__ms") if kind != "num" else null_s).alias(
-                    "min_str"
-                ),
-                (F.col(f"{c}__xs") if kind != "num" else null_s).alias(
-                    "max_str"
-                ),
-                (F.col(f"{c}__al") if kind == "str" else null_d).alias(
-                    "avg_len"
-                ),
+        def row(c: str, kind: str) -> str:
+            null_d, null_s = "CAST(NULL AS DOUBLE)", "CAST(NULL AS STRING)"
+            return (
+                f"named_struct('col', '{c}',"
+                f" 'n_null', `{c}__nn`, 'ndv', `{c}__ndv`,"
+                f" 'min_num', {f'`{c}__mn`' if kind == 'num' else null_d},"
+                f" 'max_num', {f'`{c}__mx`' if kind == 'num' else null_d},"
+                f" 'min_str', {f'`{c}__ms`' if kind != 'num' else null_s},"
+                f" 'max_str', {f'`{c}__xs`' if kind != 'num' else null_s},"
+                f" 'avg_len', {f'`{c}__al`' if kind == 'str' else null_d})"
             )
+
+        row_arr = F.expr(
+            "array(" + ", ".join(row(c, k) for c, k in cols) + ")"
+        )
         return one.select(
             F.lit(tbl).alias("tbl"),
             F.col("n_rows"),
-            F.explode(F.array(*[row(c, k) for c, k in cols])).alias("r"),
+            F.explode(row_arr).alias("r"),
         ).select(
             "tbl",
             "r.col",

@@ -525,6 +525,16 @@ def streaming_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_stream_error_click_join(read_events_stream(spark, sf_dir)),
             "streaming_error_click_join",
             output_mode="append",
+            # 4 state partitions for the JOIN replays (r12, measured):
+            # a stream-stream join commits FOUR state stores per
+            # partition per microbatch (left/right x keyToNumValues/
+            # keyWithIndexToValue), so the commit count — the drain's
+            # dominant cost (delta-file fsyncs) — is 4x the aggregate
+            # replays' at the same width. Ladder min-of-3 at sf0.1:
+            # 8 -> 2.36 s, 4 -> 2.07 s, 2 -> 1.79 s; 4 keeps 2x margin
+            # for per-partition state growth at sf10 (the r5 "4 vs 8
+            # is noise" measurement was on single-store aggregates).
+            state_partitions=4,
         )
         return drained.select(
             "error_id",
@@ -803,6 +813,9 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_outer_error_click_join(read_events_stream(spark, sf_dir)),
             "streaming_left_outer_join",
             output_mode="append",
+            # 4 join-state partitions — see streaming_error_click_join
+            # (ladder: 8 -> 2.53 s, 4 -> 2.01 s, 2 -> 1.90 s min-of-3)
+            state_partitions=4,
         )
         return drained.select(
             "error_id",

@@ -77,12 +77,19 @@ def main() -> None:
     # steady-state per-query cost (the number comparable across
     # engines and across rounds).
     timings: dict[str, float] = {}
+    # Iteration-1 ("cold") timings are kept separately: they include
+    # one-time index-cache builds and codegen compiles that the min
+    # hides, so the artifact makes session-cache build cost visible
+    # (r12 verdict item 2). Artifact-only — the stdout line and the
+    # reported min are unchanged.
+    cold: dict[str, float] = {}
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))):
         for name, spec in specs.items():
             t0 = time.perf_counter()
             execute(spec.builder(spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            cold.setdefault(name, dt)
 
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to a repo-local artifact; stdout gets
@@ -102,7 +109,12 @@ def main() -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL_local.json"), "w") as f:
-        json.dump(result, f, indent=1)
+        # The artifact additionally carries the iteration-1 timings
+        # ("queries_cold") so cache/codegen build cost is priced, not
+        # hidden by the min. Not part of `result`: the stdout line
+        # (trim_line below) stays byte-compatible with the driver's
+        # 2000-byte window contract.
+        json.dump({**result, "queries_cold": cold}, f, indent=1)
 
     # budget 1800 bytes; driver window is 2000
     print(json.dumps(trim_line(result, timings), separators=(",", ":")))

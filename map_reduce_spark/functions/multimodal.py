@@ -696,6 +696,38 @@ FakeDecoder = MediaDecoder
 _MEDIA_ROWS_CACHE: dict[int, list] = {}
 
 
+def _media_df(spark: SparkSession, rows: list) -> DataFrame:
+    """Arrow-native DataFrame over a memoized media row list.
+
+    r13 (guide §4.1 — every Python hop counts workers, and Spark's
+    PythonWorkerFactory kills idle workers after a hardcoded 1 minute):
+    ``createDataFrame(list_of_rows)`` parallelizes PICKLED rows, so
+    every downstream task pays a Python-worker round-trip just to
+    deserialize the scan — the media queries ran THREE chained Python
+    evals per task (scan + 2 mapInPandas), needing ~96 simultaneous
+    workers at 32 cores. Any >60 s gap in Python work culls the idle
+    pool, so each media pass re-paid a ~30-60-process fork+import
+    storm (measured: media_resize_images 1.4 s with a warm pool vs
+    6.4-10.2 s cold-pool in-manifest; the r12 driver measured 10.27 s
+    at 32 cores). The pandas/Arrow path converts to InternalRows
+    JVM-side — no Python worker in the scan at all. Arrow batching
+    packs all rows into one batch, so re-spread explicitly to keep the
+    per-image decode parallel (cluster-width, not a local constant)."""
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "kind": pd.Series([r[1] for r in rows], dtype="object"),
+            "payload": pd.Series([bytes(r[2]) for r in rows], dtype="object"),
+            "width": pd.Series([r[3] for r in rows], dtype="object"),
+            "height": pd.Series([r[4] for r in rows], dtype="object"),
+            "duration_ms": pd.Series([r[5] for r in rows], dtype="object"),
+        }
+    )
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (seeded).
 
@@ -719,7 +751,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     bench harness builds each media entry three times).
     """
     if n in _MEDIA_ROWS_CACHE:
-        return spark.createDataFrame(_MEDIA_ROWS_CACHE[n], MEDIA_SCHEMA)
+        return _media_df(spark, _MEDIA_ROWS_CACHE[n])
     rng = np.random.default_rng(42)
     rows = []
     for i in range(n):
@@ -791,7 +823,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             payload = encode_avi_mjpeg(frames, fps=VIDEO_FPS)
         rows.append((i, kind, bytearray(payload), w, h, dur))
     _MEDIA_ROWS_CACHE[n] = rows
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_df(spark, rows)
 
 
 def extract_features(media: DataFrame, skip_unsupported: bool = True) -> DataFrame:
@@ -1044,33 +1076,59 @@ def media_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     MAX_SIDE = 32
     media = synthetic_media(spark, 96)
-    resized = resize_images(media, max_side=MAX_SIDE)
 
-    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ONE fused mapInPandas for resize + re-decode verification (r13,
+    # guide §4.1): as two chained mapInPandas stages each task ran TWO
+    # Python workers, doubling the query's simultaneous-worker demand
+    # (the fork+import storm analyzed in _media_df) and Arrow-hopping
+    # every resized payload an extra round trip. Same resample, same
+    # re-encode, same verification ops row for row — the fusion only
+    # removes the intermediate boundary. ``resize_images`` remains the
+    # standalone operator (tests drive it directly).
+    def resize_verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not len(pdf):
-                continue
-            dec_w, dec_h, ok = [], [], []
-            for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"]):
-                px = MediaDecoder.decode_image(bytes(p))
-                dh, dw = px.shape[:2]
-                dec_w.append(dw)
-                dec_h.append(dh)
-                ok.append(bool(dw == w and dh == h and max(dw, dh) <= MAX_SIDE))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "decoded_width": pd.Series(dec_w, dtype="int32"),
-                    "decoded_height": pd.Series(dec_h, dtype="int32"),
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "bounds_ok": ok,
-                }
-            )
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "width", "height", "dec_w", "dec_h", "n_bytes", "ok"
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    px = MediaDecoder.decode_image(p)
+                except NotImplementedError:
+                    continue  # compressed/corrupt: skip, like resize_images
+                h, w = px.shape[:2]
+                scale = min(1.0, MAX_SIDE / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                yi = (np.arange(nh) * h // nh).clip(max=h - 1)
+                xi = (np.arange(nw) * w // nw).clip(max=w - 1)
+                payload = encode_bmp(px[yi][:, xi])
+                dpx = MediaDecoder.decode_image(payload)
+                dh, dw = dpx.shape[:2]
+                out["media_id"].append(mid)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["dec_w"].append(dw)
+                out["dec_h"].append(dh)
+                out["n_bytes"].append(len(payload))
+                out["ok"].append(
+                    bool(dw == nw and dh == nh and max(dw, dh) <= MAX_SIDE)
+                )
+            if out["media_id"]:
+                yield pd.DataFrame(
+                    {
+                        "media_id": out["media_id"],
+                        "width": pd.Series(out["width"], dtype="int32"),
+                        "height": pd.Series(out["height"], dtype="int32"),
+                        "decoded_width": pd.Series(out["dec_w"], dtype="int32"),
+                        "decoded_height": pd.Series(out["dec_h"], dtype="int32"),
+                        "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                        "bounds_ok": out["ok"],
+                    }
+                )
 
-    out = resized.mapInPandas(
-        verify,
+    out = media.filter(media.kind == "image").mapInPandas(
+        resize_verify,
         "media_id long, width int, height int, decoded_width int, "
         "decoded_height int, n_bytes long, bounds_ok boolean",
     )
